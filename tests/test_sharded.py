@@ -1,0 +1,79 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+The reference validates distribution on localhost (RPC servers in-process,
+SURVEY.md §4); the oracle is equivalence to the sequential implementation
+(distributed_kmeans.py --test ladder). Same here: sharded results must
+match the single-device ops exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_ann.ops import distances as D
+from tpu_ann.parallel import (
+    make_mesh,
+    shard_rows,
+    sharded_kmeans_iter,
+    sharded_knn,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(n_shards=4, n_replicas=2)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_knn_matches_local(mesh, rng):
+    nq, nb, d, k = 16, 1000, 24, 10
+    xq = rng.rand(nq, d).astype(np.float32)
+    xb = rng.rand(nb, d).astype(np.float32)
+    xb_p = shard_rows(xb, 4)
+    Ds, Is = sharded_knn(
+        jnp.asarray(xq), jnp.asarray(xb_p), k,
+        mesh=mesh, valid_n=jnp.int32(nb),
+    )
+    Dr, Ir = D.knn(jnp.asarray(xq), jnp.asarray(xb), k)
+    np.testing.assert_allclose(np.asarray(Ds), np.asarray(Dr), rtol=1e-5,
+                               atol=1e-5)
+    assert (np.asarray(Is) == np.asarray(Ir)).all()
+
+
+def test_sharded_knn_ip(mesh, rng):
+    nq, nb, d, k = 8, 256, 16, 5
+    xq = rng.rand(nq, d).astype(np.float32)
+    xb = rng.rand(nb, d).astype(np.float32)
+    Ds, Is = sharded_knn(
+        jnp.asarray(xq), jnp.asarray(xb), k,
+        metric=D.METRIC_INNER_PRODUCT, mesh=mesh,
+    )
+    Dr, Ir = D.knn(jnp.asarray(xq), jnp.asarray(xb), k,
+                   D.METRIC_INNER_PRODUCT)
+    assert (np.asarray(Is) == np.asarray(Ir)).all()
+
+
+def test_sharded_kmeans_iter_matches_serial(mesh, rng):
+    n, d, k = 800, 16, 10
+    x = rng.rand(n, d).astype(np.float32)
+    cent = x[:k].copy()
+    new_c, counts, obj = sharded_kmeans_iter(
+        jnp.asarray(x), jnp.asarray(cent), k, mesh=mesh
+    )
+    # serial reference
+    dis, assign = D.knn(jnp.asarray(x), jnp.asarray(cent), 1)
+    assign = np.asarray(assign)[:, 0]
+    ref_c = np.zeros((k, d), np.float32)
+    ref_n = np.zeros(k)
+    for i in range(n):
+        ref_c[assign[i]] += x[i]
+        ref_n[assign[i]] += 1
+    ref_c = ref_c / np.maximum(ref_n, 1)[:, None]
+    np.testing.assert_allclose(np.asarray(new_c), ref_c, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(counts), ref_n)
+    np.testing.assert_allclose(
+        float(obj), float(np.asarray(dis)[:, 0].sum()), rtol=1e-4
+    )

@@ -1,0 +1,21 @@
+"""tpu_ann — a TPU-native ANN index-and-query engine (JAX/XLA/Pallas).
+
+Built from scratch with the capability surface of the Quaternijkon/hnsw-ivf
+reference (a Faiss 1.10.0 fork): exact Flat search, k-means/IVF, HNSW, the
+HNSW-as-coarse-quantizer IVF hybrid, PQ/SQ codecs, on-disk storage, and
+mesh-sharded distribution — re-designed for the MXU/HBM/ICI instead of
+SIMD/OpenMP/RPC. See SURVEY.md for the full blueprint.
+"""
+
+from .ops.distances import (  # noqa: F401
+    METRIC_INNER_PRODUCT,
+    METRIC_L2,
+    knn,
+    knn_inner_product,
+    knn_l2sqr,
+    pairwise_distances,
+)
+from .models.base import Index, SearchStats  # noqa: F401
+from .models.flat import IndexFlat, IndexFlatIP, IndexFlatL2  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,163 @@
+"""Index base API — TPU counterpart of faiss `Index` (faiss/Index.h:77-317).
+
+The reference's `Index` is a mutable C++ object with
+train/add/search/range_search/reconstruct and int64 ids. Here the same
+surface is a thin stateful Python shell over immutable device arrays: every
+search path is a jitted pure function over capacity-padded static shapes, so
+repeated calls hit the XLA compile cache (adds grow storage by power-of-two
+capacity doubling, the moral equivalent of std::vector growth in
+IndexFlatCodes).
+
+Per-query timing stats mirror the fork's `QueryLatencyStats`
+(faiss/IndexIVF.h:28-32): searches can return a `SearchStats` pytree with the
+coarse-quantization and list-scan split.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distances import METRIC_INNER_PRODUCT, METRIC_L2, is_similarity_metric
+
+
+@dataclasses.dataclass
+class SearchStats:
+    """Per-search timing/counters (fork's QueryLatencyStats + IndexIVFStats).
+
+    Times are host-measured wall-clock in microseconds for the whole batch
+    (the fork amortizes quantization over the batch the same way,
+    faiss/IndexIVF.cpp:761-771). Counters are exact and device-computed.
+    """
+
+    nq: int = 0
+    total_us: float = 0.0
+    quantization_us: float = 0.0
+    list_scan_us: float = 0.0
+    ndis: int = 0          # number of distances evaluated
+    nlist_visited: int = 0  # number of invlists scanned (IVF) / hops (HNSW)
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+class Timer:
+    """Context-manager wall timer in microseconds (fork's Timer struct,
+    faiss/IndexIVF.cpp:32). Calls `block_until_ready` hooks are the caller's
+    job — used around already-materialized results."""
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.us = (time.perf_counter() - self.t0) * 1e6
+        return False
+
+
+def _as_f32(x) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.ndim != 2:
+        raise ValueError(f"expected (n, d) array, got shape {x.shape}")
+    return np.ascontiguousarray(x)
+
+
+def next_pow2(n: int) -> int:
+    n = max(int(n), 1)
+    return 1 << (n - 1).bit_length()
+
+
+class Index:
+    """Abstract base. Subclasses implement train/add/search.
+
+    Mirrors faiss/Index.h:77: `d`, `ntotal`, `metric_type`, `is_trained`,
+    plus the numpy-facing `search(x, k) -> (D, I)` convention from the SWIG
+    wrappers (python/class_wrappers.py).
+    """
+
+    def __init__(self, d: int, metric: int = METRIC_L2):
+        if d <= 0:
+            raise ValueError("d must be positive")
+        self.d = int(d)
+        self.metric_type = int(metric)
+        self.ntotal = 0
+        self.is_trained = True
+        self.verbose = False
+
+    # --- core API -------------------------------------------------------
+    def train(self, x) -> None:  # noqa: D401 - faiss parity
+        """Default: no training needed (faiss/Index.cpp Index::train)."""
+
+    def add(self, x) -> None:
+        raise NotImplementedError
+
+    def add_with_ids(self, x, ids) -> None:
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support add_with_ids; "
+            "wrap it in IndexIDMap (faiss/IndexIDMap.h)"
+        )
+
+    def search(
+        self, x, k: int, *, params: Optional[Any] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    def search_stats(self, x, k: int, *, params: Optional[Any] = None):
+        """search() + SearchStats — the fork's search_stats API
+        (faiss/IndexIVF.h:329-337). Default implementation times the whole
+        search as list_scan."""
+        with Timer() as t:
+            D, I = self.search(x, k, params=params)
+        stats = SearchStats(nq=len(np.atleast_2d(x)), total_us=t.us,
+                            list_scan_us=t.us)
+        return D, I, stats
+
+    def reset(self) -> None:
+        raise NotImplementedError
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def reconstruct_n(self, i0: int, ni: int) -> np.ndarray:
+        return np.stack([self.reconstruct(i) for i in range(i0, i0 + ni)])
+
+    # --- codec API (faiss/Index.h:217-244) ------------------------------
+    def sa_code_size(self) -> int:
+        raise NotImplementedError
+
+    def sa_encode(self, x) -> np.ndarray:
+        raise NotImplementedError
+
+    def sa_decode(self, codes) -> np.ndarray:
+        raise NotImplementedError
+
+    # --- helpers ---------------------------------------------------------
+    @property
+    def is_similarity(self) -> bool:
+        return is_similarity_metric(self.metric_type)
+
+    def _check_input(self, x) -> np.ndarray:
+        x = _as_f32(x)
+        if x.shape[1] != self.d:
+            raise ValueError(f"input dim {x.shape[1]} != index dim {self.d}")
+        return x
+
+    def __repr__(self):
+        m = "IP" if self.metric_type == METRIC_INNER_PRODUCT else "L2"
+        return f"{type(self).__name__}(d={self.d}, ntotal={self.ntotal}, metric={m})"
+
+
+__all__ = [
+    "Index",
+    "SearchStats",
+    "Timer",
+    "METRIC_L2",
+    "METRIC_INNER_PRODUCT",
+    "next_pow2",
+]

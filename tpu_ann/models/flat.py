@@ -1,0 +1,134 @@
+"""IndexFlat — exact brute-force search (faiss/IndexFlat.{h,cpp}).
+
+The reference stores raw float vectors and dispatches to
+`knn_L2sqr`/`knn_inner_product` (faiss/IndexFlat.cpp:38-55), with
+`IndexFlatL2` caching database norms (faiss/IndexFlat.h:108-110). Here the
+database lives as one capacity-padded device array; search is the blocked
+MXU GEMM + fused top-k from `ops.distances.knn`. This index doubles as the
+exact ground-truth oracle for all tests (role of
+contrib/exhaustive_search.knn_ground_truth).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distances as D
+from .base import Index, METRIC_INNER_PRODUCT, METRIC_L2, next_pow2
+
+
+class IndexFlat(Index):
+    """Exact index over raw float32 vectors on device."""
+
+    def __init__(self, d: int, metric: int = METRIC_L2):
+        super().__init__(d, metric)
+        self._xb: Optional[jnp.ndarray] = None   # (capacity, d) device array
+        self._norms: Optional[jnp.ndarray] = None  # (capacity,) cached ||y||^2
+        self._capacity = 0
+
+    # --- storage ----------------------------------------------------------
+    def _ensure_capacity(self, n_new: int) -> None:
+        need = self.ntotal + n_new
+        if need <= self._capacity:
+            return
+        cap = max(next_pow2(need), 1024)
+        xb = jnp.zeros((cap, self.d), jnp.float32)
+        norms = jnp.zeros((cap,), jnp.float32)
+        if self._xb is not None and self.ntotal:
+            xb = xb.at[: self.ntotal].set(self._xb[: self.ntotal])
+            norms = norms.at[: self.ntotal].set(self._norms[: self.ntotal])
+        self._xb, self._norms, self._capacity = xb, norms, cap
+
+    def add(self, x) -> None:
+        x = self._check_input(x)
+        n = x.shape[0]
+        if n == 0:
+            return
+        self._ensure_capacity(n)
+        xj = jnp.asarray(x)
+        self._xb = jnp.asarray(self._xb).at[self.ntotal : self.ntotal + n].set(xj)
+        self._norms = self._norms.at[self.ntotal : self.ntotal + n].set(
+            D.l2_norms(xj)
+        )
+        self.ntotal += n
+
+    def reset(self) -> None:
+        self._xb = None
+        self._norms = None
+        self._capacity = 0
+        self.ntotal = 0
+
+    # --- search -----------------------------------------------------------
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        if self.ntotal == 0:
+            nq = x.shape[0]
+            bad = -np.inf if self.is_similarity else np.inf
+            return (np.full((nq, k), bad, np.float32),
+                    np.full((nq, k), -1, np.int64))
+        Dv, Iv = D.knn(
+            jnp.asarray(x),
+            self._xb,
+            k,
+            self.metric_type,
+            xb_norms=self._norms if self.metric_type == METRIC_L2 else None,
+            valid_n=jnp.int32(self.ntotal),
+        )
+        return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
+
+    # --- reconstruction / codec -------------------------------------------
+    def reconstruct(self, key: int) -> np.ndarray:
+        if not (0 <= key < self.ntotal):
+            raise IndexError(key)
+        return np.asarray(self._xb[key])
+
+    def reconstruct_n(self, i0: int, ni: int) -> np.ndarray:
+        if not (0 <= i0 and i0 + ni <= self.ntotal):
+            raise IndexError((i0, ni))
+        return np.asarray(self._xb[i0 : i0 + ni])
+
+    def sa_code_size(self) -> int:
+        return 4 * self.d
+
+    def sa_encode(self, x) -> np.ndarray:
+        return self._check_input(x).view(np.uint8).reshape(len(x), -1)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        return codes.view(np.float32).reshape(len(codes), self.d)
+
+    # --- internals exposed for composition (quantizer use, serialization) --
+    @property
+    def vectors(self) -> jnp.ndarray:
+        """(ntotal, d) valid rows (device array view)."""
+        if self._xb is None:
+            return jnp.zeros((0, self.d), jnp.float32)
+        return self._xb[: self.ntotal]
+
+    def state_dict(self) -> dict:
+        return {
+            "d": self.d,
+            "metric": self.metric_type,
+            "ntotal": self.ntotal,
+            "xb": np.asarray(self.vectors),
+        }
+
+    @classmethod
+    def from_state(cls, st: dict) -> "IndexFlat":
+        idx = cls(int(st["d"]), int(st["metric"]))
+        if st["ntotal"]:
+            idx.add(st["xb"])
+        return idx
+
+
+class IndexFlatL2(IndexFlat):
+    def __init__(self, d: int):
+        super().__init__(d, METRIC_L2)
+
+
+class IndexFlatIP(IndexFlat):
+    def __init__(self, d: int):
+        super().__init__(d, METRIC_INNER_PRODUCT)

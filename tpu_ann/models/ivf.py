@@ -1,0 +1,251 @@
+"""IndexIVF / IndexIVFFlat — faiss/IndexIVF.{h,cpp} + IndexIVFFlat.{h,cpp}.
+
+`Level1Quantizer::train_q1` (faiss/IndexIVF.cpp:66-130) trains the coarse
+quantizer with k-means (niter=10, IndexIVF.cpp:55) unless
+`quantizer_trains_alone` says otherwise; search runs coarse quantization then
+`search_preassigned` over the probed lists (faiss/IndexIVF.cpp:303-723).
+
+Here the coarse quantizer is any `Index` (Flat now, HNSW for the namesake
+hybrid), invlists live in the block-padded device layout of
+`ops.ivf_scan.PackedInvLists`, and both phases are jitted device programs.
+Per-query stats mirror the fork's `QueryLatencyStats` split
+(quantization_us vs list_scan_us, faiss/IndexIVF.h:28-32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distances as D
+from ..ops import ivf_scan
+from ..ops.kmeans import ClusteringParameters, kmeans
+from .base import Index, SearchStats, Timer
+from .flat import IndexFlat
+
+
+@dataclasses.dataclass
+class SearchParametersIVF:
+    """faiss SearchParametersIVF (faiss/IndexIVF.h:77-88)."""
+
+    nprobe: int = 0          # 0 = use index default
+    max_codes: int = 0       # 0 = unlimited; cap on scanned codes per query
+
+
+class IndexIVF(Index):
+    """Base IVF index: coarse quantizer + packed invlists.
+
+    Subclasses define the list codec (Flat stores raw vectors; PQ/SQ store
+    codes). This base implements the Flat storage path directly since the
+    packed layout is shared.
+    """
+
+    def __init__(
+        self,
+        quantizer: Index,
+        d: int,
+        nlist: int,
+        metric: int = D.METRIC_L2,
+        block_size: int = 128,
+    ):
+        super().__init__(d, metric)
+        if quantizer.d != d:
+            raise ValueError("quantizer dimension mismatch")
+        self.quantizer = quantizer
+        self.nlist = int(nlist)
+        self.nprobe = 1
+        self.block_size = int(block_size)
+        self.is_trained = False
+        # quantizer_trains_alone semantics (faiss/IndexIVF.h Level1Quantizer):
+        # 0 = kmeans on this level; 1 = quantizer trained as-is; 2 = kmeans
+        # with flat assignment then add centroids to quantizer.
+        self.quantizer_trains_alone = 0
+        self.cp = ClusteringParameters(niter=10)
+        self.clustering_stats: list = []
+        # host-side raw store for rebuilds/reconstruct (role of DirectMap +
+        # ArrayInvertedLists' host copy)
+        self._xb_host: list[np.ndarray] = []
+        self._ids_host: list[np.ndarray] = []
+        self.invlists: Optional[ivf_scan.PackedInvLists] = None
+        self.by_residual = False  # Flat path; PQ subclasses override
+
+    # --- training ---------------------------------------------------------
+    def train(self, x) -> None:
+        x = self._check_input(x)
+        self.train_q1(x)
+        self.train_encoder(x)
+        self.is_trained = True
+
+    def train_q1(self, x: np.ndarray) -> None:
+        """Level1Quantizer::train_q1 (faiss/IndexIVF.cpp:66-130)."""
+        if self.quantizer_trains_alone == 1:
+            if self.quantizer.ntotal != self.nlist:
+                self.quantizer.train(x)
+                if self.quantizer.ntotal != self.nlist:
+                    raise ValueError(
+                        "quantizer_trains_alone=1 requires a pre-built "
+                        f"quantizer with ntotal == nlist ({self.nlist})"
+                    )
+            return
+        centroids, self.clustering_stats = kmeans(
+            x, self.nlist, self.cp, self.metric_type
+        )
+        self.quantizer.reset()
+        self.quantizer.train(centroids)
+        self.quantizer.add(centroids)
+
+    def train_encoder(self, x: np.ndarray) -> None:
+        """No-op for Flat (faiss IndexIVF::train_encoder default)."""
+
+    # --- add ----------------------------------------------------------------
+    def add(self, x) -> None:
+        x = self._check_input(x)
+        ids = np.arange(self.ntotal, self.ntotal + len(x), dtype=np.int64)
+        self.add_with_ids(x, ids)
+
+    def add_with_ids(self, x, ids) -> None:
+        if not self.is_trained:
+            raise RuntimeError("train() before add()")
+        x = self._check_input(x)
+        ids = np.asarray(ids, np.int64)
+        if len(ids) != len(x):
+            raise ValueError("ids / x length mismatch")
+        self._xb_host.append(x.copy())
+        self._ids_host.append(ids.copy())
+        self.ntotal += len(x)
+        self._repack()
+
+    def _assign(self, x: np.ndarray) -> np.ndarray:
+        _, a = self.quantizer.search(x, 1)
+        return np.asarray(a)[:, 0]
+
+    def _repack(self) -> None:
+        """Rebuild packed device invlists from the host store. Chunked adds
+        repack in O(ntotal) like the fork's read-modify-write add loop
+        (tutorial/python/190-...test.py:1253-1311)."""
+        x = np.concatenate(self._xb_host, axis=0)
+        ids = np.concatenate(self._ids_host, axis=0)
+        assign = self._assign(x)
+        self.invlists = self._pack(x, ids, assign)
+
+    def _pack(self, x, ids, assign) -> ivf_scan.PackedInvLists:
+        return ivf_scan.pack_invlists(
+            x, ids, assign, self.nlist, self.block_size
+        )
+
+    # --- search -------------------------------------------------------------
+    def _effective_params(self, params):
+        nprobe = self.nprobe
+        max_codes = 0
+        if params is not None:
+            if params.nprobe:
+                nprobe = params.nprobe
+            max_codes = params.max_codes
+        nprobe = min(max(int(nprobe), 1), self.nlist)
+        mnb = self.invlists.max_nblocks_per_list
+        if max_codes:
+            mnb = min(mnb, max(1, -(-int(max_codes) // self.block_size)))
+        return nprobe, mnb
+
+    def search(self, x, k: int, *, params: Optional[SearchParametersIVF] = None):
+        D_, I_, _ = self.search_stats(x, k, params=params)[0:3]
+        return D_, I_
+
+    def search_stats(self, x, k: int, *,
+                     params: Optional[SearchParametersIVF] = None):
+        """search + QueryLatencyStats split (fork's IndexIVF::search_stats,
+        faiss/IndexIVF.cpp:727-860)."""
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        x = self._check_input(x)
+        nprobe, mnb = self._effective_params(params)
+
+        with Timer() as t_q:
+            cd, probes = self.quantizer.search(x, nprobe)
+            probes = np.asarray(probes, np.int32)
+        with Timer() as t_s:
+            Dv, Iv, ndis = ivf_scan.scan_invlists(
+                jnp.asarray(x),
+                jnp.asarray(probes),
+                self.invlists,
+                k,
+                self.metric_type,
+                max_nblocks=mnb,
+            )
+            Dv = np.asarray(Dv)
+            Iv = np.asarray(Iv, dtype=np.int64)
+        stats = SearchStats(
+            nq=len(x),
+            total_us=t_q.us + t_s.us,
+            quantization_us=t_q.us,
+            list_scan_us=t_s.us,
+            ndis=int(ndis),
+            nlist_visited=len(x) * nprobe,
+        )
+        return Dv, Iv, stats
+
+    def search_preassigned(self, x, k: int, probes: np.ndarray):
+        """Scan given precomputed coarse assignment
+        (faiss/IndexIVF.cpp:399, contrib/ivf_tools.search_preassigned)."""
+        x = self._check_input(x)
+        mnb = self.invlists.max_nblocks_per_list
+        Dv, Iv, _ = ivf_scan.scan_invlists(
+            jnp.asarray(x),
+            jnp.asarray(probes, dtype=jnp.int32),
+            self.invlists,
+            k,
+            self.metric_type,
+            max_nblocks=mnb,
+        )
+        return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
+
+    # --- misc ----------------------------------------------------------------
+    def reset(self) -> None:
+        self._xb_host, self._ids_host = [], []
+        self.invlists = None
+        self.ntotal = 0
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        for xs, ids in zip(self._xb_host, self._ids_host):
+            hit = np.nonzero(ids == key)[0]
+            if hit.size:
+                return xs[hit[0]]
+        raise KeyError(key)
+
+    @property
+    def list_sizes(self) -> np.ndarray:
+        """Per-list entry counts (InvertedLists::list_size for all lists)."""
+        if self.invlists is None:
+            return np.zeros(self.nlist, np.int64)
+        ids = np.asarray(self.invlists.ids[:-1])
+        sizes = np.zeros(self.nlist, np.int64)
+        starts = np.asarray(self.invlists.list_block_start)
+        nblk = np.asarray(self.invlists.list_nblocks)
+        for l in range(self.nlist):
+            if nblk[l]:
+                blk = ids[starts[l] : starts[l] + nblk[l]]
+                sizes[l] = (blk >= 0).sum()
+        return sizes
+
+    def imbalance_factor(self) -> float:
+        from ..ops.kmeans import imbalance_factor
+
+        return imbalance_factor(self.list_sizes)
+
+
+class IndexIVFFlat(IndexIVF):
+    """IVF with raw float storage (faiss/IndexIVFFlat.{h,cpp})."""
+
+    def __init__(self, quantizer: Index, d: int, nlist: int,
+                 metric: int = D.METRIC_L2, block_size: int = 128):
+        super().__init__(quantizer, d, nlist, metric, block_size)
+
+
+def make_ivf_flat(d: int, nlist: int, metric: int = D.METRIC_L2
+                  ) -> IndexIVFFlat:
+    """Convenience: IVF with a flat coarse quantizer (= factory "IVFx,Flat")."""
+    quant = IndexFlat(d, metric)
+    return IndexIVFFlat(quant, d, nlist, metric)

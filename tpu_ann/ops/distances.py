@@ -1,0 +1,214 @@
+"""L0 distance substrate — TPU-native replacement for faiss `utils/distances.{h,cpp}`.
+
+The reference computes exact k-NN either with a sequential SIMD scan
+(`exhaustive_L2sqr_seq`, utils/distances.cpp:170) or a BLAS-tiled path
+(`exhaustive_L2sqr_blas`, utils/distances.cpp:259-345) using the
+``||x||^2 + ||y||^2 - 2<x,y>`` expansion, feeding per-block results into heap
+ResultHandlers.  On TPU the same decomposition maps directly onto the MXU:
+one GEMM per (query-tile x database-block) plus a fused top-k merge, so there
+is a single code path instead of a SIMD/BLAS dispatch
+(cf. utils/distances.cpp:885 `knn_L2sqr`).
+
+Everything here is shape-static and jit-friendly; blocking over the database
+bounds the live distance matrix exactly like the reference's
+``distance_compute_blas_database_bs`` tiling (utils/distances.cpp:272).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Metric identifiers (subset of faiss MetricType, faiss/MetricType.h).
+METRIC_INNER_PRODUCT = 0
+METRIC_L2 = 1
+
+_METRICS = (METRIC_INNER_PRODUCT, METRIC_L2)
+
+
+def _check_metric(metric: int) -> None:
+    if metric not in _METRICS:
+        raise ValueError(f"unsupported metric {metric!r}")
+
+
+def l2_norms(x: jnp.ndarray, *, precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Row-wise squared L2 norms (= faiss `fvec_norms_L2sqr`)."""
+    x = x.astype(jnp.float32)
+    return jnp.einsum("nd,nd->n", x, x, precision=precision)
+
+
+def pairwise_inner_product(
+    xq: jnp.ndarray,
+    xb: jnp.ndarray,
+    *,
+    precision=lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """(nq, nb) inner products on the MXU."""
+    return jnp.dot(
+        xq.astype(jnp.float32),
+        xb.astype(jnp.float32).T,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def pairwise_l2sqr(
+    xq: jnp.ndarray,
+    xb: jnp.ndarray,
+    *,
+    xb_norms: Optional[jnp.ndarray] = None,
+    precision=lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """(nq, nb) squared L2 distances via the norm expansion.
+
+    Equivalent of faiss `pairwise_L2sqr` (utils/distances.cpp). ``xb_norms``
+    plays the role of IndexFlatL2's `cached_l2norms` (faiss/IndexFlat.h:108).
+    """
+    ip = pairwise_inner_product(xq, xb, precision=precision)
+    qn = l2_norms(xq, precision=precision)
+    bn = l2_norms(xb, precision=precision) if xb_norms is None else xb_norms
+    d = qn[:, None] + bn[None, :] - 2.0 * ip
+    return jnp.maximum(d, 0.0)
+
+
+def pairwise_distances(
+    xq: jnp.ndarray,
+    xb: jnp.ndarray,
+    metric: int = METRIC_L2,
+    *,
+    xb_norms: Optional[jnp.ndarray] = None,
+    precision=lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Pairwise distance matrix. For IP the returned values are *similarities*
+    (bigger is better), matching faiss conventions."""
+    _check_metric(metric)
+    if metric == METRIC_L2:
+        return pairwise_l2sqr(xq, xb, xb_norms=xb_norms, precision=precision)
+    return pairwise_inner_product(xq, xb, precision=precision)
+
+
+def is_similarity_metric(metric: int) -> bool:
+    return metric == METRIC_INNER_PRODUCT
+
+
+def worst_value(metric: int) -> float:
+    """Sentinel 'infinitely bad' distance for the metric."""
+    return -jnp.inf if is_similarity_metric(metric) else jnp.inf
+
+
+def _topk_best(dis: jnp.ndarray, k: int, metric: int):
+    """Per-row best-k of a distance block. Returns (vals, idx) best-first."""
+    if is_similarity_metric(metric):
+        v, i = lax.top_k(dis, k)
+        return v, i
+    v, i = lax.top_k(-dis, k)
+    return -v, i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "db_block", "precision")
+)
+def knn(
+    xq: jnp.ndarray,
+    xb: jnp.ndarray,
+    k: int,
+    metric: int = METRIC_L2,
+    *,
+    xb_norms: Optional[jnp.ndarray] = None,
+    valid_n: Optional[jnp.ndarray] = None,
+    db_block: int = 65536,
+    precision=lax.Precision.HIGHEST,
+):
+    """Exact k-NN: blocked MXU GEMM + top-k merge.
+
+    TPU analog of faiss `knn_L2sqr` / `knn_inner_product`
+    (utils/distances.cpp:885,1061): the database is processed in blocks of
+    ``db_block`` rows; each block's distances are computed as one GEMM and
+    merged into a running per-query top-k (the role the reference's
+    HeapBlockResultHandler plays, impl/ResultHandler.h).
+
+    Args:
+      xq: (nq, d) queries.
+      xb: (nb, d) database; may be capacity-padded, see ``valid_n``.
+      k: neighbors to return.
+      valid_n: optional scalar count of valid database rows; rows >= valid_n
+        are masked to the metric's worst value (supports capacity-padded
+        device storage).
+    Returns:
+      (D, I): (nq, k) distances (L2: ascending; IP: descending similarities)
+      and int32 ids; invalid slots get id -1.
+    """
+    _check_metric(metric)
+    nq, d = xq.shape
+    nb = xb.shape[0]
+    xq = xq.astype(jnp.float32)
+
+    block = min(db_block, max(nb, 1))
+    nblocks = -(-nb // block)
+    pad = nblocks * block - nb
+    if pad:
+        xb = jnp.pad(xb, ((0, pad), (0, 0)))
+        if xb_norms is not None:
+            xb_norms = jnp.pad(xb_norms, (0, pad))
+    if valid_n is None:
+        valid_n = jnp.int32(nb)
+    else:
+        valid_n = jnp.asarray(valid_n, jnp.int32)
+
+    bad = worst_value(metric)
+    qn = l2_norms(xq, precision=precision) if metric == METRIC_L2 else None
+
+    def block_scores(yb, bn, base):
+        ip = jnp.dot(
+            xq, yb.T, precision=precision, preferred_element_type=jnp.float32
+        )
+        if metric == METRIC_L2:
+            if bn is None:
+                bn = l2_norms(yb, precision=precision)
+            dis = jnp.maximum(qn[:, None] + bn[None, :] - 2.0 * ip, 0.0)
+        else:
+            dis = ip
+        ids = base + lax.broadcasted_iota(jnp.int32, (1, yb.shape[0]), 1)
+        dis = jnp.where(ids < valid_n, dis, bad)
+        return dis, jnp.broadcast_to(ids, dis.shape)
+
+    if nblocks == 1:
+        dis, ids = block_scores(xb, xb_norms, jnp.int32(0))
+        best_d, pos = _topk_best(dis, min(k, dis.shape[1]), metric)
+        best_i = jnp.take_along_axis(ids, pos, axis=1)
+        if best_d.shape[1] < k:  # k > nb: pad with sentinels
+            extra = k - best_d.shape[1]
+            best_d = jnp.pad(best_d, ((0, 0), (0, extra)), constant_values=bad)
+            best_i = jnp.pad(best_i, ((0, 0), (0, extra)), constant_values=-1)
+    else:
+        xb_r = xb.reshape(nblocks, block, d)
+        norms_r = None if xb_norms is None else xb_norms.reshape(nblocks, block)
+
+        def body(i, carry):
+            bd, bi = carry
+            yb = xb_r[i]
+            bn = None if norms_r is None else norms_r[i]
+            dis, ids = block_scores(yb, bn, i * block)
+            cd = jnp.concatenate([bd, dis], axis=1)
+            ci = jnp.concatenate([bi, ids], axis=1)
+            nd, pos = _topk_best(cd, k, metric)
+            return nd, jnp.take_along_axis(ci, pos, axis=1)
+
+        init_d = jnp.full((nq, k), bad, jnp.float32)
+        init_i = jnp.full((nq, k), -1, jnp.int32)
+        best_d, best_i = lax.fori_loop(0, nblocks, body, (init_d, init_i))
+
+    best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
+    return best_d, best_i
+
+
+def knn_l2sqr(xq, xb, k, **kw):
+    return knn(xq, xb, k, METRIC_L2, **kw)
+
+
+def knn_inner_product(xq, xb, k, **kw):
+    return knn(xq, xb, k, METRIC_INNER_PRODUCT, **kw)

@@ -1,0 +1,236 @@
+"""IVF inverted-list storage + scan — TPU counterpart of faiss
+`invlists/InvertedLists.h` + `IndexIVF::search_preassigned`
+(faiss/IndexIVF.cpp:399-723).
+
+The reference stores ragged per-list code/id vectors and scans them with
+per-thread `InvertedListScanner`s and heaps. The TPU layout instead packs
+every list into fixed-size blocks of ``block_size`` vectors (the same move
+as the GPU backend's interleaved-by-32 layout, gpu/impl/IVFInterleaved.cu):
+
+  data  (nblocks+1, B, d)   vectors, block-padded; last block is a shared
+  ids   (nblocks+1, B)      empty "dummy" block (ids = -1) that masked-out
+  norms (nblocks+1, B)      probes point at, so padding needs no branches.
+  list_block_start (nlist,) first block of each list
+  list_nblocks     (nlist,) number of blocks of each list
+
+Search gathers the probed blocks per query and evaluates distances with
+dense contractions + a running top-k merge — the role of `scan_codes` +
+heap push (faiss/IndexIVFFlat.cpp:155-179) without any pointer chasing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import distances as D
+from . import topk as T
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedInvLists:
+    """Block-padded inverted lists on device (see module docstring)."""
+
+    data: jnp.ndarray              # (nblocks+1, B, d) float32
+    ids: jnp.ndarray               # (nblocks+1, B) int32, -1 = padding
+    norms: jnp.ndarray             # (nblocks+1, B) float32 (||y||^2)
+    list_block_start: jnp.ndarray  # (nlist,) int32
+    list_nblocks: jnp.ndarray      # (nlist,) int32
+
+    def tree_flatten(self):
+        return (
+            (self.data, self.ids, self.norms, self.list_block_start,
+             self.list_nblocks),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def nlist(self) -> int:
+        return self.list_block_start.shape[0]
+
+    @property
+    def block_size(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def nblocks(self) -> int:
+        return self.data.shape[0] - 1  # excluding the dummy block
+
+    @property
+    def max_nblocks_per_list(self) -> int:
+        # static value: computed from host metadata at pack time
+        return int(self._max_nblocks)
+
+    _max_nblocks: int = 1
+
+    def tree_flatten_with_keys(self):  # pragma: no cover - aux for debugging
+        return self.tree_flatten()
+
+
+def pack_invlists(
+    x: np.ndarray,
+    xids: np.ndarray,
+    assign: np.ndarray,
+    nlist: int,
+    block_size: int = 128,
+) -> PackedInvLists:
+    """Build the packed layout on host from an assignment (counting sort by
+    list — the batch equivalent of `InvertedLists::add_entries`)."""
+    x = np.ascontiguousarray(x, np.float32)
+    n, d = x.shape
+    xids = np.asarray(xids, np.int32)
+    assign = np.asarray(assign, np.int64)
+    B = block_size
+
+    order = np.argsort(assign, kind="stable")
+    sizes = np.bincount(assign, minlength=nlist)
+    nblocks_per_list = -(-sizes // B)  # ceil; empty lists get 0 blocks
+    starts_blocks = np.zeros(nlist, np.int64)
+    np.cumsum(nblocks_per_list[:-1], out=starts_blocks[1:])
+    nb_total = int(nblocks_per_list.sum())
+
+    data = np.zeros((nb_total + 1, B, d), np.float32)
+    ids = np.full((nb_total + 1, B), -1, np.int32)
+
+    x_sorted = x[order]
+    ids_sorted = xids[order]
+    src_starts = np.zeros(nlist + 1, np.int64)
+    np.cumsum(sizes, out=src_starts[1:])
+    for l in range(nlist):
+        sz = sizes[l]
+        if sz == 0:
+            continue
+        rows = x_sorted[src_starts[l] : src_starts[l] + sz]
+        rid = ids_sorted[src_starts[l] : src_starts[l] + sz]
+        b0 = starts_blocks[l]
+        flat = data[b0 : b0 + nblocks_per_list[l]].reshape(-1, d)
+        flat[:sz] = rows
+        fid = ids[b0 : b0 + nblocks_per_list[l]].reshape(-1)
+        fid[:sz] = rid
+
+    norms = (data.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    # dummy block: already zero data / -1 ids; empty lists point at it
+    empty = nblocks_per_list == 0
+    starts_blocks[empty] = nb_total
+
+    pil = PackedInvLists(
+        data=jnp.asarray(data),
+        ids=jnp.asarray(ids),
+        norms=jnp.asarray(norms),
+        list_block_start=jnp.asarray(starts_blocks, dtype=jnp.int32),
+        list_nblocks=jnp.asarray(nblocks_per_list, dtype=jnp.int32),
+    )
+    pil._max_nblocks = max(int(nblocks_per_list.max(initial=0)), 1)
+    return pil
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "max_nblocks", "chunk_blocks", "qt"),
+)
+def scan_invlists(
+    xq: jnp.ndarray,
+    probes: jnp.ndarray,
+    invlists: PackedInvLists,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    max_nblocks: int,
+    chunk_blocks: int = 8,
+    qt: int = 256,
+):
+    """Scan probed lists: the batched `search_preassigned` phase 2.
+
+    Args:
+      xq: (nq, d) queries.
+      probes: (nq, nprobe) int32 list ids (the coarse quantizer's output).
+      max_nblocks: static cap on blocks per list (acts like `max_codes`,
+        faiss/IndexIVF.h:95 — longer lists are truncated at scan time).
+    Returns:
+      (D, I, ndis): (nq, k) best-first results and the total number of real
+      (non-padding) distance evaluations (IndexIVFStats.ndis analog).
+    """
+    nq, d = xq.shape
+    nprobe = probes.shape[1]
+    B = invlists.block_size
+    NB = invlists.nblocks  # dummy block index
+
+    xq = xq.astype(jnp.float32)
+    similarity = D.is_similarity_metric(metric)
+    bad = D.worst_value(metric)
+
+    # per (query, probe): block index ranges, truncated at max_nblocks
+    starts = invlists.list_block_start[probes]          # (nq, nprobe)
+    nblk = jnp.minimum(invlists.list_nblocks[probes], max_nblocks)
+    local = lax.broadcasted_iota(jnp.int32, (1, 1, max_nblocks), 2)
+    blk = starts[:, :, None] + local                     # (nq, nprobe, mnb)
+    blk = jnp.where(local < nblk[:, :, None], blk, NB)   # dummy when OOB
+    blk = blk.reshape(nq, nprobe * max_nblocks)
+
+    P = nprobe * max_nblocks
+    cb = min(chunk_blocks, P)
+    nchunks = -(-P // cb)
+    if nchunks * cb != P:
+        blk = jnp.pad(blk, ((0, 0), (0, nchunks * cb - P)),
+                      constant_values=NB)
+    qtile = min(qt, nq)
+    nqt = -(-nq // qtile)
+    qpad = nqt * qtile - nq
+    if qpad:
+        xq = jnp.pad(xq, ((0, qpad), (0, 0)))
+        blk = jnp.pad(blk, ((0, qpad), (0, 0)), constant_values=NB)
+    blk = blk.reshape(nqt, qtile, nchunks, cb)
+    xq_t = xq.reshape(nqt, qtile, d)
+    qn = D.l2_norms(xq, precision=lax.Precision.DEFAULT).reshape(nqt, qtile)
+
+    def scan_tile(args):
+        q, qnorm, qblk = args  # (qtile, d), (qtile,), (qtile, nchunks, cb)
+
+        def chunk_body(c, carry):
+            bd, bi, nd = carry
+            bids = qblk[:, c, :]                       # (qtile, cb)
+            vecs = invlists.data[bids]                 # (qtile, cb, B, d)
+            vids = invlists.ids[bids]                  # (qtile, cb, B)
+            vnorm = invlists.norms[bids]
+            ip = jnp.einsum(
+                "qd,qcbd->qcb", q, vecs,
+                precision=lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+            if similarity:
+                dis = ip
+            else:
+                dis = jnp.maximum(
+                    qnorm[:, None, None] + vnorm - 2.0 * ip, 0.0
+                )
+            valid = vids >= 0
+            dis = jnp.where(valid, dis, bad)
+            nd = nd + jnp.sum(valid.astype(jnp.int32))
+            dis = dis.reshape(qtile, cb * B)
+            vids = vids.reshape(qtile, cb * B)
+            nbd, nbi = T.merge_topk(bd, bi, dis, vids, k,
+                                    similarity=similarity)
+            return nbd, nbi, nd
+
+        init = (
+            jnp.full((qtile, k), bad, jnp.float32),
+            jnp.full((qtile, k), -1, jnp.int32),
+            jnp.int32(0),
+        )
+        return lax.fori_loop(0, nchunks, chunk_body, init)
+
+    bd, bi, nd = lax.map(scan_tile, (xq_t, qn, blk))
+    bd = bd.reshape(nqt * qtile, k)[:nq]
+    bi = bi.reshape(nqt * qtile, k)[:nq]
+    return bd, bi, jnp.sum(nd)

@@ -1,0 +1,203 @@
+"""On-chip Lloyd's k-means — TPU counterpart of faiss `Clustering`
+(faiss/Clustering.{h,cpp}).
+
+The reference's `Clustering::train_encoded` (Clustering.cpp:283-568) runs
+`niter` rounds of {assign via index.search, compute_centroids (OMP reduce),
+split_clusters}. Here assignment is the blocked MXU k-NN from
+`ops.distances.knn`, the centroid update is a segment-sum on device, and the
+empty-cluster fix follows Clustering.cpp:232 `split_clusters`: every empty
+cluster steals a large cluster's centroid with a symmetric ±epsilon
+perturbation. Sub-sampling of the training set follows
+`max_points_per_centroid` (ClusteringParameters defaults,
+faiss/Clustering.h:21-60).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import distances as D
+
+
+@dataclasses.dataclass
+class ClusteringParameters:
+    """Defaults mirror faiss/Clustering.h:21-60 (niter=25; IVF training uses
+    niter=10 per IndexIVF.cpp:55)."""
+
+    niter: int = 25
+    nredo: int = 1
+    verbose: bool = False
+    spherical: bool = False
+    int_centroids: bool = False
+    min_points_per_centroid: int = 39
+    max_points_per_centroid: int = 256
+    seed: int = 1234
+
+
+@dataclasses.dataclass
+class ClusteringIterationStats:
+    """Per-iteration stats (faiss/Clustering.h:62-68)."""
+
+    obj: float
+    imbalance_factor: float
+    nsplit: int
+
+
+def imbalance_factor(counts: np.ndarray) -> float:
+    """Faiss utils::imbalance_factor: n * sum(c^2) / (sum c)^2."""
+    counts = np.asarray(counts, np.float64)
+    tot = counts.sum()
+    if tot == 0:
+        return 0.0
+    return float(len(counts) * (counts**2).sum() / (tot * tot))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "spherical"))
+def _kmeans_iter(x, centroids, key, k: int, metric: int, spherical: bool):
+    """One Lloyd iteration: assign, segment-sum update, split empties.
+
+    Returns (new_centroids, assign, obj, nsplit)."""
+    n, d = x.shape
+    dis, assign = D.knn(x, centroids, 1, metric,
+                        precision=lax.Precision.DEFAULT)
+    assign = assign[:, 0]
+    obj = jnp.sum(dis[:, 0])
+
+    sums = jnp.zeros((k, d), jnp.float32).at[assign].add(x)
+    counts = jnp.zeros((k,), jnp.float32).at[assign].add(1.0)
+    new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+
+    # split_clusters (Clustering.cpp:232): empty cluster <- biggest cluster's
+    # centroid +- epsilon. Deterministic ranking stands in for the
+    # probabilistic choice; epsilon = 1/1024 relative symmetric perturbation.
+    empty = counts == 0
+    nsplit = jnp.sum(empty.astype(jnp.int32))
+    order = jnp.argsort(-counts)  # big clusters first
+    rank_among_empty = jnp.cumsum(empty.astype(jnp.int32)) - 1
+    donor = order[jnp.clip(rank_among_empty, 0, k - 1) % k]
+    eps = 1.0 / 1024.0
+    sign = jax.random.rademacher(key, (k, d), jnp.float32)
+    donated = new_c[donor] * (1.0 + eps * sign)
+    new_c = jnp.where(empty[:, None], donated, new_c)
+
+    if spherical:
+        norms = jnp.linalg.norm(new_c, axis=1, keepdims=True)
+        new_c = new_c / jnp.maximum(norms, 1e-12)
+    return new_c, assign, obj, nsplit
+
+
+def subsample_training_set(
+    x: np.ndarray, k: int, max_ppc: int, seed: int, verbose: bool = False
+) -> np.ndarray:
+    """Clustering.cpp:330 — cap training points at k * max_points_per_centroid
+    with a seeded random permutation."""
+    n = len(x)
+    cap = k * max_ppc
+    if n <= cap:
+        return x
+    rs = np.random.RandomState(seed)
+    perm = rs.choice(n, size=cap, replace=False)
+    return x[perm]
+
+
+def kmeans(
+    x,
+    k: int,
+    params: Optional[ClusteringParameters] = None,
+    metric: int = D.METRIC_L2,
+    init_centroids: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, list]:
+    """Train k-means; returns (centroids (k, d) float32, iteration_stats).
+
+    Equivalent of faiss `kmeans_clustering()` + `Clustering::train`. nredo
+    restarts keep the run with the best final objective
+    (Clustering.cpp train loop)."""
+    cp = params or ClusteringParameters()
+    x = np.ascontiguousarray(x, np.float32)
+    n, d = x.shape
+    if n < k:
+        raise ValueError(f"nx={n} < k={k}: not enough training points")
+    xt = subsample_training_set(x, k, cp.max_points_per_centroid, cp.seed,
+                                cp.verbose)
+    if cp.verbose and len(xt) < len(x):
+        print(f"kmeans: subsampled {len(x)} -> {len(xt)} points")
+    if len(xt) < k * cp.min_points_per_centroid and cp.verbose:
+        print(f"WARNING kmeans: only {len(xt)} points for {k} centroids")
+
+    xt_dev = jnp.asarray(xt)
+    best = None
+    for redo in range(max(cp.nredo, 1)):
+        rs = np.random.RandomState(cp.seed + redo)
+        if init_centroids is not None and redo == 0:
+            cent = jnp.asarray(init_centroids, dtype=jnp.float32)
+            assert cent.shape == (k, d)
+        else:
+            perm = rs.choice(len(xt), size=k, replace=False)
+            cent = xt_dev[jnp.asarray(perm)]
+        if cp.spherical:
+            cent = cent / jnp.maximum(
+                jnp.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+            )
+        key = jax.random.PRNGKey(cp.seed + 31 * redo)
+        stats = []
+        obj = np.inf
+        for it in range(cp.niter):
+            key, sub = jax.random.split(key)
+            cent, assign, obj_j, nsplit = _kmeans_iter(
+                xt_dev, cent, sub, k, metric, cp.spherical
+            )
+            counts = np.bincount(np.asarray(assign), minlength=k)
+            obj = float(obj_j)
+            st = ClusteringIterationStats(
+                obj=obj,
+                imbalance_factor=imbalance_factor(counts),
+                nsplit=int(nsplit),
+            )
+            stats.append(st)
+            if cp.verbose:
+                print(
+                    f"  iter {it}: obj={st.obj:.4g} "
+                    f"imbalance={st.imbalance_factor:.3f} nsplit={st.nsplit}"
+                )
+        if best is None or obj < best[0]:
+            best = (obj, np.asarray(cent), stats)
+    return best[1], best[2]
+
+
+class Kmeans:
+    """Object wrapper matching faiss.Kmeans (python/extra_wrappers.py:443)."""
+
+    def __init__(self, d: int, k: int, **kwargs):
+        self.d, self.k = d, k
+        gpu = kwargs.pop("gpu", None)  # accepted for API parity, ignored
+        del gpu
+        metric = kwargs.pop("metric", D.METRIC_L2)
+        self.metric = metric
+        self.cp = ClusteringParameters(
+            **{f.name: kwargs.pop(f.name) for f in
+               dataclasses.fields(ClusteringParameters) if f.name in kwargs}
+        )
+        if kwargs:
+            raise TypeError(f"unknown Kmeans args: {sorted(kwargs)}")
+        self.centroids: Optional[np.ndarray] = None
+        self.obj: Optional[np.ndarray] = None
+        self.iteration_stats: list = []
+
+    def train(self, x, init_centroids=None) -> float:
+        self.centroids, self.iteration_stats = kmeans(
+            x, self.k, self.cp, self.metric, init_centroids=init_centroids
+        )
+        self.obj = np.array([s.obj for s in self.iteration_stats])
+        return float(self.obj[-1]) if len(self.obj) else 0.0
+
+    def assign(self, x):
+        dis, ids = D.knn(jnp.asarray(np.ascontiguousarray(x, np.float32)),
+                         jnp.asarray(self.centroids), 1, self.metric)
+        return np.asarray(dis)[:, 0], np.asarray(ids)[:, 0]

@@ -1,0 +1,9 @@
+"""Mesh sharding / replication / distributed search (L6 equivalent)."""
+
+from .sharded import (  # noqa: F401
+    make_mesh,
+    shard_rows,
+    sharded_ivf_scan,
+    sharded_kmeans_iter,
+    sharded_knn,
+)

@@ -1,0 +1,225 @@
+"""Mesh-sharded search and clustering — the TPU-native replacement for the
+reference's entire distribution stack.
+
+The reference distributes three ways (SURVEY.md §2.7): `IndexShards{,IVF}`
+(one thread per sub-index + heap merge, impl/ThreadedIndex-inl.h),
+`IndexReplicas` (round-robin queries), and pickle-over-TCP RPC with a
+client-side `ResultHeap` merge (contrib/client_server.py:49-91,
+contrib/rpc.py). Distributed k-means runs assignment on worker slices and
+updates centroids on the client (benchs/distributed_ondisk/
+distributed_kmeans.py, contrib/clustering.py:130-180).
+
+Here all of that is a `jax.sharding.Mesh` with two axes:
+
+  shard    — database rows / invlist blocks partitioned across devices
+             (the ClientIndex/IndexShards axis)
+  replica  — query batch split across identical copies (IndexReplicas axis)
+
+and the merges are in-graph XLA collectives riding ICI: per-device local
+top-k, `all_gather` of the (k)-sized partials, one final k-select — instead
+of pickled numpy over TCP. Distributed k-means is a `psum` of per-centroid
+(sum, count) partials.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_map(f, *, mesh, in_specs, out_specs):
+    # check_vma=False: outputs are made replicated by explicit all_gathers /
+    # psums, which the static replication checker cannot always see through
+    # nested jitted calls.
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+from ..ops import distances as D
+from ..ops import topk as T
+
+
+def make_mesh(n_shards: int, n_replicas: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    """Build a (replica, shard) device mesh."""
+    devices = devices if devices is not None else jax.devices()
+    need = n_shards * n_replicas
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    dev = np.asarray(devices[:need]).reshape(n_replicas, n_shards)
+    return Mesh(dev, axis_names=("replica", "shard"))
+
+
+def shard_rows(x: np.ndarray, n_shards: int) -> np.ndarray:
+    """Pad rows to a multiple of n_shards (rows of 0) so the array can be
+    evenly row-sharded. Returns (padded_array, valid_n)."""
+    n = x.shape[0]
+    pad = (-n) % n_shards
+    if pad:
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "mesh")
+)
+def sharded_knn(
+    xq: jnp.ndarray,
+    xb: jnp.ndarray,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    mesh: Mesh,
+    valid_n: Optional[jnp.ndarray] = None,
+):
+    """Exact k-NN with the database row-sharded over the `shard` mesh axis
+    and queries batch-split over `replica`.
+
+    = IndexShards (data parallel over the database) composed with
+    IndexReplicas (throughput parallel over queries), with the RPC client's
+    ResultHeap merge replaced by all_gather + k-select on ICI.
+
+    xb must be evenly divisible by the shard axis size (see shard_rows);
+    `valid_n` masks global padding rows. Results are replicated.
+    """
+    n_shards = mesh.shape["shard"]
+    shard_size = xb.shape[0] // n_shards
+    if valid_n is None:
+        valid_n = jnp.int32(xb.shape[0])
+
+    def local(xq_l, xb_l):
+        # global ids for this shard's rows
+        base = lax.axis_index("shard") * shard_size
+        # local valid count: rows with global id < valid_n
+        local_valid = jnp.clip(valid_n - base, 0, shard_size)
+        d_l, i_l = D.knn(xq_l, xb_l, k, metric, valid_n=local_valid)
+        i_l = jnp.where(i_l >= 0, i_l + base, -1)
+        # merge across shards: gather all partials, k-select
+        dg = lax.all_gather(d_l, "shard")   # (nshard, nq_l, k)
+        ig = lax.all_gather(i_l, "shard")
+        d_m, i_m = T.merge_topk_axis(dg, ig, k,
+                                     similarity=D.is_similarity_metric(metric))
+        # queries were split over replica; gather them back
+        d_all = lax.all_gather(d_m, "replica", axis=0, tiled=True)
+        i_all = lax.all_gather(i_m, "replica", axis=0, tiled=True)
+        return d_all, i_all
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("replica", None), P("shard", None)),
+        out_specs=(P(None, None), P(None, None)),
+    )
+    return fn(xq, xb)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "mesh"))
+def sharded_kmeans_iter(
+    x: jnp.ndarray,
+    centroids: jnp.ndarray,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    mesh: Mesh,
+):
+    """One distributed Lloyd iteration: x row-sharded, centroids replicated.
+
+    = distributed_kmeans.py's server-assign / client-update loop
+    (benchs/distributed_ondisk/distributed_kmeans.py) collapsed into one
+    psum of per-centroid (sum, count) partials over the mesh.
+
+    Returns (new_centroids, obj) both replicated. Empty clusters keep their
+    previous centroid (the host-side `kmeans` driver handles splitting).
+    """
+    d = x.shape[1]
+
+    def local(x_l, cent):
+        dis, assign = D.knn(x_l, cent, 1, metric,
+                            precision=lax.Precision.DEFAULT)
+        assign = assign[:, 0]
+        sums = jnp.zeros((k, d), jnp.float32).at[assign].add(x_l)
+        counts = jnp.zeros((k,), jnp.float32).at[assign].add(1.0)
+        obj = jnp.sum(dis[:, 0])
+        sums = lax.psum(sums, ("shard", "replica"))
+        counts = lax.psum(counts, ("shard", "replica"))
+        obj = lax.psum(obj, ("shard", "replica"))
+        new_c = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], cent
+        )
+        return new_c, counts, obj
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(("replica", "shard"), None), P(None, None)),
+        out_specs=(P(None, None), P(None), P()),
+    )
+    return fn(x, centroids)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "max_nblocks", "mesh"),
+)
+def sharded_ivf_scan(
+    xq: jnp.ndarray,
+    probes: jnp.ndarray,
+    data: jnp.ndarray,
+    ids: jnp.ndarray,
+    norms: jnp.ndarray,
+    list_block_start: jnp.ndarray,
+    list_nblocks: jnp.ndarray,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    max_nblocks: int,
+    mesh: Mesh,
+):
+    """Sharded IVF list scan: each device holds its own packed invlists
+    (stacked on a leading `shard` axis) covering a row-partition of the
+    database, sharing the (replicated) coarse quantizer — the exact design
+    of IndexShardsIVF (faiss/IndexShardsIVF.cpp: common quantizer, disjoint
+    invlists) and of the distributed on-disk pipeline.
+
+    Args (leading axis = shard):
+      data (S, nblocks+1, B, d), ids (S, nblocks+1, B), norms alike,
+      list_block_start/list_nblocks (S, nlist).
+      xq (nq, d) replicated; probes (nq, nprobe) replicated.
+    Returns replicated (D, I) with global ids taken from `ids`.
+    """
+    from ..ops.ivf_scan import PackedInvLists, scan_invlists
+
+    similarity = D.is_similarity_metric(metric)
+
+    def local(xq_r, probes_r, data_l, ids_l, norms_l, lbs_l, lnb_l):
+        pil = PackedInvLists(
+            data=data_l[0], ids=ids_l[0], norms=norms_l[0],
+            list_block_start=lbs_l[0], list_nblocks=lnb_l[0],
+        )
+        d_l, i_l, _ = scan_invlists(
+            xq_r, probes_r, pil, k, metric, max_nblocks=max_nblocks
+        )
+        dg = lax.all_gather(d_l, "shard")
+        ig = lax.all_gather(i_l, "shard")
+        d_m, i_m = T.merge_topk_axis(dg, ig, k, similarity=similarity)
+        d_all = lax.all_gather(d_m, "replica", axis=0, tiled=True)
+        i_all = lax.all_gather(i_m, "replica", axis=0, tiled=True)
+        return d_all, i_all
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("replica", None), P("replica", None),
+            P("shard", None, None, None), P("shard", None, None),
+            P("shard", None, None), P("shard", None), P("shard", None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+    )
+    return fn(xq, probes, data, ids, norms, list_block_start, list_nblocks)

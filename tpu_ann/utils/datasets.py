@@ -1,0 +1,162 @@
+"""Dataset zoo — counterpart of faiss `contrib/datasets.py` and the fork's
+fbin readers (tutorial/python/191-hnsw-ivf-qps.py:25-58).
+
+`SyntheticDataset` reproduces the reference's deterministic test fixture
+(contrib/datasets.py:74): gaussian-mixture data with train / database /
+query splits and exact ground truth, so recall-threshold tests behave like
+the reference's (tests/common_faiss_tests.py Randu10k)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+class Dataset:
+    """Base dataset: d, metric, nt/nb/nq sizes, lazily computed ground truth."""
+
+    def __init__(self, d: int, nt: int, nb: int, nq: int, metric: str = "L2"):
+        self.d, self.nt, self.nb, self.nq = d, nt, nb, nq
+        self.metric = metric
+
+    def get_train(self, maxtrain: Optional[int] = None) -> np.ndarray:
+        raise NotImplementedError
+
+    def get_database(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def get_queries(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def get_groundtruth(self, k: int = 100) -> np.ndarray:
+        raise NotImplementedError
+
+
+class SyntheticDataset(Dataset):
+    """Deterministic synthetic dataset (contrib/datasets.py:74 equivalent).
+
+    Data is a d2-dim gaussian mixture rotated into d dims, which gives IVF
+    clustering structure similar to real descriptor data. Ground truth is
+    computed exactly on device via the Flat index."""
+
+    def __init__(self, d, nt, nb, nq, metric: str = "L2", seed: int = 1234):
+        super().__init__(d, nt, nb, nq, metric)
+        rs = np.random.RandomState(seed)
+        d1 = 10  # intrinsic dim of the mixture centers
+        n = nb + nt + nq
+        x = rs.normal(size=(n, d1))
+        x = np.dot(x, rs.rand(d1, d))
+        x = x * (rs.rand(d) * 4 + 0.1)
+        x = np.sin(x)  # bounded, non-gaussian — mirrors contrib version
+        x = x.astype(np.float32)
+        self.xt = x[:nt]
+        self.xb = x[nt : nt + nb]
+        self.xq = x[nt + nb :]
+        self._gt: Optional[np.ndarray] = None
+        self._gt_k = 0
+
+    def get_train(self, maxtrain=None):
+        return self.xt if maxtrain is None else self.xt[:maxtrain]
+
+    def get_database(self):
+        return self.xb
+
+    def get_queries(self):
+        return self.xq
+
+    def get_groundtruth(self, k: int = 100) -> np.ndarray:
+        if self._gt is None or self._gt_k < k:
+            from ..models.flat import IndexFlat
+            from ..ops.distances import METRIC_INNER_PRODUCT, METRIC_L2
+
+            metric = METRIC_L2 if self.metric == "L2" else METRIC_INNER_PRODUCT
+            idx = IndexFlat(self.d, metric)
+            idx.add(self.xb)
+            _, I = idx.search(self.xq, k)
+            self._gt, self._gt_k = I, k
+        return self._gt[:, :k]
+
+
+# ---------------------------------------------------------------------------
+# File formats: fvecs/ivecs/bvecs (contrib/vecs_io.py) and the fork's fbin
+# ([nvecs:i32][dim:i32][data]) used by every 19x harness.
+# ---------------------------------------------------------------------------
+
+def ivecs_read(fname: str) -> np.ndarray:
+    a = np.fromfile(fname, dtype=np.int32)
+    d = a[0]
+    return a.reshape(-1, d + 1)[:, 1:].copy()
+
+
+def fvecs_read(fname: str) -> np.ndarray:
+    return ivecs_read(fname).view(np.float32)
+
+
+def ivecs_write(fname: str, m: np.ndarray) -> None:
+    m = np.ascontiguousarray(m, dtype=np.int32)
+    n, d = m.shape
+    out = np.empty((n, d + 1), dtype=np.int32)
+    out[:, 0] = d
+    out[:, 1:] = m
+    out.tofile(fname)
+
+
+def fvecs_write(fname: str, m: np.ndarray) -> None:
+    ivecs_write(fname, np.ascontiguousarray(m, dtype=np.float32).view(np.int32))
+
+
+def read_fbin(fname: str, start_idx: int = 0, chunk_size: Optional[int] = None
+              ) -> np.ndarray:
+    """Read .fbin: [nvecs:int32][dim:int32][float32 data] (fork format,
+    tutorial/python/191-hnsw-ivf-qps.py:25-43)."""
+    with open(fname, "rb") as f:
+        nvecs, dim = np.fromfile(f, count=2, dtype=np.int32)
+        nvecs = int(nvecs) - start_idx
+        if chunk_size is not None:
+            nvecs = min(nvecs, chunk_size)
+        f.seek(4 + 4 + start_idx * 4 * int(dim))
+        arr = np.fromfile(f, count=nvecs * int(dim), dtype=np.float32)
+    return arr.reshape(nvecs, int(dim))
+
+
+def write_fbin(fname: str, m: np.ndarray) -> None:
+    m = np.ascontiguousarray(m, dtype=np.float32)
+    with open(fname, "wb") as f:
+        np.asarray(m.shape, dtype=np.int32).tofile(f)
+        m.tofile(f)
+
+
+def read_ibin(fname: str) -> np.ndarray:
+    with open(fname, "rb") as f:
+        nvecs, dim = np.fromfile(f, count=2, dtype=np.int32)
+        arr = np.fromfile(f, count=int(nvecs) * int(dim), dtype=np.int32)
+    return arr.reshape(int(nvecs), int(dim))
+
+
+def load_sift1m(root: str) -> Dataset:
+    """SIFT1M from fvecs files if present (DatasetSIFT1M equivalent,
+    contrib/datasets.py). Raises FileNotFoundError if files are absent."""
+
+    class _SIFT(Dataset):
+        def __init__(self):
+            self.root = root
+            xq = fvecs_read(os.path.join(root, "sift_query.fvecs"))
+            super().__init__(xq.shape[1], 100000, 1000000, xq.shape[0])
+            self.xq = xq
+
+        def get_train(self, maxtrain=None):
+            xt = fvecs_read(os.path.join(self.root, "sift_learn.fvecs"))
+            return xt if maxtrain is None else xt[:maxtrain]
+
+        def get_database(self):
+            return fvecs_read(os.path.join(self.root, "sift_base.fvecs"))
+
+        def get_queries(self):
+            return self.xq
+
+        def get_groundtruth(self, k=100):
+            return ivecs_read(os.path.join(self.root, "sift_groundtruth.ivecs"))[:, :k]
+
+    return _SIFT()
