@@ -17,5 +17,14 @@ from .ops.distances import (  # noqa: F401
 )
 from .models.base import Index, SearchStats  # noqa: F401
 from .models.flat import IndexFlat, IndexFlatIP, IndexFlatL2  # noqa: F401
+from .models.hnsw import IndexHNSW, IndexHNSWFlat, SearchParametersHNSW  # noqa: F401
+from .models.ivf import (  # noqa: F401
+    IndexIVF,
+    IndexIVFFlat,
+    SearchParametersIVF,
+    make_ivf_flat,
+)
+from .models.ivf_hnsw import IndexIVFHNSW  # noqa: F401
+from .utils.index_io import read_index, write_index  # noqa: F401
 
 __version__ = "0.1.0"

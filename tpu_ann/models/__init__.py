@@ -2,3 +2,11 @@
 
 from .base import Index, SearchStats  # noqa: F401
 from .flat import IndexFlat, IndexFlatIP, IndexFlatL2  # noqa: F401
+from .hnsw import IndexHNSW, IndexHNSWFlat, SearchParametersHNSW  # noqa: F401
+from .ivf import (  # noqa: F401
+    IndexIVF,
+    IndexIVFFlat,
+    SearchParametersIVF,
+    make_ivf_flat,
+)
+from .ivf_hnsw import IndexIVFHNSW  # noqa: F401

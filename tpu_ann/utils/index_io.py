@@ -1,0 +1,303 @@
+"""Index (de)serialization — counterpart of faiss `impl/index_write.cpp` /
+`impl/index_read.cpp` / `index_io.h`.
+
+The reference uses a fourcc-tagged binary stream with an mmap load path
+(`IO_FLAG_MMAP` reads list sizes only and maps the codes region,
+impl/index_read.cpp:185-230). Same idea here: one file =
+
+    magic "TANN0001" | u64 header_len | JSON header | aligned raw blobs
+
+The JSON header carries the index type, scalar metadata, and an array
+table (dtype/shape/offset). `read_index(path, mmap=True)` maps every
+array with np.memmap instead of reading it — the fork's
+bigger-than-RAM search workflow (tutorial/python/190-…test.py:1404-1427);
+arrays are then uploaded to HBM lazily as the index touches them.
+
+Every index type registers (state_dict -> meta+arrays, from_state).
+Nested indexes (IVF's coarse quantizer) nest under a name prefix the way
+the reference recursively writes the quantizer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+MAGIC = b"TANN0001"
+ALIGN = 64
+
+
+# ---------------------------------------------------------------------------
+# container
+# ---------------------------------------------------------------------------
+
+def _write_container(path: str, meta: Dict[str, Any],
+                     arrays: Dict[str, np.ndarray]) -> None:
+    table = {}
+    offset = 0
+    blobs = []
+    for name, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        pad = (-offset) % ALIGN
+        offset += pad
+        table[name] = {
+            "dtype": arr.dtype.str,
+            "shape": list(arr.shape),
+            "offset": offset,
+        }
+        blobs.append((pad, arr))
+        offset += arr.nbytes
+    header = json.dumps({"meta": meta, "arrays": table}).encode()
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(np.uint64(len(header)).tobytes())
+        f.write(header)
+        base = f.tell()
+        pad0 = (-base) % ALIGN
+        f.write(b"\0" * pad0)
+        for pad, arr in blobs:
+            f.write(b"\0" * pad)
+            f.write(arr.tobytes())
+
+
+def _read_container(path: str, mmap: bool = False
+                    ) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
+    with open(path, "rb") as f:
+        if f.read(8) != MAGIC:
+            raise ValueError(f"{path}: not a tpu_ann index file")
+        (hlen,) = np.frombuffer(f.read(8), np.uint64)
+        header = json.loads(f.read(int(hlen)).decode())
+        base = f.tell()
+        base += (-base) % ALIGN
+        arrays = {}
+        for name, spec in header["arrays"].items():
+            dtype = np.dtype(spec["dtype"])
+            shape = tuple(spec["shape"])
+            off = base + spec["offset"]
+            if mmap:
+                arrays[name] = np.memmap(path, dtype=dtype, mode="r",
+                                         offset=off, shape=shape)
+            else:
+                f.seek(off)
+                count = int(np.prod(shape)) if shape else 1
+                arrays[name] = np.fromfile(
+                    f, dtype=dtype, count=count).reshape(shape)
+    return header["meta"], arrays
+
+
+# ---------------------------------------------------------------------------
+# per-type (de)serializers. fourcc-style type tags.
+# ---------------------------------------------------------------------------
+
+def _flatten(prefix: str, meta: dict, arrays: dict, out_m: dict, out_a: dict):
+    out_m[prefix] = meta
+    for k, v in arrays.items():
+        out_a[f"{prefix}/{k}"] = v
+
+
+def _sub(prefix: str, meta: dict, arrays: dict):
+    m = meta[prefix]
+    a = {k[len(prefix) + 1:]: v for k, v in arrays.items()
+         if k.startswith(prefix + "/")}
+    return m, a
+
+
+def _dump_flat(index) -> Tuple[dict, dict]:
+    return (
+        {"tag": "IxFl", "d": index.d, "metric": index.metric_type,
+         "ntotal": index.ntotal},
+        {"xb": np.asarray(index.vectors)},
+    )
+
+
+def _load_flat(meta, arrays):
+    from ..models.flat import IndexFlat
+
+    idx = IndexFlat(int(meta["d"]), int(meta["metric"]))
+    if meta["ntotal"]:
+        idx.add(np.asarray(arrays["xb"]))
+    return idx
+
+
+def _dump_hnsw(index) -> Tuple[dict, dict]:
+    g = index.graph
+    meta = {
+        "tag": "IHNf", "d": index.d, "metric": index.metric_type,
+        "ntotal": index.ntotal, "M": index.hnsw.M,
+        "efConstruction": index.hnsw.efConstruction,
+        "efSearch": index.hnsw.efSearch,
+        "has_graph": g is not None,
+    }
+    arrays = {"xb": np.asarray(index.storage.vectors)}
+    if g is not None:
+        meta["max_level"] = g.max_level
+        meta["entry"] = int(np.asarray(g.entry))
+        arrays.update(
+            neighbors0=np.asarray(g.neighbors0),
+            upper_ids=np.asarray(g.upper_ids),
+            upper_neighbors=np.asarray(g.upper_neighbors),
+            levels=np.asarray(g.levels),
+        )
+    return meta, arrays
+
+
+def _load_hnsw(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.hnsw import IndexHNSWFlat
+    from ..ops.hnsw import HNSWGraph
+
+    idx = IndexHNSWFlat(int(meta["d"]), int(meta["M"]), int(meta["metric"]))
+    idx.hnsw.efConstruction = int(meta["efConstruction"])
+    idx.hnsw.efSearch = int(meta["efSearch"])
+    if meta["ntotal"]:
+        # restore storage without triggering a rebuild
+        idx.storage.add(np.asarray(arrays["xb"]))
+        idx.ntotal = idx.storage.ntotal
+    if meta.get("has_graph"):
+        idx.graph = HNSWGraph(
+            neighbors0=jnp.asarray(np.asarray(arrays["neighbors0"])),
+            upper_ids=jnp.asarray(np.asarray(arrays["upper_ids"])),
+            upper_neighbors=jnp.asarray(np.asarray(arrays["upper_neighbors"])),
+            levels=jnp.asarray(np.asarray(arrays["levels"])),
+            entry=jnp.int32(meta["entry"]),
+            max_level=int(meta["max_level"]),
+        )
+        idx._built_n = idx.ntotal
+    return idx
+
+
+def _dump_ivf_common(index) -> Tuple[dict, dict]:
+    meta = {
+        "d": index.d, "metric": index.metric_type, "ntotal": index.ntotal,
+        "nlist": index.nlist, "nprobe": index.nprobe,
+        "block_size": index.block_size,
+        "has_invlists": index.invlists is not None,
+    }
+    arrays = {}
+    qm, qa = dump_index(index.quantizer)
+    _flatten("quantizer", qm, qa, meta, arrays)
+    if index.invlists is not None:
+        il = index.invlists
+        meta["max_nblocks"] = il.max_nblocks_per_list
+        arrays.update({
+            "il_data": np.asarray(il.data),
+            "il_ids": np.asarray(il.ids),
+            "il_norms": np.asarray(il.norms),
+            "il_start": np.asarray(il.list_block_start),
+            "il_nblocks": np.asarray(il.list_nblocks),
+        })
+    if index._xb_host:
+        arrays["xb_host"] = np.concatenate(index._xb_host, axis=0)
+        arrays["ids_host"] = np.concatenate(index._ids_host, axis=0)
+    return meta, arrays
+
+
+def _restore_ivf_common(idx, meta, arrays):
+    import jax.numpy as jnp
+
+    from ..ops.ivf_scan import PackedInvLists
+
+    qm, qa = _sub("quantizer", meta, arrays)
+    idx.quantizer = load_index(qm, qa)
+    idx.nprobe = int(meta["nprobe"])
+    idx.ntotal = int(meta["ntotal"])
+    idx.is_trained = True
+    if meta.get("has_invlists"):
+        pil = PackedInvLists(
+            data=jnp.asarray(np.asarray(arrays["il_data"])),
+            ids=jnp.asarray(np.asarray(arrays["il_ids"])),
+            norms=jnp.asarray(np.asarray(arrays["il_norms"])),
+            list_block_start=jnp.asarray(np.asarray(arrays["il_start"])),
+            list_nblocks=jnp.asarray(np.asarray(arrays["il_nblocks"])),
+        )
+        pil._max_nblocks = int(meta["max_nblocks"])
+        idx.invlists = pil
+    if "xb_host" in arrays:
+        idx._xb_host = [np.asarray(arrays["xb_host"])]
+        idx._ids_host = [np.asarray(arrays["ids_host"])]
+    return idx
+
+
+def _dump_ivfflat(index):
+    meta, arrays = _dump_ivf_common(index)
+    meta["tag"] = "IwFl"
+    return meta, arrays
+
+
+def _load_ivfflat(meta, arrays):
+    from ..models.flat import IndexFlat
+    from ..models.ivf import IndexIVFFlat
+
+    idx = IndexIVFFlat(IndexFlat(int(meta["d"]), int(meta["metric"])),
+                       int(meta["d"]), int(meta["nlist"]),
+                       int(meta["metric"]), int(meta["block_size"]))
+    return _restore_ivf_common(idx, meta, arrays)
+
+
+def _dump_ivfhnsw(index):
+    meta, arrays = _dump_ivf_common(index)
+    meta["tag"] = "IwHn"
+    meta["add_chunk_size"] = index.add_chunk_size
+    return meta, arrays
+
+
+def _load_ivfhnsw(meta, arrays):
+    from ..models.ivf_hnsw import IndexIVFHNSW
+
+    idx = IndexIVFHNSW(int(meta["d"]), int(meta["nlist"]),
+                       int(meta["metric"]), block_size=int(meta["block_size"]))
+    idx.add_chunk_size = int(meta.get("add_chunk_size", 100000))
+    return _restore_ivf_common(idx, meta, arrays)
+
+
+_DUMPERS = {}
+_LOADERS = {}
+
+
+def _register(cls_name: str, tag: str, dump, load):
+    _DUMPERS[cls_name] = dump
+    _LOADERS[tag] = load
+
+
+_register("IndexFlat", "IxFl", _dump_flat, _load_flat)
+_register("IndexFlatL2", "IxFl", _dump_flat, _load_flat)
+_register("IndexFlatIP", "IxFl", _dump_flat, _load_flat)
+_register("IndexHNSW", "IHNf", _dump_hnsw, _load_hnsw)
+_register("IndexHNSWFlat", "IHNf", _dump_hnsw, _load_hnsw)
+_register("IndexIVF", "IwFl", _dump_ivfflat, _load_ivfflat)
+_register("IndexIVFFlat", "IwFl", _dump_ivfflat, _load_ivfflat)
+_register("IndexIVFHNSW", "IwHn", _dump_ivfhnsw, _load_ivfhnsw)
+
+
+def dump_index(index) -> Tuple[dict, dict]:
+    name = type(index).__name__
+    if name not in _DUMPERS:
+        raise TypeError(f"don't know how to serialize {name}")
+    return _DUMPERS[name](index)
+
+
+def load_index(meta: dict, arrays: dict):
+    tag = meta["tag"]
+    if tag not in _LOADERS:
+        raise ValueError(f"unknown index tag {tag!r}")
+    return _LOADERS[tag](meta, arrays)
+
+
+# ---------------------------------------------------------------------------
+# public API (index_io.h:39-70)
+# ---------------------------------------------------------------------------
+
+def write_index(index, path: str) -> None:
+    meta, arrays = dump_index(index)
+    _write_container(path, meta, arrays)
+
+
+def read_index(path: str, mmap: bool = False):
+    """Load an index. mmap=True maps array blobs (IO_FLAG_MMAP analog) —
+    host RAM stays proportional to touched pages, device upload unchanged."""
+    meta, arrays = _read_container(path, mmap=mmap)
+    return load_index(meta, arrays)
