@@ -1,0 +1,193 @@
+"""PQ / SQ codec + IVF-coded + refine + transform tests — the reference's
+test_index_accuracy.py / test_fast_scan equivalence style: codecs must
+beat a recall floor and round-trip their codes."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_ann.models.flat import IndexFlat
+from tpu_ann.models.ivf_pq import (
+    IndexIVFPQ,
+    IndexIVFScalarQuantizer,
+    make_ivf_pq,
+)
+from tpu_ann.models.pq import IndexPQ, IndexScalarQuantizer
+from tpu_ann.models.refine import IndexRefineFlat
+from tpu_ann.models.transforms import (
+    IndexPreTransform,
+    OPQMatrix,
+    PCAMatrix,
+    RandomRotationMatrix,
+)
+from tpu_ann.ops import pq as PQ
+from tpu_ann.ops import sq as SQ
+from tpu_ann.utils.evaluation import recall_at_r
+
+
+# --- ops-level ------------------------------------------------------------
+
+def test_pq_roundtrip_reduces_error(small_ds):
+    xt = small_ds.get_train()
+    codec = PQ.train_pq(xt, M=4, nbits=8, niter=8)
+    cent = jnp.asarray(codec.centroids)
+    codes = PQ.pq_encode(jnp.asarray(xt[:500]), cent)
+    recon = np.asarray(PQ.pq_decode(codes, cent))
+    mse = ((recon - xt[:500]) ** 2).mean()
+    var = xt[:500].var()
+    assert mse < 0.35 * var, f"PQ mse {mse} vs var {var}"
+
+
+def test_pq_adc_matches_decoded(small_ds):
+    """ADC table distance == exact distance to the reconstruction."""
+    xt = small_ds.get_train()
+    codec = PQ.train_pq(xt, M=4, nbits=8, niter=6)
+    cent = jnp.asarray(codec.centroids)
+    xq = small_ds.get_queries()[:10]
+    codes = PQ.pq_encode(jnp.asarray(xt[:64]), cent)
+    lut = PQ.query_tables(jnp.asarray(xq), cent)
+    adc = np.asarray(PQ.adc_scan(
+        lut, jnp.broadcast_to(codes[None], (10, 64, 4))))
+    recon = np.asarray(PQ.pq_decode(codes, cent))
+    exact = ((xq[:, None, :] - recon[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(adc, exact, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("qtype", [SQ.QT_8BIT, SQ.QT_8BIT_UNIFORM,
+                                   SQ.QT_FP16, SQ.QT_BF16])
+def test_sq_roundtrip(qtype, small_ds):
+    xt = small_ds.get_train()[:500]
+    codec = SQ.train_sq(xt, qtype)
+    codes = SQ.sq_encode(jnp.asarray(xt), codec)
+    recon = np.asarray(SQ.sq_decode(codes, codec))
+    err = np.abs(recon - xt).max()
+    scale = np.abs(xt).max()
+    assert err < 0.02 * scale + 1e-2, f"qtype {qtype} err {err}"
+
+
+# --- flat codec indexes ---------------------------------------------------
+
+def test_index_pq_recall(small_ds):
+    idx = IndexPQ(small_ds.d, M=8, nbits=8)
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.7, f"IndexPQ recall {r}"   # 8-byte codes on 32d: lossy
+
+
+def test_index_sq_recall(small_ds):
+    idx = IndexScalarQuantizer(small_ds.d, SQ.QT_8BIT)
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.95, f"IndexSQ recall {r}"  # 8-bit/dim is near-exact
+
+
+# --- IVF coded ------------------------------------------------------------
+
+def test_ivfpq_recall(small_ds):
+    idx = make_ivf_pq(small_ds.d, nlist=32, M=8)
+    idx.cp.niter = 6
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.nprobe = 16
+    _, I, st = idx.search_stats(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.65, f"IVFPQ recall {r}"
+    assert st.ndis > 0
+
+
+def test_ivfpq_residual_and_plain_paths(small_ds):
+    """Both by_residual settings must search correctly (the residual ADC
+    itself is validated exactly against reconstruction distances in
+    test_pq_adc_matches_decoded; which path wins on recall is
+    data-dependent)."""
+    gt = small_ds.get_groundtruth(10)
+    rs = {}
+    for br in (True, False):
+        idx = make_ivf_pq(small_ds.d, nlist=32, M=8)
+        idx.by_residual = br
+        idx.cp.niter = 6
+        idx.train(small_ds.get_train())
+        idx.add(small_ds.get_database())
+        idx.nprobe = 32
+        _, I = idx.search(small_ds.get_queries(), 10)
+        rs[br] = recall_at_r(I, gt, 10)
+    assert rs[True] > 0.85 and rs[False] > 0.85, rs
+
+
+def test_ivfsq_recall(small_ds):
+    from tpu_ann.models.flat import IndexFlat
+
+    quant = IndexFlat(small_ds.d)
+    idx = IndexIVFScalarQuantizer(quant, small_ds.d, 32, SQ.QT_8BIT)
+    idx.cp.niter = 6
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.nprobe = 8
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.85, f"IVFSQ recall {r}"
+
+
+# --- refine ---------------------------------------------------------------
+
+def test_refine_flat_improves_pq(small_ds):
+    base = IndexPQ(small_ds.d, M=4, nbits=8)
+    idx = IndexRefineFlat(base)
+    idx.k_factor = 8
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    gt = small_ds.get_groundtruth(10)
+    _, Ib = base.search(small_ds.get_queries(), 10)
+    _, Ir = idx.search(small_ds.get_queries(), 10)
+    rb = recall_at_r(Ib, gt, 10)
+    rr = recall_at_r(Ir, gt, 10)
+    assert rr > rb + 0.1, (rb, rr)
+
+
+# --- transforms -----------------------------------------------------------
+
+def test_pca_reduces_dim(small_ds):
+    pca = PCAMatrix(small_ds.d, 16)
+    pca.train(small_ds.get_train())
+    y = pca.apply(small_ds.get_database()[:100])
+    assert y.shape == (100, 16)
+    # PCA16 keeps most variance of this low-intrinsic-dim data
+    assert y.var() > 0.5 * small_ds.get_database()[:100].var()
+
+
+def test_random_rotation_preserves_distances(small_ds):
+    rr = RandomRotationMatrix(small_ds.d, small_ds.d)
+    rr.train()
+    x = small_ds.get_database()[:50]
+    y = rr.apply(x)
+    dx = ((x[:1] - x) ** 2).sum(1)
+    dy = ((y[:1] - y) ** 2).sum(1)
+    np.testing.assert_allclose(dx, dy, rtol=1e-3, atol=1e-3)
+
+
+def test_pretransform_index(small_ds):
+    pca = PCAMatrix(small_ds.d, 24)
+    sub = IndexFlat(24)
+    idx = IndexPreTransform(pca, sub)
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    assert recall_at_r(I, gt, 10) > 0.8
+
+
+def test_opq_rotation_is_orthonormal(small_ds):
+    opq = OPQMatrix(small_ds.d, M=4)
+    opq.niter = 3
+    opq.train(small_ds.get_train()[:1000])
+    eye = opq.A @ opq.A.T
+    np.testing.assert_allclose(eye, np.eye(small_ds.d), atol=1e-4)

@@ -25,6 +25,19 @@ from .models.ivf import (  # noqa: F401
     make_ivf_flat,
 )
 from .models.ivf_hnsw import IndexIVFHNSW  # noqa: F401
+from .models.ivf_pq import (  # noqa: F401
+    IndexIVFPQ,
+    IndexIVFScalarQuantizer,
+    make_ivf_pq,
+)
+from .models.pq import IndexPQ, IndexScalarQuantizer  # noqa: F401
+from .models.refine import IndexRefine, IndexRefineFlat  # noqa: F401
+from .models.transforms import (  # noqa: F401
+    IndexPreTransform,
+    OPQMatrix,
+    PCAMatrix,
+    RandomRotationMatrix,
+)
 from .utils.index_io import read_index, write_index  # noqa: F401
 
 __version__ = "0.1.0"

@@ -10,3 +10,20 @@ from .ivf import (  # noqa: F401
     make_ivf_flat,
 )
 from .ivf_hnsw import IndexIVFHNSW  # noqa: F401
+from .ivf_pq import (  # noqa: F401
+    IndexIVFPQ,
+    IndexIVFScalarQuantizer,
+    make_ivf_pq,
+)
+from .pq import IndexPQ, IndexScalarQuantizer  # noqa: F401
+from .refine import IndexRefine, IndexRefineFlat  # noqa: F401
+from .transforms import (  # noqa: F401
+    CenteringTransform,
+    IndexPreTransform,
+    LinearTransform,
+    NormalizationTransform,
+    OPQMatrix,
+    PCAMatrix,
+    RandomRotationMatrix,
+    VectorTransform,
+)

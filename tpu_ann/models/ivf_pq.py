@@ -1,0 +1,163 @@
+"""IVF + codec indexes — faiss `IndexIVFPQ` (IndexIVFPQ.{h,cpp}) and
+`IndexIVFScalarQuantizer` (IndexIVFScalarQuantizer in
+IndexScalarQuantizer.{h,cpp}).
+
+Invlists store codes in the block-padded layout
+(`ops.ivf_scan.PackedCodeInvLists`); the scan decodes in-kernel:
+PQ via per-(query, probe) residual ADC tables (the use_precomputed_table=0
+path of IndexIVFPQ.cpp) and SQ via VPU dequantize + contraction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distances as D
+from ..ops import ivf_scan
+from ..ops import pq as PQ
+from ..ops import sq as SQ
+from .base import SearchStats, Timer
+from .flat import IndexFlat
+from .ivf import IndexIVF, SearchParametersIVF
+
+
+class IndexIVFPQ(IndexIVF):
+    """IVF with PQ-coded residual invlists (faiss IndexIVFPQ)."""
+
+    def __init__(self, quantizer, d: int, nlist: int, M: int,
+                 nbits: int = 8, metric: int = D.METRIC_L2,
+                 block_size: int = 128):
+        super().__init__(quantizer, d, nlist, metric, block_size)
+        self.M = int(M)
+        self.nbits = int(nbits)
+        self.pq: Optional[PQ.PQCodec] = None
+        self.by_residual = True
+
+    # --- training ---------------------------------------------------------
+    def train_encoder(self, x: np.ndarray) -> None:
+        """PQ on residuals (IndexIVFPQ::train_encoder)."""
+        if self.by_residual and self.metric_type == D.METRIC_L2:
+            assign = self._assign(x)
+            cent = np.asarray(self.quantizer.vectors
+                              if hasattr(self.quantizer, "vectors")
+                              else self.quantizer.storage.vectors)
+            xt = x - cent[assign]
+        else:
+            xt = x
+        self.pq = PQ.train_pq(xt, self.M, self.nbits, verbose=self.verbose)
+        self._pq_cent_dev = jnp.asarray(self.pq.centroids)
+
+    # --- encoding / packing ----------------------------------------------
+    def _coarse_centroids(self) -> jnp.ndarray:
+        q = self.quantizer
+        vecs = q.vectors if hasattr(q, "vectors") else q.storage.vectors
+        return jnp.asarray(vecs)
+
+    def _encode(self, x: np.ndarray, assign: np.ndarray) -> np.ndarray:
+        xj = jnp.asarray(x)
+        if self.by_residual and self.metric_type == D.METRIC_L2:
+            cent = self._coarse_centroids()
+            xj = xj - cent[jnp.asarray(assign)]
+        return np.asarray(PQ.pq_encode(xj, self._pq_cent_dev))
+
+    def _pack(self, x, ids, assign):
+        codes = self._encode(x, assign)
+        return ivf_scan.pack_code_invlists(codes, ids, assign, self.nlist,
+                                           self.block_size)
+
+    # --- search -----------------------------------------------------------
+    def search_stats(self, x, k: int, *,
+                     params: Optional[SearchParametersIVF] = None):
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        x = self._check_input(x)
+        nprobe, mnb = self._effective_params(params)
+        with Timer() as t_q:
+            cd, probes = self.quantizer.search(x, nprobe)
+            probes = np.asarray(probes, np.int32)
+        with Timer() as t_s:
+            Dv, Iv, ndis = ivf_scan.scan_invlists_pq(
+                jnp.asarray(x),
+                jnp.asarray(probes),
+                jnp.asarray(np.asarray(cd, np.float32)),
+                self.invlists,
+                self._pq_cent_dev,
+                self._coarse_centroids(),
+                k,
+                self.metric_type,
+                by_residual=self.by_residual,
+                max_nblocks=mnb,
+            )
+            Dv = np.asarray(Dv)
+            Iv = np.asarray(Iv, np.int64)
+        stats = SearchStats(
+            nq=len(x), total_us=t_q.us + t_s.us,
+            quantization_us=t_q.us, list_scan_us=t_s.us,
+            ndis=int(ndis), nlist_visited=len(x) * nprobe,
+        )
+        return Dv, Iv, stats
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        # decode from host copy path (DirectMap role)
+        for xs, ids in zip(self._xb_host, self._ids_host):
+            hit = np.nonzero(ids == key)[0]
+            if hit.size:
+                return xs[hit[0]]
+        raise KeyError(key)
+
+
+class IndexIVFScalarQuantizer(IndexIVF):
+    """IVF with SQ-coded invlists (faiss IndexIVFScalarQuantizer)."""
+
+    def __init__(self, quantizer, d: int, nlist: int,
+                 qtype: int = SQ.QT_8BIT, metric: int = D.METRIC_L2,
+                 block_size: int = 128):
+        super().__init__(quantizer, d, nlist, metric, block_size)
+        self.qtype = int(qtype)
+        self.sq: Optional[SQ.SQCodec] = None
+
+    def train_encoder(self, x: np.ndarray) -> None:
+        self.sq = SQ.train_sq(x, self.qtype)
+
+    def _pack(self, x, ids, assign):
+        codes = np.asarray(SQ.sq_encode(jnp.asarray(x), self.sq))
+        return ivf_scan.pack_code_invlists(codes, ids, assign, self.nlist,
+                                           self.block_size)
+
+    def search_stats(self, x, k: int, *,
+                     params: Optional[SearchParametersIVF] = None):
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        x = self._check_input(x)
+        nprobe, mnb = self._effective_params(params)
+        with Timer() as t_q:
+            _, probes = self.quantizer.search(x, nprobe)
+            probes = np.asarray(probes, np.int32)
+        d = self.d
+        vmin = (jnp.asarray(self.sq.vmin) if self.sq.vmin is not None
+                else jnp.zeros((d,), jnp.float32))
+        vdiff = (jnp.asarray(self.sq.vdiff) if self.sq.vdiff is not None
+                 else jnp.ones((d,), jnp.float32))
+        with Timer() as t_s:
+            Dv, Iv, ndis = ivf_scan.scan_invlists_sq(
+                jnp.asarray(x), jnp.asarray(probes), self.invlists,
+                vmin, vdiff, k, self.metric_type,
+                qtype=self.qtype, max_nblocks=mnb,
+            )
+            Dv = np.asarray(Dv)
+            Iv = np.asarray(Iv, np.int64)
+        stats = SearchStats(
+            nq=len(x), total_us=t_q.us + t_s.us,
+            quantization_us=t_q.us, list_scan_us=t_s.us,
+            ndis=int(ndis), nlist_visited=len(x) * nprobe,
+        )
+        return Dv, Iv, stats
+
+
+def make_ivf_pq(d: int, nlist: int, M: int, nbits: int = 8,
+                metric: int = D.METRIC_L2) -> IndexIVFPQ:
+    """factory "IVFx,PQMxN" convenience."""
+    return IndexIVFPQ(IndexFlat(d, metric), d, nlist, M, nbits, metric)

@@ -1,0 +1,178 @@
+"""Flat codec indexes — faiss `IndexPQ` / `IndexScalarQuantizer`
+(IndexPQ.{h,cpp}, IndexScalarQuantizer.{h,cpp}).
+
+Codes live as one device array; search decodes against the query on the
+fly: PQ via per-query ADC tables + LUT gather (the role of
+`ProductQuantizer::compute_distance_table` + code_distance loops), SQ via
+VPU dequantize + MXU GEMM. Both are `IndexFlatCodes` descendants in the
+reference; here they share the capacity-padded storage idiom of IndexFlat.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops import distances as D
+from ..ops import pq as PQ
+from ..ops import sq as SQ
+from ..ops import topk as T
+from .base import Index, next_pow2
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "db_block"))
+def _pq_knn(xq, codes, centroids, k: int, metric: int, valid_n,
+            db_block: int = 65536):
+    """Exact ADC k-NN over a flat code array (IndexPQ::search)."""
+    nq = xq.shape[0]
+    nb = codes.shape[0]
+    similarity = D.is_similarity_metric(metric)
+    bad = D.worst_value(metric)
+    lut = PQ.query_tables(xq, centroids, metric)         # (nq, M, ksub)
+
+    block = min(db_block, max(nb, 1))
+    nblocks = -(-nb // block)
+    pad = nblocks * block - nb
+    if pad:
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+    codes_r = codes.reshape(nblocks, block, -1)
+
+    def body(i, carry):
+        bd, bi = carry
+        blk = jnp.broadcast_to(codes_r[i][None], (nq, block,
+                                                  codes.shape[1]))
+        dis = PQ.adc_scan(lut, blk)                      # (nq, block)
+        ids = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        dis = jnp.where(ids < valid_n, dis, bad)
+        ids = jnp.broadcast_to(ids, dis.shape)
+        return T.merge_topk(bd, bi, dis, ids, k, similarity=similarity)
+
+    init = (jnp.full((nq, k), bad, jnp.float32),
+            jnp.full((nq, k), -1, jnp.int32))
+    bd, bi = lax.fori_loop(0, nblocks, body, init)
+    return bd, jnp.where(jnp.isfinite(bd), bi, -1)
+
+
+class IndexPQ(Index):
+    """faiss IndexPQ(d, M, nbits): flat PQ codes + ADC search."""
+
+    def __init__(self, d: int, M: int, nbits: int = 8,
+                 metric: int = D.METRIC_L2):
+        super().__init__(d, metric)
+        self.M = int(M)
+        self.nbits = int(nbits)
+        self.pq: Optional[PQ.PQCodec] = None
+        self._codes: Optional[jnp.ndarray] = None
+        self._capacity = 0
+        self.is_trained = False
+
+    def train(self, x) -> None:
+        x = self._check_input(x)
+        self.pq = PQ.train_pq(x, self.M, self.nbits, verbose=self.verbose)
+        self._centroids_dev = jnp.asarray(self.pq.centroids)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        if not self.is_trained:
+            raise RuntimeError("train() before add()")
+        x = self._check_input(x)
+        n = len(x)
+        codes = PQ.pq_encode(jnp.asarray(x), self._centroids_dev)
+        need = self.ntotal + n
+        if need > self._capacity:
+            cap = max(next_pow2(need), 1024)
+            buf = jnp.zeros((cap, self.M), jnp.uint8)
+            if self._codes is not None and self.ntotal:
+                buf = buf.at[: self.ntotal].set(self._codes[: self.ntotal])
+            self._codes, self._capacity = buf, cap
+        self._codes = self._codes.at[self.ntotal : need].set(codes)
+        self.ntotal = need
+
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        if self.ntotal == 0:
+            bad = -np.inf if self.is_similarity else np.inf
+            return (np.full((len(x), k), bad, np.float32),
+                    np.full((len(x), k), -1, np.int64))
+        Dv, Iv = _pq_knn(jnp.asarray(x), self._codes, self._centroids_dev,
+                         k, self.metric_type, jnp.int32(self.ntotal))
+        return np.asarray(Dv), np.asarray(Iv, np.int64)
+
+    def reset(self) -> None:
+        self._codes, self._capacity, self.ntotal = None, 0, 0
+
+    # --- codec API --------------------------------------------------------
+    def sa_code_size(self) -> int:
+        return self.pq.code_size
+
+    def sa_encode(self, x) -> np.ndarray:
+        x = self._check_input(x)
+        return np.asarray(PQ.pq_encode(jnp.asarray(x), self._centroids_dev))
+
+    def sa_decode(self, codes) -> np.ndarray:
+        codes = jnp.asarray(np.ascontiguousarray(codes, np.uint8))
+        return np.asarray(PQ.pq_decode(codes, self._centroids_dev))
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self.sa_decode(np.asarray(self._codes[key : key + 1]))[0]
+
+
+class IndexScalarQuantizer(Index):
+    """faiss IndexScalarQuantizer(d, qtype): flat SQ codes."""
+
+    def __init__(self, d: int, qtype: int = SQ.QT_8BIT,
+                 metric: int = D.METRIC_L2):
+        super().__init__(d, metric)
+        self.qtype = int(qtype)
+        self.sq: Optional[SQ.SQCodec] = None
+        self._codes: Optional[jnp.ndarray] = None
+        self.is_trained = qtype in (SQ.QT_FP16, SQ.QT_BF16)
+        if self.is_trained:
+            self.sq = SQ.SQCodec(qtype=self.qtype, d=d)
+
+    def train(self, x) -> None:
+        x = self._check_input(x)
+        self.sq = SQ.train_sq(x, self.qtype)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        if not self.is_trained:
+            raise RuntimeError("train() before add()")
+        x = self._check_input(x)
+        codes = SQ.sq_encode(jnp.asarray(x), self.sq)
+        if self._codes is None:
+            self._codes = codes
+        else:
+            self._codes = jnp.concatenate([self._codes, codes], axis=0)
+        self.ntotal += len(x)
+
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        if self.ntotal == 0:
+            bad = -np.inf if self.is_similarity else np.inf
+            return (np.full((len(x), k), bad, np.float32),
+                    np.full((len(x), k), -1, np.int64))
+        xb = SQ.sq_decode(self._codes, self.sq)
+        Dv, Iv = D.knn(jnp.asarray(x), xb, k, self.metric_type)
+        return np.asarray(Dv), np.asarray(Iv, np.int64)
+
+    def reset(self) -> None:
+        self._codes, self.ntotal = None, 0
+
+    def sa_code_size(self) -> int:
+        return self.sq.code_size
+
+    def sa_encode(self, x) -> np.ndarray:
+        x = self._check_input(x)
+        return np.asarray(SQ.sq_encode(jnp.asarray(x), self.sq))
+
+    def sa_decode(self, codes) -> np.ndarray:
+        return np.asarray(SQ.sq_decode(jnp.asarray(codes), self.sq))
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self.sa_decode(np.asarray(self._codes[key : key + 1]))[0]

@@ -1,0 +1,118 @@
+"""IndexRefine — re-rank base-index candidates with a finer codec
+(faiss/IndexRefine.{h,cpp}): search k*k_factor on the base index, then
+re-score those candidates exactly (IndexRefineFlat keeps raw vectors).
+
+On TPU the re-rank is one gather + batched distance contraction + k-select
+— no per-candidate DistanceComputer loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops import distances as D
+from ..ops import topk as T
+from .base import Index
+from .flat import IndexFlat
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _rerank(xq, cand_ids, xb, k: int, metric: int):
+    """Re-score candidate ids exactly against stored vectors."""
+    similarity = D.is_similarity_metric(metric)
+    bad = D.worst_value(metric)
+    valid = cand_ids >= 0
+    vecs = xb[jnp.where(valid, cand_ids, 0)]            # (nq, kk, d)
+    ip = jnp.einsum("qd,qcd->qc", xq.astype(jnp.float32), vecs,
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    if similarity:
+        dis = ip
+    else:
+        qn = jnp.sum(xq * xq, axis=1)[:, None]
+        vn = jnp.sum(vecs * vecs, axis=2)
+        dis = jnp.maximum(qn + vn - 2.0 * ip, 0.0)
+    dis = jnp.where(valid, dis, bad)
+    return T.topk_with_ids(dis, cand_ids, k, similarity=similarity)
+
+
+class IndexRefine(Index):
+    """Generic refine wrapper (faiss IndexRefine: base + refine_index)."""
+
+    def __init__(self, base_index: Index, refine_index: Index):
+        super().__init__(base_index.d, base_index.metric_type)
+        self.base_index = base_index
+        self.refine_index = refine_index
+        self.k_factor = 4  # faiss default is 1; harnesses usually sweep it
+        self.is_trained = base_index.is_trained and refine_index.is_trained
+
+    def train(self, x) -> None:
+        self.base_index.train(x)
+        self.refine_index.train(x)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        self.base_index.add(x)
+        self.refine_index.add(x)
+        self.ntotal = self.base_index.ntotal
+
+    def reset(self) -> None:
+        self.base_index.reset()
+        self.refine_index.reset()
+        self.ntotal = 0
+
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        kk = max(int(k * self.k_factor), k)
+        kk = min(kk, max(self.ntotal, 1))
+        _, I = self.base_index.search(x, kk, params=params)
+        return self._refine(x, I, k)
+
+    def _refine(self, x, cand_ids, k):
+        # generic path: reconstruct candidates through the refine codec
+        nq, kk = cand_ids.shape
+        out_d = np.zeros((nq, k), np.float32)
+        out_i = np.full((nq, k), -1, np.int64)
+        for i in range(nq):
+            ids = cand_ids[i][cand_ids[i] >= 0]
+            if ids.size == 0:
+                continue
+            vecs = np.stack([self.refine_index.reconstruct(int(j))
+                             for j in ids])
+            dif = vecs - x[i][None]
+            dis = (dif * dif).sum(1)
+            if self.is_similarity:
+                dis = (vecs * x[i][None]).sum(1)
+                order = np.argsort(-dis)[:k]
+            else:
+                order = np.argsort(dis)[:k]
+            out_d[i, : len(order)] = dis[order]
+            out_i[i, : len(order)] = ids[order]
+        return out_d, out_i
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self.refine_index.reconstruct(key)
+
+
+class IndexRefineFlat(IndexRefine):
+    """faiss IndexRefineFlat: exact re-rank against raw stored vectors —
+    the fast vectorized path."""
+
+    def __init__(self, base_index: Index,
+                 refine_index: Optional[IndexFlat] = None):
+        refine = refine_index or IndexFlat(base_index.d,
+                                           base_index.metric_type)
+        super().__init__(base_index, refine)
+
+    def _refine(self, x, cand_ids, k):
+        Dv, Iv = _rerank(
+            jnp.asarray(x), jnp.asarray(cand_ids, jnp.int32),
+            self.refine_index.vectors, k, self.metric_type,
+        )
+        return np.asarray(Dv), np.asarray(Iv, np.int64)

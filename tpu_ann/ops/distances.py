@@ -110,7 +110,8 @@ def _topk_best(dis: jnp.ndarray, k: int, metric: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "db_block", "precision")
+    jax.jit,
+    static_argnames=("k", "metric", "db_block", "q_block", "precision"),
 )
 def knn(
     xq: jnp.ndarray,
@@ -121,15 +122,18 @@ def knn(
     xb_norms: Optional[jnp.ndarray] = None,
     valid_n: Optional[jnp.ndarray] = None,
     db_block: int = 65536,
+    q_block: int = 8192,
     precision=lax.Precision.HIGHEST,
 ):
     """Exact k-NN: blocked MXU GEMM + top-k merge.
 
     TPU analog of faiss `knn_L2sqr` / `knn_inner_product`
     (utils/distances.cpp:885,1061): the database is processed in blocks of
-    ``db_block`` rows; each block's distances are computed as one GEMM and
-    merged into a running per-query top-k (the role the reference's
-    HeapBlockResultHandler plays, impl/ResultHandler.h).
+    ``db_block`` rows and queries in tiles of ``q_block`` (the role of the
+    reference's bs_x x bs_y sgemm tiling, utils/distances.cpp:272-273), so
+    the live distance matrix is bounded at q_block x db_block; each block's
+    distances are one GEMM merged into a running per-query top-k (the role
+    of HeapBlockResultHandler, impl/ResultHandler.h).
 
     Args:
       xq: (nq, d) queries.
@@ -144,6 +148,21 @@ def knn(
     """
     _check_metric(metric)
     nq, d = xq.shape
+
+    if nq > q_block:
+        ntiles = -(-nq // q_block)
+        qpad = ntiles * q_block - nq
+        xq_t = jnp.pad(xq, ((0, qpad), (0, 0))).reshape(ntiles, q_block, d)
+
+        def tile(xq_i):
+            return knn(
+                xq_i, xb, k, metric, xb_norms=xb_norms, valid_n=valid_n,
+                db_block=db_block, q_block=q_block, precision=precision,
+            )
+
+        Dt, It = lax.map(tile, xq_t)
+        return (Dt.reshape(ntiles * q_block, k)[:nq],
+                It.reshape(ntiles * q_block, k)[:nq])
     nb = xb.shape[0]
     xq = xq.astype(jnp.float32)
 

@@ -234,3 +234,321 @@ def scan_invlists(
     bd = bd.reshape(nqt * qtile, k)[:nq]
     bi = bi.reshape(nqt * qtile, k)[:nq]
     return bd, bi, jnp.sum(nd)
+
+
+# ---------------------------------------------------------------------------
+# coded inverted lists (PQ / SQ codes instead of raw vectors)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedCodeInvLists:
+    """Block-padded inverted lists of codes — same layout as PackedInvLists
+    but `codes` holds the codec's per-vector code row (uint8/fp16/bf16),
+    the role of `ArrayInvertedLists::codes` for IVFPQ/IVFSQ
+    (invlists/InvertedLists.h:37-130)."""
+
+    codes: jnp.ndarray             # (nblocks+1, B, code_width)
+    ids: jnp.ndarray               # (nblocks+1, B) int32, -1 = padding
+    list_block_start: jnp.ndarray  # (nlist,) int32
+    list_nblocks: jnp.ndarray      # (nlist,) int32
+
+    def tree_flatten(self):
+        return (
+            (self.codes, self.ids, self.list_block_start, self.list_nblocks),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def nlist(self) -> int:
+        return self.list_block_start.shape[0]
+
+    @property
+    def block_size(self) -> int:
+        return self.codes.shape[1]
+
+    @property
+    def nblocks(self) -> int:
+        return self.codes.shape[0] - 1
+
+    @property
+    def max_nblocks_per_list(self) -> int:
+        return int(self._max_nblocks)
+
+    _max_nblocks: int = 1
+
+
+def pack_code_invlists(
+    codes: np.ndarray,
+    xids: np.ndarray,
+    assign: np.ndarray,
+    nlist: int,
+    block_size: int = 128,
+) -> PackedCodeInvLists:
+    """Counting-sort codes into the block-padded layout (add_entries)."""
+    codes = np.ascontiguousarray(codes)
+    n, cw = codes.shape
+    xids = np.asarray(xids, np.int32)
+    assign = np.asarray(assign, np.int64)
+    B = block_size
+
+    order = np.argsort(assign, kind="stable")
+    sizes = np.bincount(assign, minlength=nlist)
+    nblocks_per_list = -(-sizes // B)
+    starts_blocks = np.zeros(nlist, np.int64)
+    np.cumsum(nblocks_per_list[:-1], out=starts_blocks[1:])
+    nb_total = int(nblocks_per_list.sum())
+
+    cdata = np.zeros((nb_total + 1, B, cw), codes.dtype)
+    ids = np.full((nb_total + 1, B), -1, np.int32)
+    c_sorted = codes[order]
+    ids_sorted = xids[order]
+    src_starts = np.zeros(nlist + 1, np.int64)
+    np.cumsum(sizes, out=src_starts[1:])
+    for l in range(nlist):
+        sz = sizes[l]
+        if sz == 0:
+            continue
+        b0 = starts_blocks[l]
+        flat = cdata[b0 : b0 + nblocks_per_list[l]].reshape(-1, cw)
+        flat[:sz] = c_sorted[src_starts[l] : src_starts[l] + sz]
+        fid = ids[b0 : b0 + nblocks_per_list[l]].reshape(-1)
+        fid[:sz] = ids_sorted[src_starts[l] : src_starts[l] + sz]
+
+    empty = nblocks_per_list == 0
+    starts_blocks[empty] = nb_total
+    pil = PackedCodeInvLists(
+        codes=jnp.asarray(cdata),
+        ids=jnp.asarray(ids),
+        list_block_start=jnp.asarray(starts_blocks, dtype=jnp.int32),
+        list_nblocks=jnp.asarray(nblocks_per_list, dtype=jnp.int32),
+    )
+    pil._max_nblocks = max(int(nblocks_per_list.max(initial=0)), 1)
+    return pil
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "by_residual", "max_nblocks",
+                     "chunk_probes", "qt"),
+)
+def scan_invlists_pq(
+    xq: jnp.ndarray,
+    probes: jnp.ndarray,
+    coarse_dis: jnp.ndarray,
+    invlists: PackedCodeInvLists,
+    pq_centroids: jnp.ndarray,
+    coarse_centroids: jnp.ndarray,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    by_residual: bool = True,
+    max_nblocks: int,
+    chunk_probes: int = 4,
+    qt: int = 64,
+):
+    """ADC scan over PQ-coded invlists (IndexIVFPQ::search_preassigned ->
+    scan_list_with_table / pq4 kernels).
+
+    Probe-major: per (query-tile, probe-chunk) compute the residual ADC
+    table directly from r = q - c_list (the use_precomputed_table=0 path,
+    IndexIVFPQ.cpp) as one MXU contraction, then LUT-gather over the
+    chunk's code blocks. by_residual=False uses one per-query table.
+
+    coarse_dis: (nq, nprobe) coarse distances (unused for by_residual=False
+    and IP).
+    """
+    from . import pq as PQ
+
+    nq, d = xq.shape
+    nprobe = probes.shape[1]
+    B = invlists.block_size
+    NB = invlists.nblocks
+    M, ksub, dsub = pq_centroids.shape
+    similarity = D.is_similarity_metric(metric)
+    bad = D.worst_value(metric)
+    xq = xq.astype(jnp.float32)
+
+    pc = min(chunk_probes, nprobe)
+    npc = -(-nprobe // pc)
+    ppad = npc * pc - nprobe
+    if ppad:
+        # pad probes with the first probe; mask via dummy blocks below
+        probes = jnp.concatenate(
+            [probes, jnp.full((nq, ppad), -1, probes.dtype)], axis=1)
+        coarse_dis = jnp.concatenate(
+            [coarse_dis, jnp.zeros((nq, ppad), coarse_dis.dtype)], axis=1)
+    qtile = min(qt, nq)
+    nqt = -(-nq // qtile)
+    qpad = nqt * qtile - nq
+    if qpad:
+        xq = jnp.pad(xq, ((0, qpad), (0, 0)))
+        probes = jnp.pad(probes, ((0, qpad), (0, 0)), constant_values=-1)
+        coarse_dis = jnp.pad(coarse_dis, ((0, qpad), (0, 0)))
+
+    xq_t = xq.reshape(nqt, qtile, d)
+    probes_t = probes.reshape(nqt, qtile, npc, pc)
+    cdis_t = coarse_dis.reshape(nqt, qtile, npc, pc)
+
+    def scan_tile(args):
+        q, qprobes, qcdis = args   # (qtile,d), (qtile,npc,pc), same
+
+        def probe_chunk(c, carry):
+            bd, bi, nd = carry
+            pl = qprobes[:, c, :]                       # (qtile, pc) list ids
+            pvalid = pl >= 0
+            pl_s = jnp.where(pvalid, pl, 0)
+            if by_residual and not similarity:
+                cl = coarse_centroids[pl_s]             # (qtile, pc, d)
+                resid = q[:, None, :] - cl              # (qtile, pc, d)
+                lut = PQ.query_tables(
+                    resid.reshape(qtile * pc, d), pq_centroids, metric
+                ).reshape(qtile, pc, M, ksub)
+                base = qcdis[:, c, :] * 0.0             # coarse term inside lut
+            else:
+                lut1 = PQ.query_tables(q, pq_centroids, metric)
+                lut = jnp.broadcast_to(
+                    lut1[:, None], (qtile, pc, M, ksub))
+                base = jnp.zeros((qtile, pc), jnp.float32)
+            lut_flat = lut.reshape(qtile, pc, M * ksub)
+
+            starts = invlists.list_block_start[pl_s]    # (qtile, pc)
+            nblk = jnp.minimum(invlists.list_nblocks[pl_s], max_nblocks)
+            nblk = jnp.where(pvalid, nblk, 0)
+
+            def block_body(o, carry2):
+                bd2, bi2, nd2 = carry2
+                bids = jnp.where(o < nblk, starts + o, NB)  # (qtile, pc)
+                codes = invlists.codes[bids]            # (qtile, pc, B, M)
+                vids = invlists.ids[bids]               # (qtile, pc, B)
+                idx = (codes.astype(jnp.int32)
+                       + (jnp.arange(M, dtype=jnp.int32) * ksub)[
+                           None, None, None, :])
+                g = jnp.take_along_axis(
+                    lut_flat, idx.reshape(qtile, pc, B * M), axis=2)
+                dis = g.reshape(qtile, pc, B, M).sum(axis=3)
+                dis = dis + base[:, :, None]
+                valid = vids >= 0
+                dis = jnp.where(valid, dis, bad)
+                nd2 = nd2 + jnp.sum(valid.astype(jnp.int32))
+                nbd, nbi = T.merge_topk(
+                    bd2, bi2, dis.reshape(qtile, pc * B),
+                    vids.reshape(qtile, pc * B), k, similarity=similarity)
+                return nbd, nbi, nd2
+
+            return lax.fori_loop(0, max_nblocks, block_body, (bd, bi, nd))
+
+        init = (
+            jnp.full((qtile, k), bad, jnp.float32),
+            jnp.full((qtile, k), -1, jnp.int32),
+            jnp.int32(0),
+        )
+        return lax.fori_loop(0, npc, probe_chunk, init)
+
+    bd, bi, nd = lax.map(scan_tile, (xq_t, probes_t, cdis_t))
+    bd = bd.reshape(nqt * qtile, k)[:nq]
+    bi = bi.reshape(nqt * qtile, k)[:nq]
+    return bd, bi, jnp.sum(nd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "qtype", "max_nblocks", "chunk_blocks",
+                     "qt"),
+)
+def scan_invlists_sq(
+    xq: jnp.ndarray,
+    probes: jnp.ndarray,
+    invlists: PackedCodeInvLists,
+    vmin: jnp.ndarray,
+    vdiff: jnp.ndarray,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    qtype: int,
+    max_nblocks: int,
+    chunk_blocks: int = 8,
+    qt: int = 256,
+):
+    """Scan SQ-coded invlists: dequantize gathered code blocks on the VPU
+    then one distance contraction (SQDistanceComputer role,
+    impl/ScalarQuantizer.cpp)."""
+    from . import sq as SQ
+
+    nq, d = xq.shape
+    nprobe = probes.shape[1]
+    B = invlists.block_size
+    NB = invlists.nblocks
+    xq = xq.astype(jnp.float32)
+    similarity = D.is_similarity_metric(metric)
+    bad = D.worst_value(metric)
+
+    codec = SQ.SQCodec(qtype=qtype, d=d)  # params via vmin/vdiff args
+
+    starts = invlists.list_block_start[probes]
+    nblk = jnp.minimum(invlists.list_nblocks[probes], max_nblocks)
+    local = lax.broadcasted_iota(jnp.int32, (1, 1, max_nblocks), 2)
+    blk = starts[:, :, None] + local
+    blk = jnp.where(local < nblk[:, :, None], blk, NB)
+    blk = blk.reshape(nq, nprobe * max_nblocks)
+
+    P = nprobe * max_nblocks
+    cb = min(chunk_blocks, P)
+    nchunks = -(-P // cb)
+    if nchunks * cb != P:
+        blk = jnp.pad(blk, ((0, 0), (0, nchunks * cb - P)),
+                      constant_values=NB)
+    qtile = min(qt, nq)
+    nqt = -(-nq // qtile)
+    qpad = nqt * qtile - nq
+    if qpad:
+        xq = jnp.pad(xq, ((0, qpad), (0, 0)))
+        blk = jnp.pad(blk, ((0, qpad), (0, 0)), constant_values=NB)
+    blk = blk.reshape(nqt, qtile, nchunks, cb)
+    xq_t = xq.reshape(nqt, qtile, d)
+
+    def dequant(codes):
+        if qtype in (SQ.QT_8BIT, SQ.QT_8BIT_UNIFORM):
+            return vmin + (codes.astype(jnp.float32) + 0.5) / 256.0 * vdiff
+        return codes.astype(jnp.float32)
+
+    def scan_tile(args):
+        q, qblk = args
+
+        def chunk_body(c, carry):
+            bd, bi, nd = carry
+            bids = qblk[:, c, :]
+            vecs = dequant(invlists.codes[bids])        # (qtile, cb, B, d)
+            vids = invlists.ids[bids]
+            ip = jnp.einsum("qd,qcbd->qcb", q, vecs,
+                            precision=lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32)
+            if similarity:
+                dis = ip
+            else:
+                qn = jnp.sum(q * q, axis=1)[:, None, None]
+                vn = jnp.sum(vecs * vecs, axis=3)
+                dis = jnp.maximum(qn + vn - 2.0 * ip, 0.0)
+            valid = vids >= 0
+            dis = jnp.where(valid, dis, bad)
+            nd = nd + jnp.sum(valid.astype(jnp.int32))
+            nbd, nbi = T.merge_topk(
+                bd, bi, dis.reshape(qtile, cb * B),
+                vids.reshape(qtile, cb * B), k, similarity=similarity)
+            return nbd, nbi, nd
+
+        init = (
+            jnp.full((qtile, k), bad, jnp.float32),
+            jnp.full((qtile, k), -1, jnp.int32),
+            jnp.int32(0),
+        )
+        return lax.fori_loop(0, nchunks, chunk_body, init)
+
+    bd, bi, nd = lax.map(scan_tile, (xq_t, blk))
+    bd = bd.reshape(nqt * qtile, k)[:nq]
+    bi = bi.reshape(nqt * qtile, k)[:nq]
+    return bd, bi, jnp.sum(nd)

@@ -1,0 +1,169 @@
+"""Product quantization — TPU counterpart of faiss `impl/ProductQuantizer.
+{h,cpp}` and the ADC scan kernels (`impl/pq4_fast_scan*`, code_distance/).
+
+The reference trains M per-subspace codebooks with k-means, encodes each
+vector as M sub-indices, and searches with ADC: a per-query (M, ksub)
+distance look-up table, summed over sub-codes per database point — on CPU
+via in-register shuffle LUTs (pq4), on GPU via PQScanMultiPass kernels.
+
+Here training is `ops.kmeans` vmapped over subspaces on the MXU, encoding
+is a batched sub-assignment, and the ADC scan is a gather over a per-query
+flattened LUT — the shape XLA fuses well; the Pallas fused variant slots
+in behind the same API.
+
+IVFPQ residual path (IndexIVFPQ.cpp `precompute_table`): with
+d(q, c_l + y) = ||q - c_l||^2 + (||y||^2 + 2<c_l, y>) - 2<q, y>,
+term 2 is a (nlist, M, ksub) table independent of the query, term 3 a
+(M, ksub) per-query table, term 1 the coarse distance the IVF search
+already has. `precomputed_tables` + `query_tables_ip` implement that
+decomposition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import distances as D
+from .kmeans import ClusteringParameters, kmeans
+
+
+@dataclasses.dataclass
+class PQCodec:
+    """Trained product quantizer: centroids (M, ksub, dsub) float32."""
+
+    centroids: np.ndarray
+    d: int
+    M: int
+    nbits: int
+
+    @property
+    def ksub(self) -> int:
+        return 1 << self.nbits
+
+    @property
+    def dsub(self) -> int:
+        return self.d // self.M
+
+    @property
+    def code_size(self) -> int:
+        # one uint8 per sub-index for nbits<=8 (packing is a layout concern)
+        return self.M
+
+
+def train_pq(
+    x: np.ndarray,
+    M: int,
+    nbits: int = 8,
+    *,
+    niter: int = 25,
+    seed: int = 1234,
+    verbose: bool = False,
+) -> PQCodec:
+    """Train per-subspace codebooks (ProductQuantizer::train: independent
+    k-means per subspace, impl/ProductQuantizer.cpp)."""
+    x = np.ascontiguousarray(x, np.float32)
+    n, d = x.shape
+    if d % M:
+        raise ValueError(f"d={d} not divisible by M={M}")
+    dsub = d // M
+    ksub = 1 << nbits
+    if n < ksub:
+        raise ValueError(f"need >= {ksub} training points, got {n}")
+    cp = ClusteringParameters(niter=niter, seed=seed,
+                              max_points_per_centroid=256)
+    cents = np.zeros((M, ksub, dsub), np.float32)
+    for m in range(M):
+        sub = x[:, m * dsub : (m + 1) * dsub]
+        cents[m], _ = kmeans(sub, ksub, cp)
+        if verbose:
+            print(f"pq train: subspace {m + 1}/{M}")
+    return PQCodec(centroids=cents, d=d, M=M, nbits=nbits)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pq_encode(x: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
+    """(n, d) -> (n, M) uint8 sub-indices (compute_codes)."""
+    n, d = x.shape
+    M, ksub, dsub = centroids.shape
+    xs = x.astype(jnp.float32).reshape(n, M, dsub)
+    # per subspace distances: (M, n, ksub)
+    ip = jnp.einsum("nmd,mkd->nmk", xs, centroids,
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    cn = jnp.sum(centroids * centroids, axis=2)          # (M, ksub)
+    dis = cn[None, :, :] - 2.0 * ip                      # + ||x||^2 const
+    return jnp.argmin(dis, axis=2).astype(jnp.uint8)
+
+
+@jax.jit
+def pq_decode(codes: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
+    """(n, M) uint8 -> (n, d) reconstruction (decode)."""
+    M, ksub, dsub = centroids.shape
+    n = codes.shape[0]
+    sub = centroids[jnp.arange(M)[None, :], codes.astype(jnp.int32)]
+    return sub.reshape(n, M * dsub)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def query_tables(xq: jnp.ndarray, centroids: jnp.ndarray,
+                 metric: int = D.METRIC_L2) -> jnp.ndarray:
+    """Per-query ADC tables (compute_distance_table): (nq, M, ksub) —
+    L2: ||q_m - y_mj||^2; IP: <q_m, y_mj>."""
+    nq, d = xq.shape
+    M, ksub, dsub = centroids.shape
+    xs = xq.astype(jnp.float32).reshape(nq, M, dsub)
+    ip = jnp.einsum("nmd,mkd->nmk", xs, centroids,
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    if D.is_similarity_metric(metric):
+        return ip
+    qn = jnp.sum(xs * xs, axis=2)                        # (nq, M)
+    cn = jnp.sum(centroids * centroids, axis=2)          # (M, ksub)
+    return qn[:, :, None] + cn[None, :, :] - 2.0 * ip
+
+
+@jax.jit
+def query_tables_ip(xq: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
+    """-2<q_m, y_mj> term for the residual decomposition: (nq, M, ksub)."""
+    nq, d = xq.shape
+    M, ksub, dsub = centroids.shape
+    xs = xq.astype(jnp.float32).reshape(nq, M, dsub)
+    ip = jnp.einsum("nmd,mkd->nmk", xs, centroids,
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    return -2.0 * ip
+
+
+@jax.jit
+def precomputed_tables(coarse_centroids: jnp.ndarray,
+                       centroids: jnp.ndarray) -> jnp.ndarray:
+    """(nlist, M, ksub): ||y_mj||^2 + 2<c_l_m, y_mj>
+    (IndexIVFPQ::precompute_table term 2)."""
+    nlist, d = coarse_centroids.shape
+    M, ksub, dsub = centroids.shape
+    cl = coarse_centroids.reshape(nlist, M, dsub)
+    ip = jnp.einsum("lmd,mkd->lmk", cl, centroids,
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    cn = jnp.sum(centroids * centroids, axis=2)
+    return cn[None, :, :] + 2.0 * ip
+
+
+def adc_scan(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """Sum LUT entries over sub-codes: lut (nq, M, ksub) x codes (nq, C, M)
+    -> (nq, C) distances. The TPU analog of the pq4 shuffle-LUT inner loop.
+    """
+    nq, M, ksub = lut.shape
+    C = codes.shape[1]
+    flat = lut.reshape(nq, M * ksub)
+    idx = (codes.astype(jnp.int32)
+           + (jnp.arange(M, dtype=jnp.int32) * ksub)[None, None, :])
+    gathered = jnp.take_along_axis(flat, idx.reshape(nq, C * M), axis=1)
+    return gathered.reshape(nq, C, M).sum(axis=2)
