@@ -1,0 +1,104 @@
+"""Contrib tooling tests (reference: tests/test_contrib.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_ann.models.flat import IndexFlat
+from tpu_ann.models.ivf import make_ivf_flat
+from tpu_ann.utils import contrib
+
+
+def test_knn_ground_truth_matches_flat(small_ds):
+    xb = small_ds.get_database()
+    xq = small_ds.get_queries()
+    flat = IndexFlat(small_ds.d)
+    flat.add(xb)
+    Df, If = flat.search(xq, 10)
+    chunks = [xb[i : i + 1000] for i in range(0, len(xb), 1000)]
+    Dg, Ig = contrib.knn_ground_truth(xq, iter(chunks), 10)
+    assert (If == Ig).mean() > 0.999
+    np.testing.assert_allclose(Df, Dg, rtol=1e-4, atol=1e-4)
+
+
+def test_big_batch_search_checkpoint(small_ds, tmp_path):
+    idx = IndexFlat(small_ds.d)
+    idx.add(small_ds.get_database())
+    xq = small_ds.get_queries()
+    ck = str(tmp_path / "bbs.pkl")
+    D1, I1 = contrib.big_batch_search(idx, xq, 5, batch_size=32,
+                                      checkpoint_path=ck)
+    assert os.path.exists(ck)
+    # resume from a partially-done checkpoint: zero out, mark half done
+    import pickle
+
+    with open(ck, "rb") as f:
+        st = pickle.load(f)
+    st["done"][2:] = False
+    with open(ck, "wb") as f:
+        pickle.dump(st, f)
+    D2, I2 = contrib.big_batch_search(idx, xq, 5, batch_size=32,
+                                      checkpoint_path=ck)
+    assert (I1 == I2).all()
+    Dref, Iref = idx.search(xq, 5)
+    assert (I1 == Iref).all()
+
+
+def test_add_preassigned(small_ds):
+    idx = make_ivf_flat(small_ds.d, 16)
+    idx.cp.niter = 5
+    idx.train(small_ds.get_train())
+    xb = small_ds.get_database()
+    a = idx._assign(xb)
+    contrib.add_preassigned(idx, xb, a)
+    assert idx.ntotal == len(xb)
+    idx.nprobe = 16
+    D, I = idx.search(xb[:5], 1)
+    assert (I[:, 0] == np.arange(5)).all()
+
+
+def test_merge_indexes(small_ds):
+    xb = small_ds.get_database()
+    half = len(xb) // 2
+    a = make_ivf_flat(small_ds.d, 16)
+    a.cp.niter = 5
+    a.train(small_ds.get_train())
+    b = make_ivf_flat(small_ds.d, 16)
+    b.quantizer = a.quantizer
+    b.is_trained = True
+    a.add_with_ids(xb[:half], np.arange(half))
+    b.add_with_ids(xb[half:], np.arange(half, len(xb)))
+    contrib.merge_indexes(a, [b])
+    assert a.ntotal == len(xb)
+    a.nprobe = 16
+    _, I = a.search(xb[half : half + 5], 1)
+    assert (I[:, 0] == np.arange(half, half + 5)).all()
+
+
+def test_matrix_stats(small_ds):
+    st = contrib.MatrixStats.compute(small_ds.get_train())
+    assert st.n == small_ds.nt and st.d == small_ds.d
+    assert st.n_nan == 0
+    assert "no obvious problems" in st.comments
+    bad = small_ds.get_train().copy()
+    bad[0] = 0
+    bad[:, 0] = 3.0
+    st2 = contrib.MatrixStats.compute(bad)
+    assert st2.n_zero_rows == 0  # row 0 no longer all-zero (dim 0 is 3.0)
+    assert st2.n_constant_dims == 1
+
+
+def test_get_invlist(small_ds):
+    idx = make_ivf_flat(small_ds.d, 16)
+    idx.cp.niter = 5
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    sizes = contrib.get_invlist_sizes(idx)
+    tot = 0
+    for l in range(16):
+        ids, vecs = contrib.get_invlist(idx, l)
+        assert len(ids) == sizes[l]
+        assert vecs.shape == (sizes[l], small_ds.d)
+        tot += len(ids)
+    assert tot == small_ds.nb

@@ -62,6 +62,18 @@ class IndexFlat(Index):
         self.ntotal = 0
 
     # --- search -----------------------------------------------------------
+    def search_device(self, xq_dev: jnp.ndarray, k: int):
+        """Device-in/device-out search (no host sync) — lets composite
+        indexes (IVF) chain coarse+fine phases without round-trips."""
+        return D.knn(
+            xq_dev,
+            self._xb,
+            k,
+            self.metric_type,
+            xb_norms=self._norms if self.metric_type == METRIC_L2 else None,
+            valid_n=jnp.int32(self.ntotal),
+        )
+
     def search(self, x, k: int, *, params=None):
         x = self._check_input(x)
         if self.ntotal == 0:
@@ -78,6 +90,22 @@ class IndexFlat(Index):
             valid_n=jnp.int32(self.ntotal),
         )
         return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
+
+    def range_search(self, x, radius: float):
+        """faiss Index::range_search -> (lims, D, I) CSR triple."""
+        from ..ops.range_search import range_search_blocked
+
+        x = self._check_input(x)
+        if self.ntotal == 0:
+            import numpy as _np
+
+            n = len(x)
+            return (_np.zeros(n + 1, _np.int64), _np.zeros(0, _np.float32),
+                    _np.zeros(0, _np.int64))
+        res = range_search_blocked(
+            x, self._xb, radius, self.metric_type, valid_n=self.ntotal
+        )
+        return res.lims, res.distances, res.labels
 
     # --- reconstruction / codec -------------------------------------------
     def reconstruct(self, key: int) -> np.ndarray:

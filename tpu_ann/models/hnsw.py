@@ -107,6 +107,16 @@ class IndexHNSW(Index):
         ef = max(int(ef), int(k))
         return ef, expand
 
+    def search_device(self, xq_dev: jnp.ndarray, k: int,
+                      params: Optional[SearchParametersHNSW] = None):
+        """Device-in/device-out search (no host sync)."""
+        ef, expand = self._effective(k, params)
+        Dv, Iv, _ = H.hnsw_search(
+            self.storage.vectors, self.graph, xq_dev,
+            ef=ef, k=k, expand=expand, metric=self.metric_type,
+        )
+        return Dv, Iv
+
     def search(self, x, k: int, *, params: Optional[SearchParametersHNSW] = None):
         Dv, Iv, _ = self.search_stats(x, k, params=params)
         return Dv, Iv

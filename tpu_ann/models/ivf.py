@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -151,25 +152,43 @@ class IndexIVF(Index):
         return nprobe, mnb
 
     def search(self, x, k: int, *, params: Optional[SearchParametersIVF] = None):
-        D_, I_, _ = self.search_stats(x, k, params=params)[0:3]
-        return D_, I_
+        """Fast path: both phases stay on device, one sync at the end
+        (unlike search_stats, which syncs between phases to time them)."""
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        x = self._check_input(x)
+        nprobe, mnb = self._effective_params(params)
+        xq_dev = jnp.asarray(x)
+        Dv, Iv = self._search_device(xq_dev, k, nprobe, mnb)
+        return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
+
+    def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int):
+        """coarse quantization + invlist scan, all on device."""
+        _, probes = self.quantizer.search_device(xq_dev, nprobe)
+        Dv, Iv, _ = ivf_scan.scan_invlists(
+            xq_dev, probes.astype(jnp.int32), self.invlists, k,
+            self.metric_type, max_nblocks=mnb,
+        )
+        return Dv, Iv
 
     def search_stats(self, x, k: int, *,
                      params: Optional[SearchParametersIVF] = None):
         """search + QueryLatencyStats split (fork's IndexIVF::search_stats,
-        faiss/IndexIVF.cpp:727-860)."""
+        faiss/IndexIVF.cpp:727-860). Syncs between phases for the timing
+        split; use search() for throughput."""
         if self.invlists is None:
             raise RuntimeError("empty index")
         x = self._check_input(x)
         nprobe, mnb = self._effective_params(params)
 
+        xq_dev = jnp.asarray(x)
         with Timer() as t_q:
-            cd, probes = self.quantizer.search(x, nprobe)
-            probes = np.asarray(probes, np.int32)
+            cd, probes = self.quantizer.search_device(xq_dev, nprobe)
+            probes = jax.block_until_ready(probes.astype(jnp.int32))
         with Timer() as t_s:
             Dv, Iv, ndis = ivf_scan.scan_invlists(
-                jnp.asarray(x),
-                jnp.asarray(probes),
+                xq_dev,
+                probes,
                 self.invlists,
                 k,
                 self.metric_type,
@@ -186,6 +205,21 @@ class IndexIVF(Index):
             nlist_visited=len(x) * nprobe,
         )
         return Dv, Iv, stats
+
+    def range_search(self, x, radius: float):
+        """faiss IndexIVF::range_search over the probed lists."""
+        from ..ops.range_search import range_search_ivf
+
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        x = self._check_input(x)
+        nprobe, mnb = self._effective_params(None)
+        _, probes = self.quantizer.search(x, nprobe)
+        res = range_search_ivf(
+            x, np.asarray(probes, np.int32), self.invlists, radius,
+            self.metric_type, max_nblocks=mnb,
+        )
+        return res.lims, res.distances, res.labels
 
     def search_preassigned(self, x, k: int, probes: np.ndarray):
         """Scan given precomputed coarse assignment

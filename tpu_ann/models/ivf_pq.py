@@ -69,28 +69,40 @@ class IndexIVFPQ(IndexIVF):
                                            self.block_size)
 
     # --- search -----------------------------------------------------------
+    def _scan_device(self, xq_dev, probes, cd, k: int, mnb: int):
+        return ivf_scan.scan_invlists_pq(
+            xq_dev,
+            probes,
+            cd.astype(jnp.float32),
+            self.invlists,
+            self._pq_cent_dev,
+            self._coarse_centroids(),
+            k,
+            self.metric_type,
+            by_residual=self.by_residual,
+            max_nblocks=mnb,
+        )
+
+    def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int):
+        cd, probes = self.quantizer.search_device(xq_dev, nprobe)
+        Dv, Iv, _ = self._scan_device(xq_dev, probes.astype(jnp.int32), cd,
+                                      k, mnb)
+        return Dv, Iv
+
     def search_stats(self, x, k: int, *,
                      params: Optional[SearchParametersIVF] = None):
         if self.invlists is None:
             raise RuntimeError("empty index")
+        import jax
+
         x = self._check_input(x)
         nprobe, mnb = self._effective_params(params)
+        xq_dev = jnp.asarray(x)
         with Timer() as t_q:
-            cd, probes = self.quantizer.search(x, nprobe)
-            probes = np.asarray(probes, np.int32)
+            cd, probes = self.quantizer.search_device(xq_dev, nprobe)
+            probes = jax.block_until_ready(probes.astype(jnp.int32))
         with Timer() as t_s:
-            Dv, Iv, ndis = ivf_scan.scan_invlists_pq(
-                jnp.asarray(x),
-                jnp.asarray(probes),
-                jnp.asarray(np.asarray(cd, np.float32)),
-                self.invlists,
-                self._pq_cent_dev,
-                self._coarse_centroids(),
-                k,
-                self.metric_type,
-                by_residual=self.by_residual,
-                max_nblocks=mnb,
-            )
+            Dv, Iv, ndis = self._scan_device(xq_dev, probes, cd, k, mnb)
             Dv = np.asarray(Dv)
             Iv = np.asarray(Iv, np.int64)
         stats = SearchStats(
@@ -127,23 +139,40 @@ class IndexIVFScalarQuantizer(IndexIVF):
         return ivf_scan.pack_code_invlists(codes, ids, assign, self.nlist,
                                            self.block_size)
 
-    def search_stats(self, x, k: int, *,
-                     params: Optional[SearchParametersIVF] = None):
-        if self.invlists is None:
-            raise RuntimeError("empty index")
-        x = self._check_input(x)
-        nprobe, mnb = self._effective_params(params)
-        with Timer() as t_q:
-            _, probes = self.quantizer.search(x, nprobe)
-            probes = np.asarray(probes, np.int32)
+    def _sq_params(self):
         d = self.d
         vmin = (jnp.asarray(self.sq.vmin) if self.sq.vmin is not None
                 else jnp.zeros((d,), jnp.float32))
         vdiff = (jnp.asarray(self.sq.vdiff) if self.sq.vdiff is not None
                  else jnp.ones((d,), jnp.float32))
+        return vmin, vdiff
+
+    def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int):
+        _, probes = self.quantizer.search_device(xq_dev, nprobe)
+        vmin, vdiff = self._sq_params()
+        Dv, Iv, _ = ivf_scan.scan_invlists_sq(
+            xq_dev, probes.astype(jnp.int32), self.invlists,
+            vmin, vdiff, k, self.metric_type,
+            qtype=self.qtype, max_nblocks=mnb,
+        )
+        return Dv, Iv
+
+    def search_stats(self, x, k: int, *,
+                     params: Optional[SearchParametersIVF] = None):
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        import jax
+
+        x = self._check_input(x)
+        nprobe, mnb = self._effective_params(params)
+        xq_dev = jnp.asarray(x)
+        with Timer() as t_q:
+            _, probes = self.quantizer.search_device(xq_dev, nprobe)
+            probes = jax.block_until_ready(probes.astype(jnp.int32))
+        vmin, vdiff = self._sq_params()
         with Timer() as t_s:
             Dv, Iv, ndis = ivf_scan.scan_invlists_sq(
-                jnp.asarray(x), jnp.asarray(probes), self.invlists,
+                xq_dev, probes, self.invlists,
                 vmin, vdiff, k, self.metric_type,
                 qtype=self.qtype, max_nblocks=mnb,
             )

@@ -103,21 +103,15 @@ def pack_invlists(
     data = np.zeros((nb_total + 1, B, d), np.float32)
     ids = np.full((nb_total + 1, B), -1, np.int32)
 
-    x_sorted = x[order]
-    ids_sorted = xids[order]
+    # vectorized scatter: row r (in list order) lands at slot
+    # starts_blocks[list]*B + rank-within-list
+    a_sorted = assign[order]
     src_starts = np.zeros(nlist + 1, np.int64)
     np.cumsum(sizes, out=src_starts[1:])
-    for l in range(nlist):
-        sz = sizes[l]
-        if sz == 0:
-            continue
-        rows = x_sorted[src_starts[l] : src_starts[l] + sz]
-        rid = ids_sorted[src_starts[l] : src_starts[l] + sz]
-        b0 = starts_blocks[l]
-        flat = data[b0 : b0 + nblocks_per_list[l]].reshape(-1, d)
-        flat[:sz] = rows
-        fid = ids[b0 : b0 + nblocks_per_list[l]].reshape(-1)
-        fid[:sz] = rid
+    rank = np.arange(n, dtype=np.int64) - src_starts[a_sorted]
+    slot = starts_blocks[a_sorted] * B + rank
+    data.reshape(-1, d)[slot] = x[order]
+    ids.reshape(-1)[slot] = xids[order]
 
     norms = (data.astype(np.float64) ** 2).sum(-1).astype(np.float32)
     # dummy block: already zero data / -1 ids; empty lists point at it
@@ -135,6 +129,119 @@ def pack_invlists(
     return pil
 
 
+def _compact_block_table(probes, list_block_start, list_nblocks,
+                         max_nblocks: int, NB):
+    """Per-query compacted block id table.
+
+    The naive layout pads every probed list to `max_nblocks` — with skewed
+    list sizes that wastes most of the scan (imbalance 2 on SIFT1M-scale
+    data means ~4-5x padding). Instead scatter each probe's real blocks
+    contiguously: buffer[q, offs[q,p] + i] = start[q,p] + i, remainder NB
+    (the dummy block). Work then scales with the actual number of probed
+    blocks, the same effect as the reference's exact ragged scan loop
+    (faiss/IndexIVF.cpp:511-589) and the GPU two-pass IVFUtils prefix-sum
+    (gpu/impl/IVFUtils.cu).
+
+    Returns (buffer (nq, W), total (nq,)) with W = nprobe * max_nblocks.
+    """
+    nq, nprobe = probes.shape
+    starts = list_block_start[probes]
+    nblk = jnp.minimum(list_nblocks[probes], max_nblocks)
+    offs = jnp.cumsum(nblk, axis=1) - nblk               # exclusive
+    total = offs[:, -1] + nblk[:, -1]
+    W = nprobe * max_nblocks
+    local = lax.broadcasted_iota(jnp.int32, (1, 1, max_nblocks), 2)
+    valid = local < nblk[:, :, None]
+    pos = jnp.where(valid, offs[:, :, None] + local, W)  # invalid -> col W
+    bid = starts[:, :, None] + local
+    row = lax.broadcasted_iota(jnp.int32, pos.shape, 0)
+    buffer = jnp.full((nq, W + 1), NB, jnp.int32)
+    buffer = buffer.at[row.reshape(nq, -1), pos.reshape(nq, -1)].set(
+        bid.reshape(nq, -1))[:, :W]
+    return buffer, total
+
+
+def _scan_compacted(xq, probes, list_block_start, list_nblocks, NB,
+                    chunk_score_fn, k: int, similarity: bool, bad,
+                    max_nblocks: int, chunk_blocks: int, qt: int,
+                    extra_per_query=None):
+    """Generic compacted invlist scan driver.
+
+    1. build the per-query compacted block table;
+    2. sort queries by scan length so each tile is homogeneous;
+    3. per query-tile, run chunks under `lax.while_loop` bounded by the
+       tile's own max block count (work scales with real list sizes);
+    4. un-permute results.
+
+    chunk_score_fn(q, extras, bids) -> (dis (qtile, cb, B), vids) computes
+    one chunk's distances (flat / SQ-dequant / PQ-LUT variants).
+    """
+    nq, d = xq.shape
+    xq = xq.astype(jnp.float32)
+    buffer, total = _compact_block_table(
+        probes, list_block_start, list_nblocks, max_nblocks, NB)
+    W = buffer.shape[1]
+
+    perm = jnp.argsort(total)
+    xq_s = xq[perm]
+    buf_s = buffer[perm]
+    tot_s = total[perm]
+    extras = (extra_per_query[perm]
+              if extra_per_query is not None else jnp.zeros((nq, 1)))
+
+    cb = min(chunk_blocks, W)
+    Wp = (-(-W // cb)) * cb
+    if Wp != W:
+        buf_s = jnp.pad(buf_s, ((0, 0), (0, Wp - W)), constant_values=NB)
+    qtile = min(qt, nq)
+    nqt = -(-nq // qtile)
+    qpad = nqt * qtile - nq
+    if qpad:
+        xq_s = jnp.pad(xq_s, ((0, qpad), (0, 0)))
+        buf_s = jnp.pad(buf_s, ((0, qpad), (0, 0)), constant_values=NB)
+        tot_s = jnp.pad(tot_s, (0, qpad))
+        extras = jnp.pad(extras, ((0, qpad),) + ((0, 0),) * (extras.ndim - 1))
+    buf_t = buf_s.reshape(nqt, qtile, Wp)
+    xq_t = xq_s.reshape(nqt, qtile, d)
+    tot_t = tot_s.reshape(nqt, qtile)
+    ex_t = extras.reshape((nqt, qtile) + extras.shape[1:])
+
+    def scan_tile(args):
+        q, qblk, qtot, qex = args
+        nch = lax.div(jnp.max(qtot) + cb - 1, cb)        # dynamic bound
+
+        def cond(state):
+            return state[0] < nch
+
+        def body(state):
+            c, bd, bi, nd = state
+            bids = lax.dynamic_slice(qblk, (0, c * cb), (qtile, cb))
+            dis, vids = chunk_score_fn(q, qex, bids)
+            valid = vids >= 0
+            dis = jnp.where(valid, dis, bad)
+            nd = nd + jnp.sum(valid.astype(jnp.int32))
+            dis2 = dis.reshape(qtile, -1)
+            vids2 = vids.reshape(qtile, -1)
+            nbd, nbi = T.merge_topk(bd, bi, dis2, vids2, k,
+                                    similarity=similarity)
+            return c + 1, nbd, nbi, nd
+
+        init = (
+            jnp.int32(0),
+            jnp.full((qtile, k), bad, jnp.float32),
+            jnp.full((qtile, k), -1, jnp.int32),
+            jnp.int32(0),
+        )
+        _, bd, bi, nd = lax.while_loop(cond, body, init)
+        return bd, bi, nd
+
+    bd, bi, nd = lax.map(scan_tile, (xq_t, buf_t, tot_t, ex_t))
+    bd = bd.reshape(nqt * qtile, k)[:nq]
+    bi = bi.reshape(nqt * qtile, k)[:nq]
+    inv = jnp.argsort(perm)
+    return bd[inv], bi[inv], jnp.sum(nd)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "max_nblocks", "chunk_blocks", "qt"),
@@ -150,7 +257,9 @@ def scan_invlists(
     chunk_blocks: int = 8,
     qt: int = 256,
 ):
-    """Scan probed lists: the batched `search_preassigned` phase 2.
+    """Scan probed lists: the batched `search_preassigned` phase 2
+    (compacted block table + length-sorted query tiles, see
+    `_scan_compacted`).
 
     Args:
       xq: (nq, d) queries.
@@ -162,78 +271,30 @@ def scan_invlists(
       (non-padding) distance evaluations (IndexIVFStats.ndis analog).
     """
     nq, d = xq.shape
-    nprobe = probes.shape[1]
-    B = invlists.block_size
-    NB = invlists.nblocks  # dummy block index
-
-    xq = xq.astype(jnp.float32)
     similarity = D.is_similarity_metric(metric)
     bad = D.worst_value(metric)
 
-    # per (query, probe): block index ranges, truncated at max_nblocks
-    starts = invlists.list_block_start[probes]          # (nq, nprobe)
-    nblk = jnp.minimum(invlists.list_nblocks[probes], max_nblocks)
-    local = lax.broadcasted_iota(jnp.int32, (1, 1, max_nblocks), 2)
-    blk = starts[:, :, None] + local                     # (nq, nprobe, mnb)
-    blk = jnp.where(local < nblk[:, :, None], blk, NB)   # dummy when OOB
-    blk = blk.reshape(nq, nprobe * max_nblocks)
-
-    P = nprobe * max_nblocks
-    cb = min(chunk_blocks, P)
-    nchunks = -(-P // cb)
-    if nchunks * cb != P:
-        blk = jnp.pad(blk, ((0, 0), (0, nchunks * cb - P)),
-                      constant_values=NB)
-    qtile = min(qt, nq)
-    nqt = -(-nq // qtile)
-    qpad = nqt * qtile - nq
-    if qpad:
-        xq = jnp.pad(xq, ((0, qpad), (0, 0)))
-        blk = jnp.pad(blk, ((0, qpad), (0, 0)), constant_values=NB)
-    blk = blk.reshape(nqt, qtile, nchunks, cb)
-    xq_t = xq.reshape(nqt, qtile, d)
-    qn = D.l2_norms(xq, precision=lax.Precision.DEFAULT).reshape(nqt, qtile)
-
-    def scan_tile(args):
-        q, qnorm, qblk = args  # (qtile, d), (qtile,), (qtile, nchunks, cb)
-
-        def chunk_body(c, carry):
-            bd, bi, nd = carry
-            bids = qblk[:, c, :]                       # (qtile, cb)
-            vecs = invlists.data[bids]                 # (qtile, cb, B, d)
-            vids = invlists.ids[bids]                  # (qtile, cb, B)
-            vnorm = invlists.norms[bids]
-            ip = jnp.einsum(
-                "qd,qcbd->qcb", q, vecs,
-                precision=lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32,
-            )
-            if similarity:
-                dis = ip
-            else:
-                dis = jnp.maximum(
-                    qnorm[:, None, None] + vnorm - 2.0 * ip, 0.0
-                )
-            valid = vids >= 0
-            dis = jnp.where(valid, dis, bad)
-            nd = nd + jnp.sum(valid.astype(jnp.int32))
-            dis = dis.reshape(qtile, cb * B)
-            vids = vids.reshape(qtile, cb * B)
-            nbd, nbi = T.merge_topk(bd, bi, dis, vids, k,
-                                    similarity=similarity)
-            return nbd, nbi, nd
-
-        init = (
-            jnp.full((qtile, k), bad, jnp.float32),
-            jnp.full((qtile, k), -1, jnp.int32),
-            jnp.int32(0),
+    def score(q, qex, bids):
+        vecs = invlists.data[bids]                 # (qtile, cb, B, d)
+        vids = invlists.ids[bids]                  # (qtile, cb, B)
+        vnorm = invlists.norms[bids]
+        ip = jnp.einsum(
+            "qd,qcbd->qcb", q, vecs,
+            precision=lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
         )
-        return lax.fori_loop(0, nchunks, chunk_body, init)
+        if similarity:
+            dis = ip
+        else:
+            qn = jnp.sum(q * q, axis=1)
+            dis = jnp.maximum(qn[:, None, None] + vnorm - 2.0 * ip, 0.0)
+        return dis, vids
 
-    bd, bi, nd = lax.map(scan_tile, (xq_t, qn, blk))
-    bd = bd.reshape(nqt * qtile, k)[:nq]
-    bi = bi.reshape(nqt * qtile, k)[:nq]
-    return bd, bi, jnp.sum(nd)
+    return _scan_compacted(
+        xq, probes, invlists.list_block_start, invlists.list_nblocks,
+        invlists.nblocks, score, k, similarity, bad,
+        max_nblocks, chunk_blocks, qt,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -305,19 +366,13 @@ def pack_code_invlists(
 
     cdata = np.zeros((nb_total + 1, B, cw), codes.dtype)
     ids = np.full((nb_total + 1, B), -1, np.int32)
-    c_sorted = codes[order]
-    ids_sorted = xids[order]
+    a_sorted = assign[order]
     src_starts = np.zeros(nlist + 1, np.int64)
     np.cumsum(sizes, out=src_starts[1:])
-    for l in range(nlist):
-        sz = sizes[l]
-        if sz == 0:
-            continue
-        b0 = starts_blocks[l]
-        flat = cdata[b0 : b0 + nblocks_per_list[l]].reshape(-1, cw)
-        flat[:sz] = c_sorted[src_starts[l] : src_starts[l] + sz]
-        fid = ids[b0 : b0 + nblocks_per_list[l]].reshape(-1)
-        fid[:sz] = ids_sorted[src_starts[l] : src_starts[l] + sz]
+    rank = np.arange(n, dtype=np.int64) - src_starts[a_sorted]
+    slot = starts_blocks[a_sorted] * B + rank
+    cdata.reshape(-1, cw)[slot] = codes[order]
+    ids.reshape(-1)[slot] = xids[order]
 
     empty = nblocks_per_list == 0
     starts_blocks[empty] = nb_total
@@ -476,79 +531,34 @@ def scan_invlists_sq(
 ):
     """Scan SQ-coded invlists: dequantize gathered code blocks on the VPU
     then one distance contraction (SQDistanceComputer role,
-    impl/ScalarQuantizer.cpp)."""
+    impl/ScalarQuantizer.cpp). Compacted-table driver, see _scan_compacted.
+    """
     from . import sq as SQ
 
-    nq, d = xq.shape
-    nprobe = probes.shape[1]
-    B = invlists.block_size
-    NB = invlists.nblocks
-    xq = xq.astype(jnp.float32)
     similarity = D.is_similarity_metric(metric)
     bad = D.worst_value(metric)
-
-    codec = SQ.SQCodec(qtype=qtype, d=d)  # params via vmin/vdiff args
-
-    starts = invlists.list_block_start[probes]
-    nblk = jnp.minimum(invlists.list_nblocks[probes], max_nblocks)
-    local = lax.broadcasted_iota(jnp.int32, (1, 1, max_nblocks), 2)
-    blk = starts[:, :, None] + local
-    blk = jnp.where(local < nblk[:, :, None], blk, NB)
-    blk = blk.reshape(nq, nprobe * max_nblocks)
-
-    P = nprobe * max_nblocks
-    cb = min(chunk_blocks, P)
-    nchunks = -(-P // cb)
-    if nchunks * cb != P:
-        blk = jnp.pad(blk, ((0, 0), (0, nchunks * cb - P)),
-                      constant_values=NB)
-    qtile = min(qt, nq)
-    nqt = -(-nq // qtile)
-    qpad = nqt * qtile - nq
-    if qpad:
-        xq = jnp.pad(xq, ((0, qpad), (0, 0)))
-        blk = jnp.pad(blk, ((0, qpad), (0, 0)), constant_values=NB)
-    blk = blk.reshape(nqt, qtile, nchunks, cb)
-    xq_t = xq.reshape(nqt, qtile, d)
 
     def dequant(codes):
         if qtype in (SQ.QT_8BIT, SQ.QT_8BIT_UNIFORM):
             return vmin + (codes.astype(jnp.float32) + 0.5) / 256.0 * vdiff
         return codes.astype(jnp.float32)
 
-    def scan_tile(args):
-        q, qblk = args
+    def score(q, qex, bids):
+        vecs = dequant(invlists.codes[bids])        # (qtile, cb, B, d)
+        vids = invlists.ids[bids]
+        ip = jnp.einsum("qd,qcbd->qcb", q, vecs,
+                        precision=lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        if similarity:
+            dis = ip
+        else:
+            qn = jnp.sum(q * q, axis=1)[:, None, None]
+            vn = jnp.sum(vecs * vecs, axis=3)
+            dis = jnp.maximum(qn + vn - 2.0 * ip, 0.0)
+        return dis, vids
 
-        def chunk_body(c, carry):
-            bd, bi, nd = carry
-            bids = qblk[:, c, :]
-            vecs = dequant(invlists.codes[bids])        # (qtile, cb, B, d)
-            vids = invlists.ids[bids]
-            ip = jnp.einsum("qd,qcbd->qcb", q, vecs,
-                            precision=lax.Precision.DEFAULT,
-                            preferred_element_type=jnp.float32)
-            if similarity:
-                dis = ip
-            else:
-                qn = jnp.sum(q * q, axis=1)[:, None, None]
-                vn = jnp.sum(vecs * vecs, axis=3)
-                dis = jnp.maximum(qn + vn - 2.0 * ip, 0.0)
-            valid = vids >= 0
-            dis = jnp.where(valid, dis, bad)
-            nd = nd + jnp.sum(valid.astype(jnp.int32))
-            nbd, nbi = T.merge_topk(
-                bd, bi, dis.reshape(qtile, cb * B),
-                vids.reshape(qtile, cb * B), k, similarity=similarity)
-            return nbd, nbi, nd
-
-        init = (
-            jnp.full((qtile, k), bad, jnp.float32),
-            jnp.full((qtile, k), -1, jnp.int32),
-            jnp.int32(0),
-        )
-        return lax.fori_loop(0, nchunks, chunk_body, init)
-
-    bd, bi, nd = lax.map(scan_tile, (xq_t, blk))
-    bd = bd.reshape(nqt * qtile, k)[:nq]
-    bi = bi.reshape(nqt * qtile, k)[:nq]
-    return bd, bi, jnp.sum(nd)
+    return _scan_compacted(
+        xq, probes, invlists.list_block_start, invlists.list_nblocks,
+        invlists.nblocks, score, k, similarity, bad,
+        max_nblocks, chunk_blocks, qt,
+    )

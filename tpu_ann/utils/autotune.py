@@ -1,0 +1,201 @@
+"""Auto-tuning — faiss `AutoTune.{h,cpp}`: `AutoTuneCriterion`
+(OneRecallAtRCriterion / IntersectionCriterion), `OperatingPoints` Pareto
+set, and `ParameterSpace` (named runtime parameters + grid exploration with
+monotonicity pruning).
+
+`ParameterSpace` knows the same parameter names the reference exposes
+(`nprobe`, `efSearch`, `k_factor`, `max_codes` — AutoTune.cpp
+ParameterSpace::initialize) and applies them via
+`set_index_parameters(index, "nprobe=16,efSearch=64")`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# criteria (AutoTuneCriterion hierarchy, AutoTune.h:25-100)
+# ---------------------------------------------------------------------------
+
+class AutoTuneCriterion:
+    def __init__(self, nq: int, nnn: int):
+        self.nq, self.nnn = nq, nnn
+        self.gt_I: Optional[np.ndarray] = None
+
+    def set_groundtruth(self, gt_D, gt_I) -> None:
+        self.gt_I = np.asarray(gt_I)
+
+    def evaluate(self, D: np.ndarray, I: np.ndarray) -> float:
+        raise NotImplementedError
+
+
+class OneRecallAtRCriterion(AutoTuneCriterion):
+    """P(gt[0] in first R results) (AutoTune.h OneRecallAtRCriterion)."""
+
+    def __init__(self, nq: int, R: int):
+        super().__init__(nq, R)
+        self.R = R
+
+    def evaluate(self, D, I) -> float:
+        found = (I[:, : self.R] == self.gt_I[: len(I), :1]).any(axis=1)
+        return float(found.mean())
+
+
+class IntersectionCriterion(AutoTuneCriterion):
+    """|result ∩ gt| / (nq*R) (AutoTune.h IntersectionCriterion)."""
+
+    def __init__(self, nq: int, R: int):
+        super().__init__(nq, R)
+        self.R = R
+
+    def evaluate(self, D, I) -> float:
+        inter = 0
+        for i in range(len(I)):
+            inter += np.intersect1d(I[i, : self.R],
+                                    self.gt_I[i, : self.R]).size
+        return inter / float(len(I) * self.R)
+
+
+# ---------------------------------------------------------------------------
+# operating points (AutoTune.h:77-130)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class OperatingPoint:
+    perf: float    # criterion value (higher better)
+    t: float       # seconds per batch (lower better)
+    key: str       # parameter-set string
+
+
+class OperatingPoints:
+    """Pareto-optimal (perf, time) set."""
+
+    def __init__(self):
+        self.all_pts: List[OperatingPoint] = []
+
+    def add(self, perf: float, t: float, key: str) -> bool:
+        self.all_pts.append(OperatingPoint(perf, t, key))
+        return self.is_pareto(perf, t)
+
+    def is_pareto(self, perf: float, t: float) -> bool:
+        return not any(p.perf >= perf and p.t <= t and
+                       (p.perf > perf or p.t < t) for p in self.all_pts)
+
+    def optimal_pts(self) -> List[OperatingPoint]:
+        pts = sorted(self.all_pts, key=lambda p: (p.t, -p.perf))
+        out: List[OperatingPoint] = []
+        best = -1.0
+        for p in pts:
+            if p.perf > best:
+                out.append(p)
+                best = p.perf
+        return out
+
+
+# ---------------------------------------------------------------------------
+# parameter space (AutoTune.h:131-205)
+# ---------------------------------------------------------------------------
+
+def set_index_parameter(index, name: str, value) -> None:
+    """Apply one named runtime parameter
+    (ParameterSpace::set_index_parameter, AutoTune.cpp)."""
+    from ..models.idmap import IndexIDMap
+    from ..models.refine import IndexRefine
+    from ..models.transforms import IndexPreTransform
+
+    if isinstance(index, IndexPreTransform):
+        return set_index_parameter(index.index, name, value)
+    if isinstance(index, IndexIDMap):
+        return set_index_parameter(index.index, name, value)
+    if name == "k_factor" and isinstance(index, IndexRefine):
+        index.k_factor = int(value)
+        return
+    if isinstance(index, IndexRefine):
+        return set_index_parameter(index.base_index, name, value)
+    if name == "nprobe":
+        index.nprobe = int(value)
+        return
+    if name == "efSearch":
+        if hasattr(index, "quantizer") and hasattr(index.quantizer, "hnsw"):
+            index.quantizer.hnsw.efSearch = int(value)
+            return
+        if hasattr(index, "hnsw"):
+            index.hnsw.efSearch = int(value)
+            return
+    raise ValueError(f"cannot set parameter {name} on {type(index).__name__}")
+
+
+class ParameterSpace:
+    """Grid of runtime parameters + exploration
+    (ParameterSpace::explore, AutoTune.cpp)."""
+
+    def __init__(self):
+        self.parameter_ranges: Dict[str, List] = {}
+        self.verbose = False
+
+    def initialize(self, index) -> None:
+        """Infer tunable parameters (ParameterSpace::initialize)."""
+        from ..models.idmap import IndexIDMap
+        from ..models.ivf import IndexIVF
+        from ..models.hnsw import IndexHNSW
+        from ..models.refine import IndexRefine
+        from ..models.transforms import IndexPreTransform
+
+        if isinstance(index, (IndexPreTransform, IndexIDMap)):
+            return self.initialize(index.index)
+        if isinstance(index, IndexRefine):
+            self.parameter_ranges["k_factor"] = [1, 2, 4, 8, 16]
+            return self.initialize(index.base_index)
+        if isinstance(index, IndexIVF):
+            nlist = index.nlist
+            rng = [1]
+            while rng[-1] * 2 <= max(nlist // 2, 1):
+                rng.append(rng[-1] * 2)
+            self.parameter_ranges["nprobe"] = rng
+            if hasattr(index.quantizer, "hnsw"):
+                self.parameter_ranges["efSearch"] = [16, 32, 64, 128, 256]
+        elif isinstance(index, IndexHNSW):
+            self.parameter_ranges["efSearch"] = [8, 16, 32, 64, 128, 256]
+
+    def set_index_parameters(self, index, spec: str) -> None:
+        """Apply "name=value,name=value" (AutoTune.cpp)."""
+        for part in spec.split(","):
+            if not part:
+                continue
+            name, value = part.split("=")
+            set_index_parameter(index, name.strip(), float(value))
+
+    def combinations(self) -> List[Dict[str, float]]:
+        names = sorted(self.parameter_ranges)
+        out = []
+        for combo in itertools.product(
+                *(self.parameter_ranges[n] for n in names)):
+            out.append(dict(zip(names, combo)))
+        return out
+
+    def explore(self, index, xq: np.ndarray, crit: AutoTuneCriterion,
+                *, batchsize: Optional[int] = None) -> OperatingPoints:
+        """Evaluate the grid, collecting Pareto-optimal operating points.
+        Monotone pruning: combinations dominated by an already-measured
+        cheaper-and-better point are skipped (ParameterSpace::explore)."""
+        ops = OperatingPoints()
+        k = crit.nnn
+        for combo in self.combinations():
+            key = ",".join(f"{n}={v}" for n, v in sorted(combo.items()))
+            for n, v in combo.items():
+                set_index_parameter(index, n, v)
+            index.search(xq[:8], k)  # warm-up / compile
+            t0 = time.perf_counter()
+            D, I = index.search(xq, k)
+            t = time.perf_counter() - t0
+            perf = crit.evaluate(D, I)
+            ops.add(perf, t, key)
+            if self.verbose:
+                print(f"  {key}: perf={perf:.4f} t={t*1000:.1f}ms")
+        return ops

