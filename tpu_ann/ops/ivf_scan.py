@@ -86,12 +86,29 @@ def pack_invlists(
     block_size: int = 128,
 ) -> PackedInvLists:
     """Build the packed layout on host from an assignment (counting sort by
-    list — the batch equivalent of `InvertedLists::add_entries`)."""
+    list — the batch equivalent of `InvertedLists::add_entries`). Uses the
+    native multithreaded scatter when available."""
     x = np.ascontiguousarray(x, np.float32)
     n, d = x.shape
     xids = np.asarray(xids, np.int32)
     assign = np.asarray(assign, np.int64)
     B = block_size
+
+    from ..utils import native as _native
+
+    nat = _native.pack_rows_native(x, xids, assign, nlist, B)
+    if nat is not None:
+        data, ids, starts_blocks, nblocks_per_list = nat
+        norms = _native.norms_l2sqr_native(data)
+        pil = PackedInvLists(
+            data=jnp.asarray(data),
+            ids=jnp.asarray(ids),
+            norms=jnp.asarray(norms),
+            list_block_start=jnp.asarray(starts_blocks, dtype=jnp.int32),
+            list_nblocks=jnp.asarray(nblocks_per_list, dtype=jnp.int32),
+        )
+        pil._max_nblocks = max(int(nblocks_per_list.max(initial=0)), 1)
+        return pil
 
     order = np.argsort(assign, kind="stable")
     sizes = np.bincount(assign, minlength=nlist)
@@ -356,6 +373,20 @@ def pack_code_invlists(
     xids = np.asarray(xids, np.int32)
     assign = np.asarray(assign, np.int64)
     B = block_size
+
+    from ..utils import native as _native
+
+    nat = _native.pack_rows_native(codes, xids, assign, nlist, B)
+    if nat is not None:
+        cdata, ids, starts_blocks, nblocks_per_list = nat
+        pil = PackedCodeInvLists(
+            codes=jnp.asarray(cdata),
+            ids=jnp.asarray(ids),
+            list_block_start=jnp.asarray(starts_blocks, dtype=jnp.int32),
+            list_nblocks=jnp.asarray(nblocks_per_list, dtype=jnp.int32),
+        )
+        pil._max_nblocks = max(int(nblocks_per_list.max(initial=0)), 1)
+        return pil
 
     order = np.argsort(assign, kind="stable")
     sizes = np.bincount(assign, minlength=nlist)
