@@ -26,6 +26,14 @@ from ..ops.distances import METRIC_INNER_PRODUCT, METRIC_L2, is_similarity_metri
 
 
 @dataclasses.dataclass
+class SearchParameters:
+    """Base per-call search parameters (faiss/Index.h:64-69
+    SearchParameters{sel}); subclasses add index-specific knobs."""
+
+    sel: Optional[Any] = None   # IDSelector
+
+
+@dataclasses.dataclass
 class SearchStats:
     """Per-search timing/counters (fork's QueryLatencyStats + IndexIVFStats).
 

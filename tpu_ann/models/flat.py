@@ -81,6 +81,12 @@ class IndexFlat(Index):
             bad = -np.inf if self.is_similarity else np.inf
             return (np.full((nq, k), bad, np.float32),
                     np.full((nq, k), -1, np.int64))
+        id_mask = None
+        sel = getattr(params, "sel", None) if params is not None else None
+        if sel is not None:
+            m = np.zeros(self._capacity, np.uint8)
+            m[: self.ntotal] = sel.make_bitmap(self.ntotal)
+            id_mask = jnp.asarray(m)
         Dv, Iv = D.knn(
             jnp.asarray(x),
             self._xb,
@@ -88,6 +94,7 @@ class IndexFlat(Index):
             self.metric_type,
             xb_norms=self._norms if self.metric_type == METRIC_L2 else None,
             valid_n=jnp.int32(self.ntotal),
+            id_mask=id_mask,
         )
         return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
 

@@ -32,6 +32,7 @@ class SearchParametersHNSW:
 
     efSearch: int = 0    # 0 = use index default
     expand: int = 0      # TPU-specific: nodes expanded per hop (0 = default)
+    sel: object = None   # IDSelector, applied at result extraction
 
 
 class HNSWParams:
@@ -133,13 +134,28 @@ class IndexHNSW(Index):
                     np.full((nq, k), -1, np.int64),
                     SearchStats(nq=nq))
         ef, expand = self._effective(k, params)
+        sel = getattr(params, "sel", None) if params is not None else None
         with Timer() as t:
+            # with a selector: traverse unfiltered, over-fetch ef results,
+            # filter at extraction (the reference's traverse-all /
+            # emit-filtered behavior, faiss HNSW + SearchParameters.sel)
+            kk = ef if sel is not None else k
             Dv, Iv, st = H.hnsw_search(
                 self.storage.vectors, self.graph, jnp.asarray(x),
-                ef=ef, k=k, expand=expand, metric=self.metric_type,
+                ef=ef, k=kk, expand=expand, metric=self.metric_type,
             )
             Dv = np.asarray(Dv)
             Iv = np.asarray(Iv, np.int64)
+            if sel is not None:
+                allow = sel.make_bitmap(self.ntotal)
+                bad = -np.inf if self.is_similarity else np.inf
+                ok = (Iv >= 0) & (allow[np.clip(Iv, 0, self.ntotal - 1)] > 0)
+                Dv = np.where(ok, Dv, bad)
+                Iv = np.where(ok, Iv, -1)
+                order = np.argsort(-Dv if self.is_similarity else Dv,
+                                   axis=1)[:, :k]
+                Dv = np.take_along_axis(Dv, order, axis=1)
+                Iv = np.take_along_axis(Iv, order, axis=1)
         stats = SearchStats(
             nq=len(x), total_us=t.us, quantization_us=0.0, list_scan_us=t.us,
             ndis=int(st["ndis"]), nlist_visited=int(st["nhops"]),

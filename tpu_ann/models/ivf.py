@@ -34,6 +34,7 @@ class SearchParametersIVF:
 
     nprobe: int = 0          # 0 = use index default
     max_codes: int = 0       # 0 = unlimited; cap on scanned codes per query
+    sel: object = None       # IDSelector (SearchParameters.sel)
 
 
 class IndexIVF(Index):
@@ -151,6 +152,16 @@ class IndexIVF(Index):
             mnb = min(mnb, max(1, -(-int(max_codes) // self.block_size)))
         return nprobe, mnb
 
+    def _sel_mask(self, params) -> Optional[jnp.ndarray]:
+        """Lower params.sel (IDSelector) to a device bitmap over stored
+        ids (impl/IDSelector.h -> one gather in the scan kernel)."""
+        sel = getattr(params, "sel", None) if params is not None else None
+        if sel is None:
+            return None
+        max_id = max((int(i.max()) for i in self._ids_host if len(i)),
+                     default=-1)
+        return jnp.asarray(sel.make_bitmap(max_id + 1))
+
     def search(self, x, k: int, *, params: Optional[SearchParametersIVF] = None):
         """Fast path: both phases stay on device, one sync at the end
         (unlike search_stats, which syncs between phases to time them)."""
@@ -159,15 +170,17 @@ class IndexIVF(Index):
         x = self._check_input(x)
         nprobe, mnb = self._effective_params(params)
         xq_dev = jnp.asarray(x)
-        Dv, Iv = self._search_device(xq_dev, k, nprobe, mnb)
+        Dv, Iv = self._search_device(xq_dev, k, nprobe, mnb,
+                                     id_mask=self._sel_mask(params))
         return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
 
-    def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int):
+    def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
+                       id_mask=None):
         """coarse quantization + invlist scan, all on device."""
         _, probes = self.quantizer.search_device(xq_dev, nprobe)
         Dv, Iv, _ = ivf_scan.scan_invlists(
             xq_dev, probes.astype(jnp.int32), self.invlists, k,
-            self.metric_type, max_nblocks=mnb,
+            self.metric_type, max_nblocks=mnb, id_mask=id_mask,
         )
         return Dv, Iv
 

@@ -69,7 +69,8 @@ class IndexIVFPQ(IndexIVF):
                                            self.block_size)
 
     # --- search -----------------------------------------------------------
-    def _scan_device(self, xq_dev, probes, cd, k: int, mnb: int):
+    def _scan_device(self, xq_dev, probes, cd, k: int, mnb: int,
+                     id_mask=None):
         return ivf_scan.scan_invlists_pq(
             xq_dev,
             probes,
@@ -81,12 +82,14 @@ class IndexIVFPQ(IndexIVF):
             self.metric_type,
             by_residual=self.by_residual,
             max_nblocks=mnb,
+            id_mask=id_mask,
         )
 
-    def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int):
+    def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
+                       id_mask=None):
         cd, probes = self.quantizer.search_device(xq_dev, nprobe)
         Dv, Iv, _ = self._scan_device(xq_dev, probes.astype(jnp.int32), cd,
-                                      k, mnb)
+                                      k, mnb, id_mask=id_mask)
         return Dv, Iv
 
     def search_stats(self, x, k: int, *,
@@ -147,13 +150,14 @@ class IndexIVFScalarQuantizer(IndexIVF):
                  else jnp.ones((d,), jnp.float32))
         return vmin, vdiff
 
-    def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int):
+    def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
+                       id_mask=None):
         _, probes = self.quantizer.search_device(xq_dev, nprobe)
         vmin, vdiff = self._sq_params()
         Dv, Iv, _ = ivf_scan.scan_invlists_sq(
             xq_dev, probes.astype(jnp.int32), self.invlists,
             vmin, vdiff, k, self.metric_type,
-            qtype=self.qtype, max_nblocks=mnb,
+            qtype=self.qtype, max_nblocks=mnb, id_mask=id_mask,
         )
         return Dv, Iv
 

@@ -121,6 +121,7 @@ def knn(
     *,
     xb_norms: Optional[jnp.ndarray] = None,
     valid_n: Optional[jnp.ndarray] = None,
+    id_mask: Optional[jnp.ndarray] = None,
     db_block: int = 65536,
     q_block: int = 8192,
     precision=lax.Precision.HIGHEST,
@@ -142,6 +143,9 @@ def knn(
       valid_n: optional scalar count of valid database rows; rows >= valid_n
         are masked to the metric's worst value (supports capacity-padded
         device storage).
+      id_mask: optional (nb,) uint8/bool allow-mask (IDSelector lowered to
+        a bitmap, faiss impl/IDSelector.h); masked-out rows get the worst
+        value.
     Returns:
       (D, I): (nq, k) distances (L2: ascending; IP: descending similarities)
       and int32 ids; invalid slots get id -1.
@@ -157,7 +161,8 @@ def knn(
         def tile(xq_i):
             return knn(
                 xq_i, xb, k, metric, xb_norms=xb_norms, valid_n=valid_n,
-                db_block=db_block, q_block=q_block, precision=precision,
+                id_mask=id_mask, db_block=db_block, q_block=q_block,
+                precision=precision,
             )
 
         Dt, It = lax.map(tile, xq_t)
@@ -173,6 +178,8 @@ def knn(
         xb = jnp.pad(xb, ((0, pad), (0, 0)))
         if xb_norms is not None:
             xb_norms = jnp.pad(xb_norms, (0, pad))
+        if id_mask is not None:
+            id_mask = jnp.pad(id_mask, (0, pad))
     if valid_n is None:
         valid_n = jnp.int32(nb)
     else:
@@ -181,7 +188,7 @@ def knn(
     bad = worst_value(metric)
     qn = l2_norms(xq, precision=precision) if metric == METRIC_L2 else None
 
-    def block_scores(yb, bn, base):
+    def block_scores(yb, bn, bmask, base):
         ip = jnp.dot(
             xq, yb.T, precision=precision, preferred_element_type=jnp.float32
         )
@@ -193,10 +200,12 @@ def knn(
             dis = ip
         ids = base + lax.broadcasted_iota(jnp.int32, (1, yb.shape[0]), 1)
         dis = jnp.where(ids < valid_n, dis, bad)
+        if bmask is not None:
+            dis = jnp.where(bmask[None, :] != 0, dis, bad)
         return dis, jnp.broadcast_to(ids, dis.shape)
 
     if nblocks == 1:
-        dis, ids = block_scores(xb, xb_norms, jnp.int32(0))
+        dis, ids = block_scores(xb, xb_norms, id_mask, jnp.int32(0))
         best_d, pos = _topk_best(dis, min(k, dis.shape[1]), metric)
         best_i = jnp.take_along_axis(ids, pos, axis=1)
         if best_d.shape[1] < k:  # k > nb: pad with sentinels
@@ -206,12 +215,14 @@ def knn(
     else:
         xb_r = xb.reshape(nblocks, block, d)
         norms_r = None if xb_norms is None else xb_norms.reshape(nblocks, block)
+        mask_r = None if id_mask is None else id_mask.reshape(nblocks, block)
 
         def body(i, carry):
             bd, bi = carry
             yb = xb_r[i]
             bn = None if norms_r is None else norms_r[i]
-            dis, ids = block_scores(yb, bn, i * block)
+            bm = None if mask_r is None else mask_r[i]
+            dis, ids = block_scores(yb, bn, bm, i * block)
             cd = jnp.concatenate([bd, dis], axis=1)
             ci = jnp.concatenate([bi, ids], axis=1)
             nd, pos = _topk_best(cd, k, metric)

@@ -554,6 +554,9 @@ def build_graph(
         # ramp-up so early points see a connected graph
         w = 32
         while i0 < len(bucket):
+            from ..utils.interrupt import InterruptCallback
+
+            InterruptCallback.check()
             w = min(w * 2, wave_size)
             wave = bucket[i0 : i0 + w]
             i0 += len(wave)

@@ -181,7 +181,7 @@ def _compact_block_table(probes, list_block_start, list_nblocks,
 def _scan_compacted(xq, probes, list_block_start, list_nblocks, NB,
                     chunk_score_fn, k: int, similarity: bool, bad,
                     max_nblocks: int, chunk_blocks: int, qt: int,
-                    extra_per_query=None):
+                    extra_per_query=None, id_mask=None):
     """Generic compacted invlist scan driver.
 
     1. build the per-query compacted block table;
@@ -235,6 +235,10 @@ def _scan_compacted(xq, probes, list_block_start, list_nblocks, NB,
             bids = lax.dynamic_slice(qblk, (0, c * cb), (qtile, cb))
             dis, vids = chunk_score_fn(q, qex, bids)
             valid = vids >= 0
+            if id_mask is not None:
+                # IDSelector bitmap filter (SearchParameters.sel)
+                allowed = id_mask[jnp.where(valid, vids, 0)] != 0
+                valid = valid & allowed
             dis = jnp.where(valid, dis, bad)
             nd = nd + jnp.sum(valid.astype(jnp.int32))
             dis2 = dis.reshape(qtile, -1)
@@ -273,6 +277,7 @@ def scan_invlists(
     max_nblocks: int,
     chunk_blocks: int = 8,
     qt: int = 256,
+    id_mask: Optional[jnp.ndarray] = None,
 ):
     """Scan probed lists: the batched `search_preassigned` phase 2
     (compacted block table + length-sorted query tiles, see
@@ -310,7 +315,7 @@ def scan_invlists(
     return _scan_compacted(
         xq, probes, invlists.list_block_start, invlists.list_nblocks,
         invlists.nblocks, score, k, similarity, bad,
-        max_nblocks, chunk_blocks, qt,
+        max_nblocks, chunk_blocks, qt, id_mask=id_mask,
     )
 
 
@@ -436,6 +441,7 @@ def scan_invlists_pq(
     max_nblocks: int,
     chunk_probes: int = 4,
     qt: int = 64,
+    id_mask: Optional[jnp.ndarray] = None,
 ):
     """ADC scan over PQ-coded invlists (IndexIVFPQ::search_preassigned ->
     scan_list_with_table / pq4 kernels).
@@ -519,6 +525,9 @@ def scan_invlists_pq(
                 dis = g.reshape(qtile, pc, B, M).sum(axis=3)
                 dis = dis + base[:, :, None]
                 valid = vids >= 0
+                if id_mask is not None:
+                    allowed = id_mask[jnp.where(valid, vids, 0)] != 0
+                    valid = valid & allowed
                 dis = jnp.where(valid, dis, bad)
                 nd2 = nd2 + jnp.sum(valid.astype(jnp.int32))
                 nbd, nbi = T.merge_topk(
@@ -559,6 +568,7 @@ def scan_invlists_sq(
     max_nblocks: int,
     chunk_blocks: int = 8,
     qt: int = 256,
+    id_mask: Optional[jnp.ndarray] = None,
 ):
     """Scan SQ-coded invlists: dequantize gathered code blocks on the VPU
     then one distance contraction (SQDistanceComputer role,
@@ -591,5 +601,5 @@ def scan_invlists_sq(
     return _scan_compacted(
         xq, probes, invlists.list_block_start, invlists.list_nblocks,
         invlists.nblocks, score, k, similarity, bad,
-        max_nblocks, chunk_blocks, qt,
+        max_nblocks, chunk_blocks, qt, id_mask=id_mask,
     )

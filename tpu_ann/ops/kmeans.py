@@ -149,6 +149,9 @@ def kmeans(
         stats = []
         obj = np.inf
         for it in range(cp.niter):
+            from ..utils.interrupt import InterruptCallback
+
+            InterruptCallback.check()
             key, sub = jax.random.split(key)
             cent, assign, obj_j, nsplit = _kmeans_iter(
                 xt_dev, cent, sub, k, metric, cp.spherical

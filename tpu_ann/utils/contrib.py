@@ -90,7 +90,10 @@ def big_batch_search(
         if verbose:
             print(f"big_batch_search: resuming, {done.sum()}/{nbatch} done")
 
+    from .interrupt import InterruptCallback
+
     for b in range(nbatch):
+        InterruptCallback.check()
         if done[b]:
             continue
         i0, i1 = b * batch_size, min((b + 1) * batch_size, nq)
