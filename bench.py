@@ -1,12 +1,15 @@
 """Headline benchmark — prints ONE JSON line.
 
-Reproduces the fork's measurement protocol (tutorial/cpp/benchmark_advanced
-.cpp: build, then sweep search params, report QPS at a recall@10 operating
-point) on SIFT1M-scale synthetic data (1M x 128-d), since no dataset files
-ship with the image. Baseline to beat: the fork's HNSW-IVF CPU operating
+Measurement protocol mirrors the fork's benchmark_advanced.cpp: build,
+sweep search configs, report QPS at the recall@10 >= 0.9 operating point.
+Workload: SIFT1M-scale synthetic (1M x 128-d, clustered) since no dataset
+files ship with the image. Baseline to beat: the fork's best CPU operating
 point — 10 511 QPS @ recall@10 0.92 (BASELINE.md).
 
-Metric: QPS/chip at the first sweep point reaching recall@10 >= 0.9.
+Configs swept (fastest wins the headline):
+  1. IndexFlatL2, bf16 GEMM + TPU approx top-k (BASELINE config #1 —
+     exact distances, hardware partial top-k, measured recall reported)
+  2. IVF4096,Flat nprobe sweep (BASELINE config #2)
 vs_baseline = QPS / 10511.
 """
 
@@ -27,6 +30,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tpu_ann.models.flat import IndexFlatL2
     from tpu_ann.models.ivf import SearchParametersIVF, make_ivf_flat
     from tpu_ann.ops import distances as D
     from tpu_ann.utils.evaluation import recall_k_at_k
@@ -35,46 +39,69 @@ def main():
     d, nb, nt, nq, k = 128, 1_000_000, 100_000, 10_000, 10
     nlist = 4096
     rs = np.random.RandomState(123)
-    # SIFT-like synthetic: clustered gaussian mixture (what IVF cares about)
     ncent = 1024
     cents = rs.rand(ncent, d).astype(np.float32) * 10
+
     def draw(n):
         which = rs.randint(ncent, size=n)
         return (cents[which] + rs.randn(n, d).astype(np.float32)).astype(
             np.float32
         )
+
     xb = draw(nb)
     xt = draw(nt)
     xq = draw(nq)
     log(f"data generated in {time.time()-t0:.1f}s; devices={jax.devices()}")
 
-    # exact ground truth on device (contrib/exhaustive_search role)
+    # exact f32 ground truth on device
     t1 = time.time()
     gt = np.zeros((nq, k), np.int64)
     xb_dev = jnp.asarray(xb)
-    for i in range(0, nq, 1000):
-        _, I = D.knn(jnp.asarray(xq[i : i + 1000]), xb_dev, k, db_block=131072)
-        gt[i : i + 1000] = np.asarray(I)
+    for i in range(0, nq, 2000):
+        _, I = D.knn(jnp.asarray(xq[i : i + 2000]), xb_dev, k,
+                     db_block=131072)
+        gt[i : i + 2000] = np.asarray(I)
     del xb_dev
     log(f"ground truth in {time.time()-t1:.1f}s")
 
-    # build
+    results = []
+
+    # --- config 1: Flat bf16 + approx top-k --------------------------------
+    flat = IndexFlatL2(d)
+    flat.compute_dtype = "bfloat16"
+    flat.approx_topk = True
     t2 = time.time()
+    flat.add(xb)
+    t_build_flat = time.time() - t2
+    Dv, Iv = flat.search(xq, k)  # compile + warm
+    rec = recall_k_at_k(Iv, gt, k)
+    ts = []
+    for _ in range(3):
+        ta = time.time()
+        flat.search(xq, k)
+        ts.append(time.time() - ta)
+    qps = nq / min(ts)
+    log(f"Flat(bf16,approx): recall@10={rec:.4f} qps={qps:.0f} "
+        f"build={t_build_flat:.1f}s")
+    if rec >= 0.9:
+        results.append(("FlatL2 bf16+approx_topk", rec, qps, t_build_flat))
+    flat.reset()
+    del flat
+
+    # --- config 2: IVF4096,Flat sweep --------------------------------------
+    t3 = time.time()
     index = make_ivf_flat(d, nlist)
     index.cp.niter = 10
     index.train(xt)
-    t_train = time.time() - t2
-    t3 = time.time()
+    t_train = time.time() - t3
+    t4 = time.time()
     index.add(xb)
-    t_add = time.time() - t3
-    log(f"train {t_train:.1f}s add {t_add:.1f}s "
+    t_add = time.time() - t4
+    log(f"IVF train {t_train:.1f}s add {t_add:.1f}s "
         f"imbalance {index.imbalance_factor():.2f}")
-
-    # sweep nprobe for recall@10 >= 0.9, then measure steady-state QPS
-    best = None
-    for nprobe in (1, 2, 4, 8, 16, 32, 64, 128):
+    for nprobe in (4, 8, 16):
         p = SearchParametersIVF(nprobe=nprobe)
-        Dv, Iv = index.search(xq, k, params=p)  # warm-up + compile
+        Dv, Iv = index.search(xq, k, params=p)
         rec = recall_k_at_k(Iv, gt, k)
         ts = []
         for _ in range(3):
@@ -82,19 +109,20 @@ def main():
             index.search(xq, k, params=p)
             ts.append(time.time() - ta)
         qps = nq / min(ts)
-        log(f"nprobe={nprobe}: recall@10={rec:.4f} qps={qps:.0f}")
+        log(f"IVF nprobe={nprobe}: recall@10={rec:.4f} qps={qps:.0f}")
         if rec >= 0.9:
-            best = (nprobe, rec, qps)
+            results.append((f"IVF{nlist},Flat nprobe={nprobe}", rec, qps,
+                            t_train + t_add))
             break
-    if best is None:
-        best = (128, rec, qps)
 
-    nprobe, rec, qps = best
+    if not results:
+        results.append(("none-reached-0.9", rec, qps, t_train + t_add))
+    name, rec, qps, tb = max(results, key=lambda r: r[2])
     baseline = 10511.0
     print(json.dumps({
-        "metric": f"IVF{nlist},Flat QPS/chip @ recall@10>=0.9 "
-                  f"(SIFT1M-scale synthetic, nprobe={nprobe}, "
-                  f"recall={rec:.4f}, train={t_train:.1f}s, add={t_add:.1f}s)",
+        "metric": f"QPS/chip @ recall@10>=0.9, SIFT1M-scale synthetic "
+                  f"(best config: {name}, recall={rec:.4f}, "
+                  f"build={tb:.1f}s)",
         "value": round(qps, 1),
         "unit": "QPS",
         "vs_baseline": round(qps / baseline, 3),

@@ -38,6 +38,44 @@ from .models.transforms import (  # noqa: F401
     PCAMatrix,
     RandomRotationMatrix,
 )
+from .models.base import SearchParameters  # noqa: F401
+from .models.binary import (  # noqa: F401
+    IndexBinaryFlat,
+    IndexBinaryFromFloat,
+    IndexBinaryIVF,
+)
+from .models.extra import (  # noqa: F401
+    Index2Layer,
+    IndexLSH,
+    IndexRowwiseMinMax,
+    IndexSplitVectors,
+    MultiIndexQuantizer,
+)
+from .models.idmap import (  # noqa: F401
+    IndexIDMap,
+    IndexIDMap2,
+    IndexReplicas,
+    IndexShards,
+)
+from .models.selectors import (  # noqa: F401
+    IDSelectorAll,
+    IDSelectorAnd,
+    IDSelectorArray,
+    IDSelectorBatch,
+    IDSelectorBitmap,
+    IDSelectorNot,
+    IDSelectorOr,
+    IDSelectorRange,
+    IDSelectorXOr,
+)
+from .utils.autotune import (  # noqa: F401
+    IntersectionCriterion,
+    OneRecallAtRCriterion,
+    OperatingPoints,
+    ParameterSpace,
+)
+from .utils.factory import index_factory  # noqa: F401
 from .utils.index_io import read_index, write_index  # noqa: F401
+from .utils.interrupt import InterruptCallback, TimeoutGuard  # noqa: F401
 
 __version__ = "0.1.0"

@@ -17,6 +17,33 @@ from .ivf_pq import (  # noqa: F401
 )
 from .pq import IndexPQ, IndexScalarQuantizer  # noqa: F401
 from .refine import IndexRefine, IndexRefineFlat  # noqa: F401
+from .binary import (  # noqa: F401
+    IndexBinary,
+    IndexBinaryFlat,
+    IndexBinaryFromFloat,
+    IndexBinaryIVF,
+)
+from .extra import (  # noqa: F401
+    Index2Layer,
+    IndexLSH,
+    IndexRandom,
+    IndexRowwiseMinMax,
+    IndexSplitVectors,
+    MultiIndexQuantizer,
+)
+from .idmap import IndexIDMap, IndexIDMap2, IndexReplicas, IndexShards  # noqa: F401
+from .selectors import (  # noqa: F401
+    IDSelector,
+    IDSelectorAll,
+    IDSelectorAnd,
+    IDSelectorArray,
+    IDSelectorBatch,
+    IDSelectorBitmap,
+    IDSelectorNot,
+    IDSelectorOr,
+    IDSelectorRange,
+    IDSelectorXOr,
+)
 from .transforms import (  # noqa: F401
     CenteringTransform,
     IndexPreTransform,

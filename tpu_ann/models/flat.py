@@ -28,6 +28,10 @@ class IndexFlat(Index):
         self._xb: Optional[jnp.ndarray] = None   # (capacity, d) device array
         self._norms: Optional[jnp.ndarray] = None  # (capacity,) cached ||y||^2
         self._capacity = 0
+        # TPU throughput knobs: bf16 GEMM + hardware approx top-k
+        # (~0.997+ top-10 recall, ~10x faster; see ops.distances.knn)
+        self.compute_dtype = "float32"
+        self.approx_topk = False
 
     # --- storage ----------------------------------------------------------
     def _ensure_capacity(self, n_new: int) -> None:
@@ -72,6 +76,8 @@ class IndexFlat(Index):
             self.metric_type,
             xb_norms=self._norms if self.metric_type == METRIC_L2 else None,
             valid_n=jnp.int32(self.ntotal),
+            compute_dtype=self.compute_dtype,
+            approx=self.approx_topk,
         )
 
     def search(self, x, k: int, *, params=None):
@@ -95,6 +101,8 @@ class IndexFlat(Index):
             xb_norms=self._norms if self.metric_type == METRIC_L2 else None,
             valid_n=jnp.int32(self.ntotal),
             id_mask=id_mask,
+            compute_dtype=self.compute_dtype,
+            approx=self.approx_topk,
         )
         return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
 
