@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Config-grid benchmark CLI (the fork's benchmark_advanced entrypoint).
+
+Usage:
+  python benchs/run_benchmark.py [--config benchs/benchmark.config]
+      [--kind ivf_hnsw|ivf_flat] [--out results.csv]
+      [--sift1m DIR | --synthetic NB]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=os.path.join(
+        os.path.dirname(__file__), "benchmark.config"))
+    ap.add_argument("--kind", default="ivf_hnsw",
+                    choices=["ivf_hnsw", "ivf_flat"])
+    ap.add_argument("--out", default="benchmark_results.csv")
+    ap.add_argument("--sift1m", default=None,
+                    help="directory with sift_*.fvecs files")
+    ap.add_argument("--synthetic", type=int, default=100000,
+                    help="synthetic database size when no dataset files")
+    args = ap.parse_args()
+
+    from tpu_ann.utils.benchmark import parse_config, run_grid
+    from tpu_ann.utils.datasets import SyntheticDataset, load_sift1m
+
+    if args.sift1m:
+        ds = load_sift1m(args.sift1m)
+    else:
+        nb = args.synthetic
+        ds = SyntheticDataset(d=128, nt=min(nb, 100000), nb=nb, nq=1000)
+
+    cfg = parse_config(args.config)
+    results = run_grid(ds, cfg, index_kind=args.kind, out_csv=args.out)
+    print(f"{len(results)} grid points -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ class IndexFlat(Index):
         # (~0.997+ top-10 recall, ~10x faster; see ops.distances.knn)
         self.compute_dtype = "float32"
         self.approx_topk = False
+        self.refine_factor = 1   # >1: fast-pass candidates re-scored in f32
 
     # --- storage ----------------------------------------------------------
     def _ensure_capacity(self, n_new: int) -> None:
@@ -78,6 +79,7 @@ class IndexFlat(Index):
             valid_n=jnp.int32(self.ntotal),
             compute_dtype=self.compute_dtype,
             approx=self.approx_topk,
+            refine_factor=self.refine_factor,
         )
 
     def search(self, x, k: int, *, params=None):
@@ -103,6 +105,7 @@ class IndexFlat(Index):
             id_mask=id_mask,
             compute_dtype=self.compute_dtype,
             approx=self.approx_topk,
+            refine_factor=self.refine_factor,
         )
         return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
 

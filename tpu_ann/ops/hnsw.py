@@ -383,10 +383,14 @@ def _select_neighbors_heuristic(q_vecs, cand_ids, cand_dis, vectors, m: int,
     kept0 = jnp.zeros((W, C), bool)
     (kept, _), _ = lax.scan(scan_body, (kept0, jnp.zeros(W, jnp.int32)),
                             jnp.arange(C))
-    # compact kept ids to the first m slots, -1 padded
+    # compact kept ids to the first m slots, -1 padded (candidate count C
+    # may be below the degree m when efConstruction < degree)
     score = jnp.where(kept, cand_dis, jnp.inf)
-    sorder = jnp.argsort(score, axis=1)[:, :m]
+    take = min(m, C)
+    sorder = jnp.argsort(score, axis=1)[:, :take]
     out = jnp.take_along_axis(jnp.where(kept, cand_ids, -1), sorder, axis=1)
+    if take < m:
+        out = jnp.pad(out, ((0, 0), (0, m - take)), constant_values=-1)
     return out
 
 

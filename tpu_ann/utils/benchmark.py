@@ -1,0 +1,169 @@
+"""Config-driven benchmark grid — the fork's benchmark system
+(tutorial/cpp/benchmark_advanced.cpp + config_parser.h +
+benchmark.config): a text config describes a build grid (nlist,
+efConstruction) and a search grid (nprobe or nprobe_ratio, efSearch or
+efSearch_ratio); results go to CSV with recall@10, QPS, and latency
+percentiles (mean/P50/P99/P99.9 from per-batch timing, the fork's
+QueryLatencyStats-derived metrics, 191-hnsw-ivf-qps.py:226-262).
+
+Config format (same keys as tutorial/cpp/benchmark.config):
+
+    [build]
+    nlist = 1024, 4096
+    ef_construction = 40, 100
+
+    [search]
+    nprobe_ratio = 0.004, 0.016    # of nlist  (or: nprobe = 16, 64)
+    ef_search_ratio = 0.5, 1.0     # of nprobe (or: ef_search = 32, 64)
+    k = 10
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import itertools
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def parse_config(path: str) -> Dict[str, Dict[str, List[float]]]:
+    """Parse the fork's INI-ish grid config (config_parser.h)."""
+    out: Dict[str, Dict[str, List[float]]] = {}
+    section = None
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if not line:
+                continue
+            if line.startswith("[") and line.endswith("]"):
+                section = line[1:-1].strip()
+                out[section] = {}
+                continue
+            if "=" in line and section is not None:
+                key, val = line.split("=", 1)
+                out[section][key.strip()] = [
+                    float(v) for v in val.replace(",", " ").split()
+                ]
+    return out
+
+
+@dataclasses.dataclass
+class BenchResult:
+    config: str
+    nlist: int
+    nprobe: int
+    ef_search: int
+    recall_at_10: float
+    qps: float
+    mean_latency_ms: float
+    p50_ms: float
+    p99_ms: float
+    p999_ms: float
+    build_s: float
+    train_s: float
+
+
+def latency_percentiles(times_s: Sequence[float]):
+    a = np.asarray(times_s) * 1000.0
+    return (float(a.mean()), float(np.percentile(a, 50)),
+            float(np.percentile(a, 99)), float(np.percentile(a, 99.9)))
+
+
+def run_grid(
+    dataset,
+    config: Dict[str, Dict[str, List[float]]],
+    *,
+    index_kind: str = "ivf_hnsw",
+    out_csv: Optional[str] = None,
+    latency_batch: int = 64,
+    verbose: bool = True,
+) -> List[BenchResult]:
+    """Run the build x search grid (benchmark_advanced.cpp main loop)."""
+    from ..models.ivf import SearchParametersIVF, make_ivf_flat
+    from ..models.ivf_hnsw import IndexIVFHNSW
+    from .evaluation import recall_k_at_k
+
+    xt = dataset.get_train()
+    xb = dataset.get_database()
+    xq = dataset.get_queries()
+    gt = dataset.get_groundtruth(10)
+    d = xb.shape[1]
+
+    build_grid = config.get("build", {})
+    search_grid = config.get("search", {})
+    nlists = [int(v) for v in build_grid.get("nlist", [1024])]
+    efcs = [int(v) for v in build_grid.get("ef_construction", [40])]
+    k = int(search_grid.get("k", [10])[0])
+
+    results: List[BenchResult] = []
+    for nlist, efc in itertools.product(nlists, efcs):
+        t0 = time.time()
+        if index_kind == "ivf_hnsw":
+            index = IndexIVFHNSW(d, nlist)
+            index.set_hnsw_parameters(efConstruction=efc)
+        else:
+            index = make_ivf_flat(d, nlist)
+        index.train(xt)
+        t_train = time.time() - t0
+        t1 = time.time()
+        index.add(xb)
+        t_build = time.time() - t1
+        if verbose:
+            print(f"built nlist={nlist} efc={efc}: train {t_train:.1f}s "
+                  f"add {t_build:.1f}s")
+
+        if "nprobe" in search_grid:
+            nprobes = [int(v) for v in search_grid["nprobe"]]
+        else:
+            nprobes = [max(1, int(r * nlist))
+                       for r in search_grid.get("nprobe_ratio", [0.01])]
+        for nprobe in nprobes:
+            if "ef_search" in search_grid:
+                efss = [int(v) for v in search_grid["ef_search"]]
+            else:
+                efss = [max(nprobe, int(r * nprobe)) for r in
+                        search_grid.get("ef_search_ratio", [1.0])]
+            for efs in efss:
+                if hasattr(index, "set_hnsw_parameters"):
+                    index.set_hnsw_parameters(efSearch=efs)
+                p = SearchParametersIVF(nprobe=nprobe)
+                index.search(xq, k, params=p)          # compile + warm
+                t0 = time.time()
+                _, I = index.search(xq, k, params=p)
+                batch_t = time.time() - t0
+                qps = len(xq) / batch_t
+                rec = recall_k_at_k(I, gt, 10)
+                # latency distribution from small batches (fork's
+                # per-query loop, 192-hnsw-ivf-latency.py)
+                lat = []
+                index.search(xq[:latency_batch], k, params=p)
+                for i0 in range(0, min(len(xq), 64 * latency_batch),
+                                latency_batch):
+                    t0 = time.time()
+                    index.search(xq[i0 : i0 + latency_batch], k, params=p)
+                    lat.append(time.time() - t0)
+                mean, p50, p99, p999 = latency_percentiles(lat)
+                r = BenchResult(
+                    config=f"nlist={nlist},efc={efc}",
+                    nlist=nlist, nprobe=nprobe, ef_search=efs,
+                    recall_at_10=rec, qps=qps,
+                    mean_latency_ms=mean, p50_ms=p50, p99_ms=p99,
+                    p999_ms=p999, build_s=t_build, train_s=t_train,
+                )
+                results.append(r)
+                if verbose:
+                    print(f"  nprobe={nprobe} efs={efs}: R@10={rec:.4f} "
+                          f"QPS={qps:.0f} p99={p99:.2f}ms")
+
+    if out_csv:
+        with open(out_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow([fld.name for fld in
+                        dataclasses.fields(BenchResult)])
+            for r in results:
+                w.writerow([getattr(r, fld.name) for fld in
+                            dataclasses.fields(BenchResult)])
+    return results
