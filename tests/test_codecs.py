@@ -191,3 +191,43 @@ def test_opq_rotation_is_orthonormal(small_ds):
     opq.train(small_ds.get_train()[:1000])
     eye = opq.A @ opq.A.T
     np.testing.assert_allclose(eye, np.eye(small_ds.d), atol=1e-4)
+
+
+def test_itq_orthonormal(small_ds):
+    from tpu_ann.models.transforms import ITQMatrix
+
+    itq = ITQMatrix(small_ds.d, niter=10)
+    itq.train(small_ds.get_train()[:1000])
+    np.testing.assert_allclose(itq.A @ itq.A.T, np.eye(small_ds.d),
+                               atol=1e-4)
+
+
+def test_remap_dimensions(small_ds):
+    from tpu_ann.models.transforms import RemapDimensionsTransform
+
+    rm = RemapDimensionsTransform(small_ds.d, 16)
+    y = rm.apply(small_ds.get_database()[:10])
+    assert y.shape == (10, 16)
+    x = small_ds.get_database()[:10]
+    assert np.array_equal(y, x[:, rm.map])
+
+
+def test_progressive_dim_clustering(small_ds):
+    from tpu_ann.ops.kmeans import (
+        ClusteringParameters,
+        kmeans,
+        progressive_dim_clustering,
+    )
+
+    cp = ClusteringParameters(niter=4, seed=3)
+    cent, stats = progressive_dim_clustering(small_ds.get_train(), 16, cp)
+    assert cent.shape == (16, small_ds.d)
+    # objective should be in the same ballpark as plain k-means
+    from tpu_ann.ops import distances as D
+    import jax.numpy as jnp
+
+    c2, st2 = kmeans(small_ds.get_train(), 16, cp)
+    x = jnp.asarray(small_ds.get_train())
+    o1 = float(D.knn(x, jnp.asarray(cent), 1)[0].sum())
+    o2 = float(D.knn(x, jnp.asarray(c2), 1)[0].sum())
+    assert o1 < o2 * 1.5

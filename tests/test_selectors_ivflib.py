@@ -161,3 +161,30 @@ def test_sliding_window(small_ds):
     idx.nprobe = 8
     _, I = idx.search(xb[2500:2505], 1)
     assert (I[:, 0] == np.arange(2500, 2505)).all()
+
+
+def test_remove_ids_flat(small_ds):
+    flat = IndexFlat(small_ds.d)
+    flat.add(small_ds.get_database())
+    n0 = flat.ntotal
+    removed = flat.remove_ids(IDSelectorRange(0, 100))
+    assert removed == 100 and flat.ntotal == n0 - 100
+    D, I = flat.search(small_ds.get_database()[:5], 1)
+    assert (D[:, 0] > 1e-6).all()  # originals gone
+
+
+def test_remove_and_update_ivf(small_ds):
+    idx = make_ivf_flat(small_ds.d, 16)
+    idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    removed = idx.remove_ids(IDSelectorRange(0, 50))
+    assert removed == 50 and idx.ntotal == small_ds.nb - 50
+    idx.nprobe = 16
+    _, I = idx.search(small_ds.get_database()[:5], 1)
+    assert (I[:, 0] >= 50).all()
+    # update: move vector 100 to a new location
+    newv = small_ds.get_train()[:1]
+    idx.update_vectors(np.array([100]), newv)
+    _, I2 = idx.search(newv, 1)
+    assert I2[0, 0] == 100

@@ -125,6 +125,20 @@ class IndexFlat(Index):
         )
         return res.lims, res.distances, res.labels
 
+    def remove_ids(self, sel) -> int:
+        """Remove vectors matching an IDSelector (faiss
+        Index::remove_ids); remaining vectors are renumbered sequentially
+        like IndexFlatCodes::remove_ids."""
+        if self.ntotal == 0:
+            return 0
+        keep = sel.make_bitmap(self.ntotal) == 0
+        kept = np.asarray(self.vectors)[keep]
+        removed = self.ntotal - len(kept)
+        self.reset()
+        if len(kept):
+            self.add(kept)
+        return removed
+
     # --- reconstruction / codec -------------------------------------------
     def reconstruct(self, key: int) -> np.ndarray:
         if not (0 <= key < self.ntotal):

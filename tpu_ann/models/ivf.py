@@ -73,6 +73,11 @@ class IndexIVF(Index):
         self._ids_host: list[np.ndarray] = []
         self.invlists: Optional[ivf_scan.PackedInvLists] = None
         self.by_residual = False  # Flat path; PQ subclasses override
+        # scan strategy: 'query' (query-major compacted gather), 'grouped'
+        # (list-major shared block loads), or 'auto' (grouped for big
+        # batches where lists are probed by many queries at once)
+        self.scan_mode = "auto"
+        self.group_size = 32
 
     # --- training ---------------------------------------------------------
     def train(self, x) -> None:
@@ -174,14 +179,30 @@ class IndexIVF(Index):
                                      id_mask=self._sel_mask(params))
         return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
 
+    def _use_grouped(self, nq: int, nprobe: int, id_mask) -> bool:
+        if id_mask is not None or self.scan_mode == "query":
+            return False
+        if self.scan_mode == "grouped":
+            return True
+        # auto: list-major pays off once each probed list serves >= half a
+        # group of queries on average
+        return nq * nprobe >= self.nlist * max(self.group_size // 2, 1)
+
     def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
                        id_mask=None):
         """coarse quantization + invlist scan, all on device."""
         _, probes = self.quantizer.search_device(xq_dev, nprobe)
-        Dv, Iv, _ = ivf_scan.scan_invlists(
-            xq_dev, probes.astype(jnp.int32), self.invlists, k,
-            self.metric_type, max_nblocks=mnb, id_mask=id_mask,
-        )
+        probes = probes.astype(jnp.int32)
+        if self._use_grouped(xq_dev.shape[0], nprobe, id_mask):
+            Dv, Iv, _ = ivf_scan.scan_invlists_grouped(
+                xq_dev, probes, self.invlists, k, self.metric_type,
+                max_nblocks=mnb, group=self.group_size,
+            )
+        else:
+            Dv, Iv, _ = ivf_scan.scan_invlists(
+                xq_dev, probes, self.invlists, k,
+                self.metric_type, max_nblocks=mnb, id_mask=id_mask,
+            )
         return Dv, Iv
 
     def search_stats(self, x, k: int, *,
@@ -248,6 +269,38 @@ class IndexIVF(Index):
             max_nblocks=mnb,
         )
         return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
+
+    def remove_ids(self, sel) -> int:
+        """Remove stored ids matching an IDSelector
+        (IndexIVF::remove_ids via DirectMap); invlists repacked."""
+        removed = 0
+        new_x, new_ids = [], []
+        for xs, ids in zip(self._xb_host, self._ids_host):
+            keep = np.array([not sel.is_member(int(i)) for i in ids])
+            removed += int((~keep).sum())
+            if keep.any():
+                new_x.append(xs[keep])
+                new_ids.append(ids[keep])
+        self._xb_host, self._ids_host = new_x, new_ids
+        self.ntotal -= removed
+        if self.ntotal:
+            self._repack()
+        else:
+            self.invlists = None
+        return removed
+
+    def update_vectors(self, ids, x) -> None:
+        """Replace vectors in place (IndexIVF::update_vectors): same ids,
+        new data, reassigned to their new lists."""
+        x = self._check_input(x)
+        ids = np.asarray(ids, np.int64)
+        lut = {int(i): j for j, i in enumerate(ids)}
+        for xs, stored in zip(self._xb_host, self._ids_host):
+            for j, sid in enumerate(stored):
+                hit = lut.get(int(sid))
+                if hit is not None:
+                    xs[j] = x[hit]
+        self._repack()
 
     # --- misc ----------------------------------------------------------------
     def reset(self) -> None:

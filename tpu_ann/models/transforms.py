@@ -142,6 +142,50 @@ class NormalizationTransform(VectorTransform):
         return x / np.maximum(n, 1e-12)
 
 
+class RemapDimensionsTransform(VectorTransform):
+    """Remap/shuffle dimensions (faiss RemapDimensionsTransform): either a
+    uniform spread of d_in over d_out (uniform=True) or first-d_out."""
+
+    def __init__(self, d_in: int, d_out: int, uniform: bool = True):
+        super().__init__(d_in, d_out)
+        if uniform:
+            self.map = (np.arange(d_out) * d_in // d_out).astype(np.int64)
+        else:
+            self.map = np.minimum(np.arange(d_out), d_in - 1).astype(np.int64)
+        self.is_trained = True
+
+    def apply(self, x: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(x, np.float32)[:, self.map]
+
+
+class ITQMatrix(LinearTransform):
+    """ITQ rotation (faiss ITQMatrix::train): alternate {binarize rotated
+    data, Procrustes to the sign matrix} — the ITQ binary-hashing
+    rotation of Gong & Lazebnik."""
+
+    def __init__(self, d: int, niter: int = 50, seed: int = 1234):
+        super().__init__(d, d)
+        self.niter = niter
+        self.seed = seed
+
+    def train(self, x: np.ndarray) -> None:
+        x = np.ascontiguousarray(x, np.float32)
+        x = x - x.mean(axis=0)
+        rs = np.random.RandomState(self.seed)
+        g = rs.randn(self.d_in, self.d_in)
+        q, _ = np.linalg.qr(g)
+        R = q.astype(np.float32)
+        for _ in range(self.niter):
+            z = x @ R
+            b = np.sign(z)
+            b[b == 0] = 1
+            u, _, vt = np.linalg.svd(b.T @ x, full_matrices=False)
+            R = ((u @ vt).T).astype(np.float32)
+        self.A = R.T
+        self.is_orthonormal = True
+        self.is_trained = True
+
+
 class OPQMatrix(LinearTransform):
     """OPQ rotation (faiss OPQMatrix::train): alternate {fit PQ on rotated
     data, solve orthogonal Procrustes to the PQ reconstruction}."""

@@ -124,7 +124,7 @@ def knn(
     valid_n: Optional[jnp.ndarray] = None,
     id_mask: Optional[jnp.ndarray] = None,
     db_block: int = 131072,
-    q_block: int = 8192,
+    q_block: int = 16384,
     precision=lax.Precision.HIGHEST,
     compute_dtype: str = "float32",
     approx: bool = False,
@@ -209,23 +209,34 @@ def knn(
     xq_c = xq.astype(jnp.bfloat16) if bf16 else xq
 
     def block_scores(yb, bn, bmask, base):
+        """Block distance matrix. Two fusion rules, both measured on-chip:
+        (1) ids are NEVER materialized — the local column index IS the id,
+        callers derive global ids from top-k positions; (2) validity /
+        selector masking happens on the (block,)-sized norm/bias VECTOR,
+        never on the (nq, block) matrix — matrix-level where/clamp breaks
+        the GEMM->top-k epilogue fusion and costs 2-3x in HBM traffic.
+        Distances may come out slightly negative (no clamp), same as the
+        reference's sgemm decomposition."""
+        blockn = yb.shape[0]
         yb_c = yb.astype(jnp.bfloat16) if bf16 else yb
         ip = jnp.dot(
             xq_c, yb_c.T,
             precision=lax.Precision.DEFAULT if bf16 else precision,
             preferred_element_type=jnp.float32,
         )
+        col = base + jnp.arange(blockn, dtype=jnp.int32)
+        ok = col < valid_n
+        if bmask is not None:
+            ok = ok & (bmask != 0)
         if metric == METRIC_L2:
             if bn is None:
                 bn = l2_norms(yb, precision=precision)
-            dis = jnp.maximum(qn[:, None] + bn[None, :] - 2.0 * ip, 0.0)
+            bn_m = jnp.where(ok, bn, jnp.inf)
+            dis = qn[:, None] + (bn_m[None, :] - 2.0 * ip)
         else:
-            dis = ip
-        ids = base + lax.broadcasted_iota(jnp.int32, (1, yb.shape[0]), 1)
-        dis = jnp.where(ids < valid_n, dis, bad)
-        if bmask is not None:
-            dis = jnp.where(bmask[None, :] != 0, dis, bad)
-        return dis, jnp.broadcast_to(ids, dis.shape)
+            bias = jnp.where(ok, 0.0, -jnp.inf)
+            dis = ip + bias[None, :]
+        return dis
 
     def block_best(dis, kk):
         """Per-block best-kk: exact top_k or TPU approx_max_k."""
@@ -242,9 +253,8 @@ def knn(
                                             nblocks * block)
 
     if nblocks == 1:
-        dis, ids = block_scores(xb, xb_norms, id_mask, jnp.int32(0))
-        best_d, pos = block_best(dis, min(ksel, dis.shape[1]))
-        best_i = jnp.take_along_axis(ids, pos, axis=1)
+        dis = block_scores(xb, xb_norms, id_mask, jnp.int32(0))
+        best_d, best_i = block_best(dis, min(ksel, dis.shape[1]))
     else:
         xb_r = xb.reshape(nblocks, block, d)
         norms_r = None if xb_norms is None else xb_norms.reshape(nblocks, block)
@@ -256,14 +266,13 @@ def knn(
             yb = xb_r[i]
             bn = None if norms_r is None else norms_r[i]
             bm = None if mask_r is None else mask_r[i]
-            dis, ids = block_scores(yb, bn, bm, i * block)
+            dis = block_scores(yb, bn, bm, i * block)
             # per-block best-k first, then an exact 2k-wide merge — the
             # k-wide merge is what keeps exact lax.top_k off the (nq,
             # block)-wide score matrix (10x the GEMM cost on TPU)
             bv, bpos = block_best(dis, kk)
-            bids = jnp.take_along_axis(ids, bpos, axis=1)
             cd = jnp.concatenate([bd, bv], axis=1)
-            ci = jnp.concatenate([bi, bids], axis=1)
+            ci = jnp.concatenate([bi, bpos + i * block], axis=1)
             nd, pos = _topk_best(cd, ksel, metric)
             return nd, jnp.take_along_axis(ci, pos, axis=1)
 
@@ -293,6 +302,11 @@ def knn(
         best_d = jnp.pad(best_d, ((0, 0), (0, extra)), constant_values=bad)
         best_i = jnp.pad(best_i, ((0, 0), (0, extra)), constant_values=-1)
 
+    if metric == METRIC_L2:
+        # the norm decomposition can yield tiny negatives; clamp only the
+        # final (nq, k) values (the reference clamps too) — clamping the
+        # full matrix would break the GEMM epilogue fusion
+        best_d = jnp.maximum(best_d, 0.0)
     best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
     return best_d, best_i
 

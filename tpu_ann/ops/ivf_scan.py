@@ -603,3 +603,162 @@ def scan_invlists_sq(
         invlists.nblocks, score, k, similarity, bad,
         max_nblocks, chunk_blocks, qt, id_mask=id_mask,
     )
+
+
+# ---------------------------------------------------------------------------
+# list-major grouped scan: queries probing the same list share block loads
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "max_nblocks", "group", "item_tile"),
+)
+def scan_invlists_grouped(
+    xq: jnp.ndarray,
+    probes: jnp.ndarray,
+    invlists: PackedInvLists,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    max_nblocks: int,
+    group: int = 32,
+    item_tile: int = 256,
+):
+    """List-major IVF scan (the GPU two-pass idea, gpu/impl/IVFUtils.cu,
+    taken further): instead of each query gathering its probed blocks
+    (bandwidth ∝ nq*nprobe*list bytes), (query, probe) pairs are sorted by
+    list and grouped G at a time, so one HBM read of a list block feeds a
+    (G, B, d) MXU contraction for G queries — data reuse ×G.
+
+    Work items (list, ≤G pairs) are length-sorted and processed in tiles
+    under a while_loop bounded per tile, like `_scan_compacted`. Item
+    results scatter back to (nq, nprobe, k) and a final exact k-select
+    merges per query.
+
+    Best when nq*nprobe/nlist >= group/2 (big batches); the query-major
+    `scan_invlists` wins for small batches.
+    """
+    nq, d = xq.shape
+    nprobe = probes.shape[1]
+    B = invlists.block_size
+    NB = invlists.nblocks
+    nlist = invlists.nlist
+    G = group
+    similarity = D.is_similarity_metric(metric)
+    bad = D.worst_value(metric)
+    xq = xq.astype(jnp.float32)
+    npairs = nq * nprobe
+
+    # --- build work items -------------------------------------------------
+    l_flat = probes.reshape(npairs).astype(jnp.int32)
+    order = jnp.argsort(l_flat)
+    ls = l_flat[order]                                   # sorted list ids
+    first = jnp.searchsorted(ls, ls)
+    rank = jnp.arange(npairs, dtype=jnp.int32) - first.astype(jnp.int32)
+    counts = jnp.zeros((nlist,), jnp.int32).at[ls].add(1)
+    items_per_list = -(-counts // G)
+    base_item = jnp.cumsum(items_per_list) - items_per_list
+    item_of_pair = base_item[ls] + rank // G
+    slot_of_pair = rank % G
+
+    cap = npairs // G + nlist + 1
+    item_list = jnp.full((cap,), -1, jnp.int32).at[item_of_pair].max(ls)
+    # pair table: original pair index per (item, slot)
+    item_pairs = jnp.full((cap, G), -1, jnp.int32).at[
+        item_of_pair, slot_of_pair].set(order.astype(jnp.int32))
+
+    il_valid = item_list >= 0
+    item_start = jnp.where(il_valid,
+                           invlists.list_block_start[
+                               jnp.where(il_valid, item_list, 0)], 0)
+    item_nblk = jnp.where(
+        il_valid,
+        jnp.minimum(invlists.list_nblocks[
+            jnp.where(il_valid, item_list, 0)], max_nblocks), 0)
+
+    # --- sort items by length, tile them ---------------------------------
+    iorder = jnp.argsort(item_nblk)
+    item_start = item_start[iorder]
+    item_nblk = item_nblk[iorder]
+    item_pairs = item_pairs[iorder]
+
+    IT = min(item_tile, cap)
+    nit = -(-cap // IT)
+    ipad = nit * IT - cap
+    if ipad:
+        item_start = jnp.pad(item_start, (0, ipad))
+        item_nblk = jnp.pad(item_nblk, (0, ipad))
+        item_pairs = jnp.pad(item_pairs, ((0, ipad), (0, 0)),
+                             constant_values=-1)
+    item_start = item_start.reshape(nit, IT)
+    item_nblk = item_nblk.reshape(nit, IT)
+    item_pairs_t = item_pairs.reshape(nit, IT, G)
+
+    qn_all = D.l2_norms(xq, precision=lax.Precision.DEFAULT)
+
+    def scan_tile(args):
+        starts, nblks, pairs = args   # (IT,), (IT,), (IT, G)
+        pvalid = pairs >= 0
+        qidx = jnp.where(pvalid, pairs // nprobe, 0)
+        qv = xq[qidx]                                    # (IT, G, d)
+        qnorm = jnp.where(pvalid, qn_all[qidx], 0.0)     # (IT, G)
+        nch = jnp.max(nblks)
+
+        def cond(state):
+            return state[0] < nch
+
+        def body(state):
+            o, bd, bi, nd = state
+            active = o < nblks
+            bids = jnp.where(active, starts + o, NB)     # (IT,)
+            vecs = invlists.data[bids]                   # (IT, B, d)
+            vids = invlists.ids[bids]                    # (IT, B)
+            vnorm = invlists.norms[bids]
+            ip = jnp.einsum("igd,ibd->igb", qv, vecs,
+                            precision=lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32)
+            if similarity:
+                dis = ip
+            else:
+                dis = jnp.maximum(
+                    qnorm[:, :, None] + vnorm[:, None, :] - 2.0 * ip, 0.0)
+            valid = (vids >= 0)[:, None, :] & pvalid[:, :, None]
+            dis = jnp.where(valid, dis, bad)
+            nd = nd + jnp.sum(valid.astype(jnp.int32))
+            ids_b = jnp.broadcast_to(vids[:, None, :], dis.shape)
+            cd = jnp.concatenate([bd, dis], axis=2)      # (IT, G, k+B)
+            ci = jnp.concatenate([bi, ids_b], axis=2)
+            key = cd if similarity else -cd
+            nv, pos = lax.top_k(key, k)
+            nbd = nv if similarity else -nv
+            nbi = jnp.take_along_axis(ci, pos, axis=2)
+            return o + 1, nbd, nbi, nd
+
+        init = (
+            jnp.int32(0),
+            jnp.full((IT, G, k), bad, jnp.float32),
+            jnp.full((IT, G, k), -1, jnp.int32),
+            jnp.int32(0),
+        )
+        _, bd, bi, nd = lax.while_loop(cond, body, init)
+        return bd, bi, nd
+
+    bd, bi, nd = lax.map(scan_tile, (item_start, item_nblk, item_pairs_t))
+    bd = bd.reshape(nit * IT, G, k)
+    bi = bi.reshape(nit * IT, G, k)
+    pairs_all = item_pairs.reshape(nit * IT, G)
+
+    # --- scatter item results back to (pair, k), merge per query ----------
+    pv = pairs_all >= 0
+    psafe = jnp.where(pv, pairs_all, npairs)             # dummy row
+    pair_d = jnp.full((npairs + 1, k), bad, jnp.float32
+                      ).at[psafe].set(jnp.where(pv[:, :, None], bd, bad))
+    pair_i = jnp.full((npairs + 1, k), -1, jnp.int32
+                      ).at[psafe].set(jnp.where(pv[:, :, None], bi, -1))
+    pair_d = pair_d[:npairs].reshape(nq, nprobe * k)
+    pair_i = pair_i[:npairs].reshape(nq, nprobe * k)
+    key = pair_d if similarity else -pair_d
+    nv, pos = lax.top_k(key, k)
+    out_d = nv if similarity else -nv
+    out_i = jnp.take_along_axis(pair_i, pos, axis=1)
+    return out_d, out_i, jnp.sum(nd)

@@ -174,6 +174,46 @@ def kmeans(
     return best[1], best[2]
 
 
+def progressive_dim_clustering(
+    x,
+    k: int,
+    params: Optional[ClusteringParameters] = None,
+    metric: int = D.METRIC_L2,
+    levels: int = 4,
+) -> Tuple[np.ndarray, list]:
+    """ProgressiveDimClustering (faiss/Clustering.h:174): run k-means on a
+    nested sequence of dimension prefixes (after a PCA rotation the data
+    is sorted by variance), warm-starting each level with the previous
+    centroids zero-padded to the wider prefix. Good for PQ sub-training.
+    """
+    cp = params or ClusteringParameters()
+    x = np.ascontiguousarray(x, np.float32)
+    n, d = x.shape
+    # PCA rotation so prefixes carry the most variance
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = (xc.T @ xc) / n
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(-w)
+    rot = v[:, order].astype(np.float32)
+    xr = xc @ rot
+    dims = [max(1, d >> (levels - 1 - i)) for i in range(levels)]
+    dims[-1] = d
+    cent: Optional[np.ndarray] = None
+    stats: list = []
+    for dd in dims:
+        sub = np.ascontiguousarray(xr[:, :dd])
+        init = None
+        if cent is not None:
+            init = np.zeros((k, dd), np.float32)
+            init[:, : cent.shape[1]] = cent
+        cent, st = kmeans(sub, k, cp, metric, init_centroids=init)
+        stats.extend(st)
+    # rotate back to the input space
+    full = cent @ rot.T + mean
+    return full.astype(np.float32), stats
+
+
 class Kmeans:
     """Object wrapper matching faiss.Kmeans (python/extra_wrappers.py:443)."""
 
