@@ -231,3 +231,36 @@ def test_progressive_dim_clustering(small_ds):
     o1 = float(D.knn(x, jnp.asarray(cent), 1)[0].sum())
     o2 = float(D.knn(x, jnp.asarray(c2), 1)[0].sum())
     assert o1 < o2 * 1.5
+
+
+def test_pq4_pack_roundtrip(rng):
+    from tpu_ann.ops.pq import pack_codes_4bit, unpack_codes_4bit
+
+    codes = jnp.asarray(rng.randint(0, 16, size=(50, 8)).astype(np.uint8))
+    packed = pack_codes_4bit(codes)
+    assert packed.shape == (50, 4)
+    assert np.array_equal(np.asarray(unpack_codes_4bit(packed)),
+                          np.asarray(codes))
+
+
+def test_index_pq4(small_ds):
+    idx = IndexPQ(small_ds.d, M=8, nbits=4)
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    assert idx.sa_code_size() == 4  # 8 x 4bit = 4 bytes
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    assert recall_at_r(I, gt, 10) > 0.5
+
+
+def test_ivfpq4_fastscan_layout(small_ds):
+    """IVF + PQ8x4 packed codes (the x4fs analog)."""
+    idx = make_ivf_pq(small_ds.d, nlist=32, M=8, nbits=4)
+    idx.cp.niter = 5
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    assert idx.invlists.codes.shape[-1] == 4  # packed bytes
+    idx.nprobe = 32
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    assert recall_at_r(I, gt, 10) > 0.5

@@ -61,7 +61,10 @@ class IndexIVFPQ(IndexIVF):
         if self.by_residual and self.metric_type == D.METRIC_L2:
             cent = self._coarse_centroids()
             xj = xj - cent[jnp.asarray(assign)]
-        return np.asarray(PQ.pq_encode(xj, self._pq_cent_dev))
+        codes = PQ.pq_encode(xj, self._pq_cent_dev)
+        if self.nbits == 4:
+            codes = PQ.pack_codes_4bit(codes)
+        return np.asarray(codes)
 
     def _pack(self, x, ids, assign):
         codes = self._encode(x, assign)
@@ -83,6 +86,7 @@ class IndexIVFPQ(IndexIVF):
             by_residual=self.by_residual,
             max_nblocks=mnb,
             id_mask=id_mask,
+            packed4=self.nbits == 4,
         )
 
     def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,

@@ -25,10 +25,12 @@ from ..ops import topk as T
 from .base import Index, next_pow2
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "db_block"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "db_block", "packed4"))
 def _pq_knn(xq, codes, centroids, k: int, metric: int, valid_n,
-            db_block: int = 65536):
-    """Exact ADC k-NN over a flat code array (IndexPQ::search)."""
+            db_block: int = 65536, packed4: bool = False):
+    """Exact ADC k-NN over a flat code array (IndexPQ::search);
+    packed4 unpacks two 4-bit sub-indices per byte in-kernel."""
     nq = xq.shape[0]
     nb = codes.shape[0]
     similarity = D.is_similarity_metric(metric)
@@ -44,8 +46,10 @@ def _pq_knn(xq, codes, centroids, k: int, metric: int, valid_n,
 
     def body(i, carry):
         bd, bi = carry
-        blk = jnp.broadcast_to(codes_r[i][None], (nq, block,
-                                                  codes.shape[1]))
+        raw = codes_r[i]
+        if packed4:
+            raw = PQ.unpack_codes_4bit(raw)
+        blk = jnp.broadcast_to(raw[None], (nq, block, raw.shape[1]))
         dis = PQ.adc_scan(lut, blk)                      # (nq, block)
         ids = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
         dis = jnp.where(ids < valid_n, dis, bad)
@@ -77,16 +81,25 @@ class IndexPQ(Index):
         self._centroids_dev = jnp.asarray(self.pq.centroids)
         self.is_trained = True
 
+    @property
+    def _packed4(self) -> bool:
+        return self.nbits == 4
+
+    def _code_width(self) -> int:
+        return (self.M + 1) // 2 if self._packed4 else self.M
+
     def add(self, x) -> None:
         if not self.is_trained:
             raise RuntimeError("train() before add()")
         x = self._check_input(x)
         n = len(x)
         codes = PQ.pq_encode(jnp.asarray(x), self._centroids_dev)
+        if self._packed4:
+            codes = PQ.pack_codes_4bit(codes)
         need = self.ntotal + n
         if need > self._capacity:
             cap = max(next_pow2(need), 1024)
-            buf = jnp.zeros((cap, self.M), jnp.uint8)
+            buf = jnp.zeros((cap, self._code_width()), jnp.uint8)
             if self._codes is not None and self.ntotal:
                 buf = buf.at[: self.ntotal].set(self._codes[: self.ntotal])
             self._codes, self._capacity = buf, cap
@@ -100,7 +113,8 @@ class IndexPQ(Index):
             return (np.full((len(x), k), bad, np.float32),
                     np.full((len(x), k), -1, np.int64))
         Dv, Iv = _pq_knn(jnp.asarray(x), self._codes, self._centroids_dev,
-                         k, self.metric_type, jnp.int32(self.ntotal))
+                         k, self.metric_type, jnp.int32(self.ntotal),
+                         packed4=self._packed4)
         return np.asarray(Dv), np.asarray(Iv, np.int64)
 
     def reset(self) -> None:
@@ -112,10 +126,15 @@ class IndexPQ(Index):
 
     def sa_encode(self, x) -> np.ndarray:
         x = self._check_input(x)
-        return np.asarray(PQ.pq_encode(jnp.asarray(x), self._centroids_dev))
+        codes = PQ.pq_encode(jnp.asarray(x), self._centroids_dev)
+        if self._packed4:
+            codes = PQ.pack_codes_4bit(codes)
+        return np.asarray(codes)
 
     def sa_decode(self, codes) -> np.ndarray:
         codes = jnp.asarray(np.ascontiguousarray(codes, np.uint8))
+        if self._packed4:
+            codes = PQ.unpack_codes_4bit(codes)
         return np.asarray(PQ.pq_decode(codes, self._centroids_dev))
 
     def reconstruct(self, key: int) -> np.ndarray:

@@ -425,7 +425,7 @@ def pack_code_invlists(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "by_residual", "max_nblocks",
-                     "chunk_probes", "qt"),
+                     "chunk_probes", "qt", "packed4"),
 )
 def scan_invlists_pq(
     xq: jnp.ndarray,
@@ -442,6 +442,7 @@ def scan_invlists_pq(
     chunk_probes: int = 4,
     qt: int = 64,
     id_mask: Optional[jnp.ndarray] = None,
+    packed4: bool = False,
 ):
     """ADC scan over PQ-coded invlists (IndexIVFPQ::search_preassigned ->
     scan_list_with_table / pq4 kernels).
@@ -516,6 +517,10 @@ def scan_invlists_pq(
                 bd2, bi2, nd2 = carry2
                 bids = jnp.where(o < nblk, starts + o, NB)  # (qtile, pc)
                 codes = invlists.codes[bids]            # (qtile, pc, B, M)
+                if packed4:
+                    from . import pq as _PQ
+
+                    codes = _PQ.unpack_codes_4bit(codes)
                 vids = invlists.ids[bids]               # (qtile, pc, B)
                 idx = (codes.astype(jnp.int32)
                        + (jnp.arange(M, dtype=jnp.int32) * ksub)[

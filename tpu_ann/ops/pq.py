@@ -53,7 +53,10 @@ class PQCodec:
 
     @property
     def code_size(self) -> int:
-        # one uint8 per sub-index for nbits<=8 (packing is a layout concern)
+        """Stored bytes per vector: nbits=4 packs two sub-indices per byte
+        (the pq4 fast-scan layout, impl/pq4_fast_scan.h), nbits<=8 one."""
+        if self.nbits == 4:
+            return (self.M + 1) // 2
         return self.M
 
 
@@ -154,6 +157,22 @@ def precomputed_tables(coarse_centroids: jnp.ndarray,
                     preferred_element_type=jnp.float32)
     cn = jnp.sum(centroids * centroids, axis=2)
     return cn[None, :, :] + 2.0 * ip
+
+
+def pack_codes_4bit(codes: jnp.ndarray) -> jnp.ndarray:
+    """(n, M) sub-indices < 16 -> (n, M/2) uint8, low nibble first."""
+    n, M = codes.shape
+    assert M % 2 == 0
+    c = codes.astype(jnp.uint8).reshape(n, M // 2, 2)
+    return (c[:, :, 0] | (c[:, :, 1] << 4)).astype(jnp.uint8)
+
+
+def unpack_codes_4bit(packed: jnp.ndarray) -> jnp.ndarray:
+    """(..., M/2) uint8 -> (..., M) sub-indices."""
+    lo = packed & 0x0F
+    hi = packed >> 4
+    out = jnp.stack([lo, hi], axis=-1)
+    return out.reshape(packed.shape[:-1] + (packed.shape[-1] * 2,))
 
 
 def adc_scan(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:

@@ -74,7 +74,9 @@ def _make_ivf(nlist: int, hnsw_m: int, code: str, d: int,
         quant = IndexHNSWFlat(d, hnsw_m, metric)
     else:
         quant = IndexFlat(d, metric)
-    if m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?", code):
+    if m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?)?", code):
+        # "PQ32x4fs" = 4-bit packed fast-scan layout (our packed codes
+        # are block-native already; the _bbs suffix is accepted/ignored)
         return IndexIVFPQ(quant, d, nlist, int(m.group(1)),
                           int(m.group(2) or 8), metric)
     if code in _SQ_TYPES:
@@ -130,7 +132,7 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
         index = IndexHNSWFlat(cur_d, hm, metric)
     elif head == "Flat":
         index = IndexFlat(cur_d, metric)
-    elif m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?", head):
+    elif m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?)?", head):
         index = IndexPQ(cur_d, int(m.group(1)), int(m.group(2) or 8), metric)
     elif head in _SQ_TYPES:
         index = IndexScalarQuantizer(cur_d, _SQ_TYPES[head], metric)
