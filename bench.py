@@ -87,7 +87,7 @@ def main():
     flat = IndexFlatL2(d)
     flat.compute_dtype = "bfloat16"
     flat.approx_topk = True
-    flat.refine_factor = 4
+    flat.refine_factor = 2
     t2 = time.time()
     flat.add(xb)
     t_build_flat = time.time() - t2
@@ -98,11 +98,11 @@ def main():
     ta = time.time()
     flat.search(xq, k)
     t_e2e = time.time() - ta
-    log(f"Flat(bf16,approx,refine4): recall@10={rec:.4f} "
+    log(f"Flat(bf16,approx,refine2): recall@10={rec:.4f} "
         f"qps(device)={qps:.0f} qps(incl-tunnel-copies)={nq/t_e2e:.0f} "
         f"build={t_build_flat:.1f}s")
     if rec >= 0.9:
-        results.append(("FlatL2 bf16+approx+refine4", rec, qps,
+        results.append(("FlatL2 bf16+approx+refine2", rec, qps,
                         t_build_flat))
     flat.reset()
     del flat
