@@ -102,3 +102,16 @@ def test_get_invlist(small_ds):
         assert vecs.shape == (sizes[l], small_ds.d)
         tot += len(ids)
     assert tot == small_ds.nb
+
+
+def test_torch_tensor_inputs(small_ds):
+    """torch interop (contrib/torch_utils.py role): CPU torch tensors are
+    accepted wherever numpy arrays are."""
+    torch = pytest.importorskip("torch")
+    flat = IndexFlat(small_ds.d)
+    xb = torch.from_numpy(small_ds.get_database())
+    flat.add(xb)
+    xq = torch.from_numpy(small_ds.get_queries()[:5])
+    D, I = flat.search(xq, 3)
+    D2, I2 = flat.search(small_ds.get_queries()[:5], 3)
+    assert (I == I2).all()

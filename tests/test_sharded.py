@@ -77,3 +77,38 @@ def test_sharded_kmeans_iter_matches_serial(mesh, rng):
     np.testing.assert_allclose(
         float(obj), float(np.asarray(dis)[:, 0].sum()), rtol=1e-4
     )
+
+
+def test_kmeans_distributed_driver(mesh, rng):
+    from tpu_ann.parallel.sharded import kmeans_distributed
+    from tpu_ann.ops import distances as D
+    import jax.numpy as jnp
+
+    x = rng.rand(2000, 16).astype(np.float32)
+    cent = kmeans_distributed(x, 16, mesh=mesh, niter=6)
+    assert cent.shape == (16, 16)
+    # all clusters populated
+    _, a = D.knn(jnp.asarray(x), jnp.asarray(cent), 1)
+    counts = np.bincount(np.asarray(a)[:, 0], minlength=16)
+    assert (counts > 0).all()
+
+
+def test_kmeans_checkpoint_resume(tmp_path, rng):
+    from tpu_ann.ops.kmeans import ClusteringParameters, kmeans
+
+    x = rng.rand(1000, 8).astype(np.float32)
+    ck = str(tmp_path / "km.pkl")
+    cp = ClusteringParameters(niter=6, seed=5)
+    c1, st1 = kmeans(x, 8, cp, checkpoint=ck)
+    import os
+    assert os.path.exists(ck)
+    # simulate a partial run: rewind checkpoint to iter 2 and resume
+    import pickle
+    with open(ck, "rb") as f:
+        st = pickle.load(f)
+    st["iter"] = 2
+    with open(ck, "wb") as f:
+        pickle.dump(st, f)
+    c2, st2 = kmeans(x, 8, cp, checkpoint=ck)
+    assert c2.shape == (8, 8)
+    assert len(st2) == 3  # iters 3..5 only

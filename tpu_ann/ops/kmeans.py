@@ -113,12 +113,15 @@ def kmeans(
     params: Optional[ClusteringParameters] = None,
     metric: int = D.METRIC_L2,
     init_centroids: Optional[np.ndarray] = None,
+    checkpoint: Optional[str] = None,
 ) -> Tuple[np.ndarray, list]:
     """Train k-means; returns (centroids (k, d) float32, iteration_stats).
 
     Equivalent of faiss `kmeans_clustering()` + `Clustering::train`. nredo
     restarts keep the run with the best final objective
-    (Clustering.cpp train loop)."""
+    (Clustering.cpp train loop). `checkpoint` persists centroids after
+    every iteration and resumes a killed run
+    (contrib/clustering.py kmeans(checkpoint=), clustering.py:346)."""
     cp = params or ClusteringParameters()
     x = np.ascontiguousarray(x, np.float32)
     n, d = x.shape
@@ -148,7 +151,22 @@ def kmeans(
         key = jax.random.PRNGKey(cp.seed + 31 * redo)
         stats = []
         obj = np.inf
-        for it in range(cp.niter):
+        it0 = 0
+        if checkpoint is not None and redo == 0:
+            import os
+            import pickle
+
+            if os.path.exists(checkpoint):
+                with open(checkpoint, "rb") as f:
+                    st = pickle.load(f)
+                cent = jnp.asarray(st["centroids"])
+                it0 = int(st["iter"]) + 1
+                # fresh key stream for the resumed segment (deterministic
+                # given seed + resume point)
+                key = jax.random.PRNGKey(cp.seed + 1000 + it0)
+                if cp.verbose:
+                    print(f"kmeans: resuming at iter {it0}")
+        for it in range(it0, cp.niter):
             from ..utils.interrupt import InterruptCallback
 
             InterruptCallback.check()
@@ -164,6 +182,16 @@ def kmeans(
                 nsplit=int(nsplit),
             )
             stats.append(st)
+            if checkpoint is not None and redo == 0:
+                import pickle
+
+                tmp = checkpoint + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump({"centroids": np.asarray(cent),
+                                 "iter": it, "key": None}, f)
+                import os
+
+                os.replace(tmp, checkpoint)
             if cp.verbose:
                 print(
                     f"  iter {it}: obj={st.obj:.4g} "

@@ -223,3 +223,66 @@ def sharded_ivf_scan(
         out_specs=(P(None, None), P(None, None)),
     )
     return fn(xq, probes, data, ids, norms, list_block_start, list_nblocks)
+
+
+def kmeans_distributed(
+    x: np.ndarray,
+    k: int,
+    *,
+    mesh: Mesh,
+    niter: int = 25,
+    seed: int = 1234,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Full distributed Lloyd's driver (the reference's
+    benchs/distributed_ondisk/distributed_kmeans.py client loop): data
+    row-sharded over the mesh, centroids replicated, one `psum`ed
+    iteration per round, empty clusters re-seeded host-side like
+    split_clusters. Returns (k, d) centroids."""
+    from ..ops.kmeans import ClusteringParameters, subsample_training_set
+
+    cp = ClusteringParameters(niter=niter, seed=seed)
+    x = np.ascontiguousarray(x, np.float32)
+    xt = subsample_training_set(x, k, cp.max_points_per_centroid, seed)
+    n_shards = mesh.shape["shard"] * mesh.shape.get("replica", 1)
+    total = mesh.shape["shard"] * mesh.shape["replica"]
+    pad = (-len(xt)) % total
+    if pad:
+        # pad with repeats (weightless enough at subsample scale)
+        xt = np.concatenate([xt, xt[:pad]])
+    rs = np.random.RandomState(seed)
+    cent = jnp.asarray(xt[rs.choice(len(xt), k, replace=False)])
+    x_dev = jnp.asarray(xt)
+    for it in range(niter):
+        cent, counts, obj = sharded_kmeans_iter(x_dev, cent, k, mesh=mesh)
+        counts_h = np.asarray(counts)
+        empty = np.nonzero(counts_h == 0)[0]
+        if len(empty):
+            cent_h = np.asarray(cent)
+            donors = np.argsort(-counts_h)[: len(empty)]
+            cent_h[empty] = cent_h[donors] * (1 + 1e-3)
+            cent = jnp.asarray(cent_h)
+        if verbose:
+            print(f"  distributed kmeans iter {it}: obj={float(obj):.4g} "
+                  f"empty={len(empty)}")
+    return np.asarray(cent)
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) bring-up — the role of the reference's Slurm env
+    parsing (SLURM_NPROCS/SLURM_PROCID in distributed_ondisk): delegates
+    to jax.distributed.initialize, after which `jax.devices()` spans all
+    hosts and the same Mesh code runs over ICI within a slice and DCN
+    across slices. No-op when already initialized or single-host."""
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
