@@ -108,10 +108,26 @@ class IndexHNSW(Index):
         ef = max(int(ef), int(k))
         return ef, expand
 
+    # beam-search footprint scales with nq * expand * 2M * d — big batches
+    # (e.g. a 1M-vector add assigning through an HNSW quantizer) are tiled
+    search_chunk = 8192
+
     def search_device(self, xq_dev: jnp.ndarray, k: int,
                       params: Optional[SearchParametersHNSW] = None):
         """Device-in/device-out search (no host sync)."""
         ef, expand = self._effective(k, params)
+        nq = xq_dev.shape[0]
+        if nq > self.search_chunk:
+            outs = [
+                H.hnsw_search(
+                    self.storage.vectors, self.graph,
+                    xq_dev[i : i + self.search_chunk],
+                    ef=ef, k=k, expand=expand, metric=self.metric_type,
+                )[:2]
+                for i in range(0, nq, self.search_chunk)
+            ]
+            return (jnp.concatenate([o[0] for o in outs]),
+                    jnp.concatenate([o[1] for o in outs]))
         Dv, Iv, _ = H.hnsw_search(
             self.storage.vectors, self.graph, xq_dev,
             ef=ef, k=k, expand=expand, metric=self.metric_type,
@@ -140,12 +156,21 @@ class IndexHNSW(Index):
             # filter at extraction (the reference's traverse-all /
             # emit-filtered behavior, faiss HNSW + SearchParameters.sel)
             kk = ef if sel is not None else k
-            Dv, Iv, st = H.hnsw_search(
-                self.storage.vectors, self.graph, jnp.asarray(x),
-                ef=ef, k=kk, expand=expand, metric=self.metric_type,
-            )
-            Dv = np.asarray(Dv)
-            Iv = np.asarray(Iv, np.int64)
+            xq_all = jnp.asarray(x)
+            nq_all = xq_all.shape[0]
+            parts = []
+            st = {"ndis": 0, "nhops": 0}
+            for i0 in range(0, nq_all, self.search_chunk):
+                Dc, Ic, stc = H.hnsw_search(
+                    self.storage.vectors, self.graph,
+                    xq_all[i0 : i0 + self.search_chunk],
+                    ef=ef, k=kk, expand=expand, metric=self.metric_type,
+                )
+                parts.append((Dc, Ic))
+                st = {"ndis": st["ndis"] + int(stc["ndis"]),
+                      "nhops": st["nhops"] + int(stc["nhops"])}
+            Dv = np.concatenate([np.asarray(p[0]) for p in parts])
+            Iv = np.concatenate([np.asarray(p[1], np.int64) for p in parts])
             if sel is not None:
                 allow = sel.make_bitmap(self.ntotal)
                 bad = -np.inf if self.is_similarity else np.inf
