@@ -75,3 +75,20 @@ def test_hnsw_empty_search():
     index = IndexHNSWFlat(16, M=8)
     D, I = index.search(np.zeros((3, 16), np.float32), 4)
     assert (I == -1).all()
+
+
+def test_hnsw_sq_bf16(built):
+    """Reduced-precision storage keeps recall (IndexHNSWSQ role)."""
+    from tpu_ann.models.hnsw import IndexHNSWSQ
+    import tpu_ann.utils.datasets as ds_mod
+
+    ds = ds_mod.SyntheticDataset(d=32, nt=0, nb=4000, nq=100)
+    idx = IndexHNSWSQ(32, "bfloat16", M=16)
+    idx.hnsw.efConstruction = 40
+    idx.hnsw.efSearch = 64
+    idx.add(ds.get_database())
+    _, I = idx.search(ds.get_queries(), 10)
+    _, _, gt = built
+    from tpu_ann.utils.evaluation import recall_at_r
+
+    assert recall_at_r(I, gt, 10) > 0.88

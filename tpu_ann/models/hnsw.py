@@ -58,6 +58,18 @@ class IndexHNSW(Index):
         self.graph: Optional[H.HNSWGraph] = None
         self._built_n = 0        # vectors already in the graph
         self._level_seed = 1234
+        # reduced-precision device copy of the vectors (IndexHNSWSQ role:
+        # graph distances on compressed storage); None = f32
+        self.storage_dtype: Optional[str] = None
+        self._vec_dev: Optional[jnp.ndarray] = None
+
+    def _search_vectors(self) -> jnp.ndarray:
+        if self.storage_dtype is None:
+            return self.storage.vectors
+        if self._vec_dev is None or self._vec_dev.shape[0] != self.ntotal:
+            self._vec_dev = self.storage.vectors.astype(
+                jnp.dtype(self.storage_dtype))
+        return self._vec_dev
 
     # --- add / build ------------------------------------------------------
     def add(self, x) -> None:
@@ -120,7 +132,7 @@ class IndexHNSW(Index):
         if nq > self.search_chunk:
             outs = [
                 H.hnsw_search(
-                    self.storage.vectors, self.graph,
+                    self._search_vectors(), self.graph,
                     xq_dev[i : i + self.search_chunk],
                     ef=ef, k=k, expand=expand, metric=self.metric_type,
                 )[:2]
@@ -129,7 +141,7 @@ class IndexHNSW(Index):
             return (jnp.concatenate([o[0] for o in outs]),
                     jnp.concatenate([o[1] for o in outs]))
         Dv, Iv, _ = H.hnsw_search(
-            self.storage.vectors, self.graph, xq_dev,
+            self._search_vectors(), self.graph, xq_dev,
             ef=ef, k=k, expand=expand, metric=self.metric_type,
         )
         return Dv, Iv
@@ -162,7 +174,7 @@ class IndexHNSW(Index):
             st = {"ndis": 0, "nhops": 0}
             for i0 in range(0, nq_all, self.search_chunk):
                 Dc, Ic, stc = H.hnsw_search(
-                    self.storage.vectors, self.graph,
+                    self._search_vectors(), self.graph,
                     xq_all[i0 : i0 + self.search_chunk],
                     ef=ef, k=kk, expand=expand, metric=self.metric_type,
                 )
@@ -205,3 +217,15 @@ class IndexHNSWFlat(IndexHNSW):
 
     def __init__(self, d: int, M: int = 32, metric: int = D.METRIC_L2):
         super().__init__(d, M, metric)
+
+
+class IndexHNSWSQ(IndexHNSW):
+    """faiss IndexHNSWSQ(d, qtype, M): graph over compressed storage —
+    here bf16/fp16 device storage (half the HBM of Flat; int8 planned)."""
+
+    def __init__(self, d: int, qtype: str = "bfloat16", M: int = 32,
+                 metric: int = D.METRIC_L2):
+        super().__init__(d, M, metric)
+        if qtype not in ("bfloat16", "float16"):
+            raise ValueError("IndexHNSWSQ supports bfloat16/float16 storage")
+        self.storage_dtype = qtype
