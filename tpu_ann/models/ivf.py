@@ -125,7 +125,44 @@ class IndexIVF(Index):
         self.ntotal += len(x)
         self._repack()
 
+    # Coarse quantization strategy. On TPU, exact GEMM assignment over the
+    # centroid table costs milliseconds up to nlist ~ 10^5 (one MXU matmul),
+    # while a graph traversal is gather-bound — so 'auto' uses the exact
+    # path whenever the quantizer exposes its centroids and nlist is below
+    # the crossover, and the quantizer's own search (e.g. the HNSW beam of
+    # the namesake hybrid) above it. 'quantizer' forces faiss-faithful
+    # behavior; 'flat' forces exact.
+    coarse_mode = "auto"
+    _COARSE_EXACT_MAX_NLIST = 262144
+
+    def _centroid_table(self):
+        q = self.quantizer
+        vecs = getattr(q, "vectors", None)
+        if vecs is None and hasattr(q, "storage"):
+            vecs = q.storage.vectors
+        return vecs
+
+    def _use_exact_coarse(self) -> bool:
+        if self.coarse_mode == "quantizer":
+            return False
+        if self.coarse_mode == "flat":
+            return True
+        return (self._centroid_table() is not None
+                and self.nlist <= self._COARSE_EXACT_MAX_NLIST)
+
+    def _coarse_search_device(self, xq_dev, nprobe: int):
+        if self._use_exact_coarse():
+            return D.knn(xq_dev, self._centroid_table(), nprobe,
+                         self.metric_type)
+        return self.quantizer.search_device(xq_dev, nprobe)
+
     def _assign(self, x: np.ndarray) -> np.ndarray:
+        if self._use_exact_coarse():
+            import jax.numpy as _jnp
+
+            _, a = D.knn(_jnp.asarray(x), self._centroid_table(), 1,
+                         self.metric_type)
+            return np.asarray(a)[:, 0]
         _, a = self.quantizer.search(x, 1)
         return np.asarray(a)[:, 0]
 
@@ -191,7 +228,7 @@ class IndexIVF(Index):
     def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
                        id_mask=None):
         """coarse quantization + invlist scan, all on device."""
-        _, probes = self.quantizer.search_device(xq_dev, nprobe)
+        _, probes = self._coarse_search_device(xq_dev, nprobe)
         probes = probes.astype(jnp.int32)
         if self._use_grouped(xq_dev.shape[0], nprobe, id_mask):
             Dv, Iv, _ = ivf_scan.scan_invlists_grouped(
@@ -217,7 +254,7 @@ class IndexIVF(Index):
 
         xq_dev = jnp.asarray(x)
         with Timer() as t_q:
-            cd, probes = self.quantizer.search_device(xq_dev, nprobe)
+            cd, probes = self._coarse_search_device(xq_dev, nprobe)
             probes = jax.block_until_ready(probes.astype(jnp.int32))
         with Timer() as t_s:
             Dv, Iv, ndis = ivf_scan.scan_invlists(

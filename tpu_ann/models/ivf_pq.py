@@ -91,7 +91,7 @@ class IndexIVFPQ(IndexIVF):
 
     def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
                        id_mask=None):
-        cd, probes = self.quantizer.search_device(xq_dev, nprobe)
+        cd, probes = self._coarse_search_device(xq_dev, nprobe)
         Dv, Iv, _ = self._scan_device(xq_dev, probes.astype(jnp.int32), cd,
                                       k, mnb, id_mask=id_mask)
         return Dv, Iv
@@ -106,7 +106,7 @@ class IndexIVFPQ(IndexIVF):
         nprobe, mnb = self._effective_params(params)
         xq_dev = jnp.asarray(x)
         with Timer() as t_q:
-            cd, probes = self.quantizer.search_device(xq_dev, nprobe)
+            cd, probes = self._coarse_search_device(xq_dev, nprobe)
             probes = jax.block_until_ready(probes.astype(jnp.int32))
         with Timer() as t_s:
             Dv, Iv, ndis = self._scan_device(xq_dev, probes, cd, k, mnb)
@@ -156,7 +156,7 @@ class IndexIVFScalarQuantizer(IndexIVF):
 
     def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
                        id_mask=None):
-        _, probes = self.quantizer.search_device(xq_dev, nprobe)
+        _, probes = self._coarse_search_device(xq_dev, nprobe)
         vmin, vdiff = self._sq_params()
         Dv, Iv, _ = ivf_scan.scan_invlists_sq(
             xq_dev, probes.astype(jnp.int32), self.invlists,
@@ -175,7 +175,7 @@ class IndexIVFScalarQuantizer(IndexIVF):
         nprobe, mnb = self._effective_params(params)
         xq_dev = jnp.asarray(x)
         with Timer() as t_q:
-            _, probes = self.quantizer.search_device(xq_dev, nprobe)
+            _, probes = self._coarse_search_device(xq_dev, nprobe)
             probes = jax.block_until_ready(probes.astype(jnp.int32))
         vmin, vdiff = self._sq_params()
         with Timer() as t_s:

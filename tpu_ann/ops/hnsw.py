@@ -460,13 +460,17 @@ def _apply_reverse_links(vectors, neighbors_l, fwd_ids, wave_ids,
 @functools.partial(
     jax.jit, static_argnames=("m_fwd", "ef_construction", "metric"))
 def _insert_wave_level(vectors, neighbors_l, xq_wave, wave_ids, entry_ids,
+                       n_valid,
                        *, m_fwd: int, ef_construction: int,
                        metric: int = D.METRIC_L2):
     """Insert one wave at one level: beam-search the pre-wave graph for
     candidates, heuristic-select forward links, apply forward + reverse.
 
     `vectors`/`neighbors_l`/ids may live in a compacted row space (upper
-    levels) — the caller maps global<->row ids.
+    levels) — the caller maps global<->row ids. Rows with
+    wave_ids >= n_valid are shape-padding (the build driver pads every
+    wave to one static size so the whole build compiles once per level):
+    they take no links and emit no reverse edges.
 
     Returns (new_neighbors_l, nearest_ids (W, e) for seeding next level).
     """
@@ -481,6 +485,8 @@ def _insert_wave_level(vectors, neighbors_l, xq_wave, wave_ids, entry_ids,
     ci = jnp.where(self_hit, -1, ci)
     fwd = _select_neighbors_heuristic(xq_wave, ci, cd, vectors,
                                       m_fwd, metric)
+    row_ok = wave_ids < n_valid
+    fwd = jnp.where(row_ok[:, None], fwd, -1)
     neighbors_l = neighbors_l.at[wave_ids].set(fwd)
     neighbors_l = _apply_reverse_links(vectors, neighbors_l, fwd, wave_ids,
                                        metric)
@@ -528,8 +534,10 @@ def build_graph(
     # row lookup for upper tables; levels of upper nodes
     upper_levels = levels[upper_ids_np]
 
-    neighbors0 = jnp.full((n, m0), -1, jnp.int32)
-    upper_neighbors = jnp.full((u, max(lmax_tab, 1), m), -1, jnp.int32)
+    # one extra dummy row per table absorbs the writes of shape-padded
+    # wave slots (sliced off at the end)
+    neighbors0 = jnp.full((n + 1, m0), -1, jnp.int32)
+    upper_neighbors = jnp.full((u + 1, max(lmax_tab, 1), m), -1, jnp.int32)
     vectors = jnp.asarray(vectors, jnp.float32)
     vectors_u = vectors[jnp.asarray(upper_ids_np)]
     upper_ids_dev = jnp.asarray(upper_ids_np)
@@ -555,7 +563,9 @@ def build_graph(
         if len(bucket) == 0:
             continue
         i0 = 0
-        # ramp-up so early points see a connected graph
+        # ramp-up so early points see a connected graph; every wave is
+        # PADDED to `wave_size` (dummy ids -> dummy table rows) so the
+        # whole build reuses one compiled program per level
         w = 32
         while i0 < len(bucket):
             from ..utils.interrupt import InterruptCallback
@@ -564,13 +574,20 @@ def build_graph(
             w = min(w * 2, wave_size)
             wave = bucket[i0 : i0 + w]
             i0 += len(wave)
-            xw = vectors[jnp.asarray(wave)]
+            nw = len(wave)
+            wave_pad = np.full(wave_size, n, np.int64)   # dummy = row n
+            wave_pad[:nw] = wave
+            xw = jnp.asarray(
+                np.concatenate([np.asarray(vectors[jnp.asarray(wave)]),
+                                np.zeros((wave_size - nw, d), np.float32)])
+                if nw < wave_size else
+                np.asarray(vectors[jnp.asarray(wave)]))
             # greedy descent from entry through levels > pt_level
-            cur = jnp.full((len(wave),), entry, jnp.int32)
+            cur = jnp.full((wave_size,), entry, jnp.int32)
             cur_d = _batch_dists(xw, vectors[cur][:, None, :], metric)[:, 0]
             tmp_graph = HNSWGraph(
-                neighbors0=neighbors0, upper_ids=upper_ids_dev,
-                upper_neighbors=upper_neighbors,
+                neighbors0=neighbors0[:n], upper_ids=upper_ids_dev,
+                upper_neighbors=upper_neighbors[:u],
                 levels=jnp.asarray(levels), entry=graph_entry,
                 max_level=max_level,
             )
@@ -586,7 +603,9 @@ def build_graph(
                     jnp.searchsorted(upper_ids_dev, adj_g).astype(jnp.int32),
                     -1,
                 )
-                wave_rows = jnp.asarray(rows_of(wave))
+                wave_rows_np = np.full(wave_size, u, np.int32)  # dummy = u
+                wave_rows_np[:nw] = rows_of(wave)
+                wave_rows = jnp.asarray(wave_rows_np)
                 seed_rows = jnp.where(
                     seeds >= 0,
                     jnp.searchsorted(upper_ids_dev,
@@ -603,6 +622,7 @@ def build_graph(
                 seed_rows = jnp.where(exact & (seed_lv >= lev), rclip, -1)
                 new_adj, seed_out = _insert_wave_level(
                     vectors_u, adj_rows, xw, wave_rows, seed_rows,
+                    jnp.int32(u),
                     m_fwd=m, ef_construction=ef_construction, metric=metric,
                 )
                 # rows -> global ids for storage
@@ -616,7 +636,8 @@ def build_graph(
                                   -1)
             # level 0
             neighbors0, _ = _insert_wave_level(
-                vectors, neighbors0, xw, jnp.asarray(wave), seeds,
+                vectors, neighbors0, xw, jnp.asarray(wave_pad), seeds,
+                jnp.int32(n),
                 m_fwd=m0, ef_construction=ef_construction, metric=metric,
             )
             inserted[wave] = True
@@ -625,9 +646,9 @@ def build_graph(
                 print(f"hnsw build: level {pt_level}, {n_done}/{n}")
 
     return HNSWGraph(
-        neighbors0=neighbors0,
+        neighbors0=neighbors0[:n],
         upper_ids=upper_ids_dev,
-        upper_neighbors=upper_neighbors,
+        upper_neighbors=upper_neighbors[:u],
         levels=jnp.asarray(levels),
         entry=graph_entry,
         max_level=max_level,
