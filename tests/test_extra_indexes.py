@@ -95,3 +95,33 @@ def test_index_random():
     D2, I2 = idx.search(np.zeros((4, 16), np.float32), 5)
     assert (I == I2).all()  # deterministic
     assert (I < 1000).all()
+
+
+def test_kmeans1d_exact(rng):
+    from tpu_ann.ops.kmeans import kmeans1d
+
+    # three well-separated 1-D clusters: DP must find them exactly
+    x = np.concatenate([rng.randn(50) * 0.1, rng.randn(50) * 0.1 + 10,
+                        rng.randn(50) * 0.1 + 20])
+    cent, assign = kmeans1d(x, 3)
+    assert len(np.unique(assign)) == 3
+    assert np.allclose(sorted(cent), [0, 10, 20], atol=0.2)
+    # same-cluster points share assignment
+    assert len(np.unique(assign[:50])) == 1
+
+
+def test_index_flat_1d(rng):
+    from tpu_ann.models.flat import IndexFlat1D
+
+    idx = IndexFlat1D()
+    vals = rng.rand(500, 1).astype(np.float32)
+    idx.add(vals)
+    D, I = idx.search(vals[:10], 3)
+    assert (I[:, 0] == np.arange(10)).all()
+    assert np.allclose(D[:, 0], 0)
+    # oracle vs brute force
+    q = rng.rand(5, 1).astype(np.float32)
+    D2, I2 = idx.search(q, 5)
+    dis = (vals[:, 0][None, :] - q[:, 0][:, None]) ** 2
+    exact = np.sort(dis, axis=1)[:, :5]
+    assert np.allclose(np.sort(D2, axis=1), exact, atol=1e-6)

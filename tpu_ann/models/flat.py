@@ -192,3 +192,43 @@ class IndexFlatL2(IndexFlat):
 class IndexFlatIP(IndexFlat):
     def __init__(self, d: int):
         super().__init__(d, METRIC_INNER_PRODUCT)
+
+
+class IndexFlat1D(IndexFlat):
+    """1-D specialization (faiss IndexFlat1D): search by binary search in
+    the sorted values instead of GEMM."""
+
+    def __init__(self):
+        super().__init__(1, METRIC_L2)
+        self._sorted: Optional[np.ndarray] = None
+        self._perm: Optional[np.ndarray] = None
+
+    def update_permutation(self) -> None:
+        vals = np.asarray(self.vectors)[:, 0]
+        self._perm = np.argsort(vals)
+        self._sorted = vals[self._perm]
+
+    def add(self, x) -> None:
+        super().add(x)
+        self.update_permutation()
+
+    def search(self, x, k: int, *, params=None):
+        x = np.asarray(x, np.float32).reshape(-1)
+        if self.ntotal == 0:
+            return (np.full((len(x), k), np.inf, np.float32),
+                    np.full((len(x), k), -1, np.int64))
+        pos = np.searchsorted(self._sorted, x)
+        n = self.ntotal
+        kk = min(k, n)
+        # expand a window around the insertion point
+        offs = np.arange(-kk, kk + 1)
+        cand = np.clip(pos[:, None] + offs[None, :], 0, n - 1)
+        dis = (self._sorted[cand] - x[:, None]) ** 2
+        order = np.argsort(dis, axis=1)[:, :k]
+        Dv = np.take_along_axis(dis, order, axis=1).astype(np.float32)
+        Iv = self._perm[np.take_along_axis(cand, order, axis=1)]
+        if kk < k:
+            Dv[:, kk:] = np.inf
+            Iv = Iv.astype(np.int64)
+            Iv[:, kk:] = -1
+        return Dv, Iv.astype(np.int64)

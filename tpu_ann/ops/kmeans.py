@@ -272,3 +272,56 @@ class Kmeans:
         dis, ids = D.knn(jnp.asarray(np.ascontiguousarray(x, np.float32)),
                          jnp.asarray(self.centroids), 1, self.metric)
         return np.asarray(dis)[:, 0], np.asarray(ids)[:, 0]
+
+
+def kmeans1d(x: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact 1-D k-means by dynamic programming over the sorted values
+    (faiss impl/kmeans1d.{h,cpp} smawk-based Clustering1D; this is the
+    O(n*k) DP with prefix sums — exact, same optimum).
+
+    Returns (centroids (k,), assignment (n,))."""
+    x = np.asarray(x, np.float64).ravel()
+    n = len(x)
+    if n < k:
+        raise ValueError(f"n={n} < k={k}")
+    order = np.argsort(x)
+    xs = x[order]
+    ps = np.concatenate([[0.0], np.cumsum(xs)])
+    ps2 = np.concatenate([[0.0], np.cumsum(xs * xs)])
+
+    def seg_cost(i, j):
+        # cost of cluster covering xs[i:j] (j exclusive)
+        cnt = j - i
+        s = ps[j] - ps[i]
+        s2 = ps2[j] - ps2[i]
+        return s2 - s * s / cnt
+
+    INF = np.inf
+    dp = np.full((k + 1, n + 1), INF)
+    arg = np.zeros((k + 1, n + 1), np.int64)
+    dp[0, 0] = 0.0
+    for c in range(1, k + 1):
+        for j in range(c, n - (k - c) + 1):
+            best, bi = INF, c - 1
+            for i in range(c - 1, j):
+                v = dp[c - 1, i] + seg_cost(i, j)
+                if v < best:
+                    best, bi = v, i
+            dp[c, j] = best
+            arg[c, j] = bi
+    # backtrack boundaries
+    bounds = [n]
+    j = n
+    for c in range(k, 0, -1):
+        j = int(arg[c, j])
+        bounds.append(j)
+    bounds = bounds[::-1]
+    cent = np.zeros(k, np.float32)
+    assign_sorted = np.zeros(n, np.int64)
+    for c in range(k):
+        i, j = bounds[c], bounds[c + 1]
+        cent[c] = xs[i:j].mean()
+        assign_sorted[i:j] = c
+    assign = np.zeros(n, np.int64)
+    assign[order] = assign_sorted
+    return cent, assign
