@@ -17,7 +17,14 @@ from .ops.distances import (  # noqa: F401
 )
 from .models.base import Index, SearchStats  # noqa: F401
 from .models.flat import IndexFlat, IndexFlatIP, IndexFlatL2  # noqa: F401
-from .models.hnsw import IndexHNSW, IndexHNSWFlat, SearchParametersHNSW  # noqa: F401
+from .models.flat import IndexFlat1D  # noqa: F401
+from .models.hnsw import (  # noqa: F401
+    IndexHNSW,
+    IndexHNSWFlat,
+    IndexHNSWSQ,
+    SearchParametersHNSW,
+)
+from .models.nsg import IndexNNDescentFlat, IndexNSGFlat  # noqa: F401
 from .models.ivf import (  # noqa: F401
     IndexIVF,
     IndexIVFFlat,

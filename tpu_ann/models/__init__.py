@@ -2,7 +2,14 @@
 
 from .base import Index, SearchStats  # noqa: F401
 from .flat import IndexFlat, IndexFlatIP, IndexFlatL2  # noqa: F401
-from .hnsw import IndexHNSW, IndexHNSWFlat, SearchParametersHNSW  # noqa: F401
+from .flat import IndexFlat1D  # noqa: F401
+from .hnsw import (  # noqa: F401
+    IndexHNSW,
+    IndexHNSWFlat,
+    IndexHNSWSQ,
+    SearchParametersHNSW,
+)
+from .nsg import IndexNNDescentFlat, IndexNSGFlat  # noqa: F401
 from .ivf import (  # noqa: F401
     IndexIVF,
     IndexIVFFlat,
