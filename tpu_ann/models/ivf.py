@@ -78,6 +78,9 @@ class IndexIVF(Index):
         # batches where lists are probed by many queries at once)
         self.scan_mode = "auto"
         self.group_size = 32
+        # per-chunk candidate selection via the TPU's approx_max_k
+        # (exact merges; ~0.999 top-10 fidelity, large speedup)
+        self.approx_topk = False
 
     # --- training ---------------------------------------------------------
     def train(self, x) -> None:
@@ -234,11 +237,13 @@ class IndexIVF(Index):
             Dv, Iv, _ = ivf_scan.scan_invlists_grouped(
                 xq_dev, probes, self.invlists, k, self.metric_type,
                 max_nblocks=mnb, group=self.group_size,
+                approx=self.approx_topk,
             )
         else:
             Dv, Iv, _ = ivf_scan.scan_invlists(
                 xq_dev, probes, self.invlists, k,
                 self.metric_type, max_nblocks=mnb, id_mask=id_mask,
+                approx=self.approx_topk,
             )
         return Dv, Iv
 

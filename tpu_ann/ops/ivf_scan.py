@@ -181,7 +181,8 @@ def _compact_block_table(probes, list_block_start, list_nblocks,
 def _scan_compacted(xq, probes, list_block_start, list_nblocks, NB,
                     chunk_score_fn, k: int, similarity: bool, bad,
                     max_nblocks: int, chunk_blocks: int, qt: int,
-                    extra_per_query=None, id_mask=None):
+                    extra_per_query=None, id_mask=None,
+                    approx: bool = False):
     """Generic compacted invlist scan driver.
 
     1. build the per-query compacted block table;
@@ -243,8 +244,19 @@ def _scan_compacted(xq, probes, list_block_start, list_nblocks, NB,
             nd = nd + jnp.sum(valid.astype(jnp.int32))
             dis2 = dis.reshape(qtile, -1)
             vids2 = vids.reshape(qtile, -1)
-            nbd, nbi = T.merge_topk(bd, bi, dis2, vids2, k,
-                                    similarity=similarity)
+            if approx:
+                # hardware partial top-k per chunk, exact 2k-wide merge
+                # (the same fusion lesson as ops.distances.knn: exact
+                # lax.top_k over chunk-wide scores costs ~10x the GEMM)
+                key = dis2 if similarity else -dis2
+                v, pos = lax.approx_max_k(key, min(k, dis2.shape[1]))
+                cv = v if similarity else -v
+                ci2 = jnp.take_along_axis(vids2, pos, axis=1)
+                nbd, nbi = T.merge_topk(bd, bi, cv, ci2, k,
+                                        similarity=similarity)
+            else:
+                nbd, nbi = T.merge_topk(bd, bi, dis2, vids2, k,
+                                        similarity=similarity)
             return c + 1, nbd, nbi, nd
 
         init = (
@@ -265,7 +277,8 @@ def _scan_compacted(xq, probes, list_block_start, list_nblocks, NB,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "max_nblocks", "chunk_blocks", "qt"),
+    static_argnames=("k", "metric", "max_nblocks", "chunk_blocks", "qt",
+                     "approx"),
 )
 def scan_invlists(
     xq: jnp.ndarray,
@@ -278,10 +291,12 @@ def scan_invlists(
     chunk_blocks: int = 8,
     qt: int = 256,
     id_mask: Optional[jnp.ndarray] = None,
+    approx: bool = False,
 ):
     """Scan probed lists: the batched `search_preassigned` phase 2
     (compacted block table + length-sorted query tiles, see
-    `_scan_compacted`).
+    `_scan_compacted`). approx=True selects per-chunk candidates with the
+    TPU's approx_max_k (exact merges; ~0.999 top-10 fidelity).
 
     Args:
       xq: (nq, d) queries.
@@ -315,7 +330,7 @@ def scan_invlists(
     return _scan_compacted(
         xq, probes, invlists.list_block_start, invlists.list_nblocks,
         invlists.nblocks, score, k, similarity, bad,
-        max_nblocks, chunk_blocks, qt, id_mask=id_mask,
+        max_nblocks, chunk_blocks, qt, id_mask=id_mask, approx=approx,
     )
 
 
@@ -616,7 +631,8 @@ def scan_invlists_sq(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "max_nblocks", "group", "item_tile"),
+    static_argnames=("k", "metric", "max_nblocks", "group", "item_tile",
+                     "approx"),
 )
 def scan_invlists_grouped(
     xq: jnp.ndarray,
@@ -628,6 +644,7 @@ def scan_invlists_grouped(
     max_nblocks: int,
     group: int = 32,
     item_tile: int = 256,
+    approx: bool = False,
 ):
     """List-major IVF scan (the GPU two-pass idea, gpu/impl/IVFUtils.cu,
     taken further): instead of each query gathering its probed blocks
@@ -731,8 +748,20 @@ def scan_invlists_grouped(
             dis = jnp.where(valid, dis, bad)
             nd = nd + jnp.sum(valid.astype(jnp.int32))
             ids_b = jnp.broadcast_to(vids[:, None, :], dis.shape)
-            cd = jnp.concatenate([bd, dis], axis=2)      # (IT, G, k+B)
-            ci = jnp.concatenate([bi, ids_b], axis=2)
+            if approx:
+                flat_d = dis.reshape(-1, B)
+                key = flat_d if similarity else -flat_d
+                v, pos = lax.approx_max_k(key, min(k, B))
+                cv = (v if similarity else -v).reshape(dis.shape[0],
+                                                       dis.shape[1], -1)
+                cids = jnp.take_along_axis(
+                    ids_b.reshape(-1, B), pos, axis=1
+                ).reshape(cv.shape)
+                cd = jnp.concatenate([bd, cv], axis=2)
+                ci = jnp.concatenate([bi, cids], axis=2)
+            else:
+                cd = jnp.concatenate([bd, dis], axis=2)  # (IT, G, k+B)
+                ci = jnp.concatenate([bi, ids_b], axis=2)
             key = cd if similarity else -cd
             nv, pos = lax.top_k(key, k)
             nbd = nv if similarity else -nv
