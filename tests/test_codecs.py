@@ -264,3 +264,51 @@ def test_ivfpq4_fastscan_layout(small_ds):
     _, I = idx.search(small_ds.get_queries(), 10)
     gt = small_ds.get_groundtruth(10)
     assert recall_at_r(I, gt, 10) > 0.5
+
+
+# --- residual quantizer -----------------------------------------------------
+
+def test_rq_roundtrip_beats_pq(small_ds):
+    """RQ at the same byte budget should reconstruct at least as well as
+    PQ (it usually wins on correlated data)."""
+    from tpu_ann.ops.rq import rq_decode, rq_encode, train_rq
+
+    xt = small_ds.get_train()
+    codec = train_rq(xt, M=4, nbits=8, niter=8)
+    cent = jnp.asarray(codec.codebooks)
+    codes = rq_encode(jnp.asarray(xt[:500]), cent, beam=5)
+    recon = np.asarray(rq_decode(codes, cent))
+    mse_rq = ((recon - xt[:500]) ** 2).mean()
+    pq_codec = PQ.train_pq(xt, M=4, nbits=8, niter=8)
+    pcent = jnp.asarray(pq_codec.centroids)
+    pcodes = PQ.pq_encode(jnp.asarray(xt[:500]), pcent)
+    precon = np.asarray(PQ.pq_decode(pcodes, pcent))
+    mse_pq = ((precon - xt[:500]) ** 2).mean()
+    assert mse_rq < mse_pq * 1.3, (mse_rq, mse_pq)
+
+
+def test_index_rq_recall(small_ds):
+    from tpu_ann.models.rq import IndexResidualQuantizer
+
+    idx = IndexResidualQuantizer(small_ds.d, M=8)
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.7, r
+
+
+def test_ivf_rq_recall(small_ds):
+    from tpu_ann.models.rq import IndexIVFResidualQuantizer
+
+    idx = IndexIVFResidualQuantizer(IndexFlat(small_ds.d), small_ds.d,
+                                    nlist=32, M=8)
+    idx.cp.niter = 5
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.nprobe = 16
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.6, r

@@ -39,6 +39,11 @@ from .models.ivf_pq import (  # noqa: F401
 )
 from .models.pq import IndexPQ, IndexScalarQuantizer  # noqa: F401
 from .models.refine import IndexRefine, IndexRefineFlat  # noqa: F401
+from .models.rq import (  # noqa: F401
+    IndexAdditiveQuantizer,
+    IndexIVFResidualQuantizer,
+    IndexResidualQuantizer,
+)
 from .models.transforms import (  # noqa: F401
     IndexPreTransform,
     OPQMatrix,

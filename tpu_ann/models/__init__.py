@@ -24,6 +24,11 @@ from .ivf_pq import (  # noqa: F401
 )
 from .pq import IndexPQ, IndexScalarQuantizer  # noqa: F401
 from .refine import IndexRefine, IndexRefineFlat  # noqa: F401
+from .rq import (  # noqa: F401
+    IndexAdditiveQuantizer,
+    IndexIVFResidualQuantizer,
+    IndexResidualQuantizer,
+)
 from .binary import (  # noqa: F401
     IndexBinary,
     IndexBinaryFlat,

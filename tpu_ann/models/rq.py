@@ -1,0 +1,246 @@
+"""Additive-quantizer indexes — faiss `IndexAdditiveQuantizer` /
+`IndexResidualQuantizer` (IndexAdditiveQuantizer.{h,cpp}) and
+`IndexIVFResidualQuantizer` (IndexIVFAdditiveQuantizer.{h,cpp}).
+
+Codes are M stage indices + a stored f32 norm (ST_norm_float); search is
+the additive ADC scan of `ops.rq`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops import distances as D
+from ..ops import rq as RQ
+from ..ops import topk as T
+from .base import Index
+from .flat import IndexFlat
+from .ivf import IndexIVF
+
+
+@functools.partial(jax.jit, static_argnames=("k", "db_block"))
+def _rq_knn(xq, codes, norms, codebooks, k: int, valid_n,
+            db_block: int = 65536):
+    nq = xq.shape[0]
+    nb = codes.shape[0]
+    xq = xq.astype(jnp.float32)
+    lut = RQ.rq_query_tables(xq, codebooks)
+    qn = jnp.sum(xq * xq, axis=1)
+
+    block = min(db_block, max(nb, 1))
+    nblocks = -(-nb // block)
+    pad = nblocks * block - nb
+    if pad:
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+        norms = jnp.pad(norms, (0, pad))
+    codes_r = codes.reshape(nblocks, block, -1)
+    norms_r = norms.reshape(nblocks, block)
+
+    def body(i, carry):
+        bd, bi = carry
+        dis = RQ.rq_adc_scan(lut, codes_r[i], norms_r[i], qn)
+        ids = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        dis = jnp.where(ids < valid_n, dis, jnp.inf)
+        v, pos = lax.top_k(-dis, k)
+        cd = jnp.concatenate([bd, -v], axis=1)
+        ci = jnp.concatenate([bi, pos + i * block], axis=1)
+        nv, p2 = lax.top_k(-cd, k)
+        return -nv, jnp.take_along_axis(ci, p2, axis=1)
+
+    init = (jnp.full((nq, k), jnp.inf), jnp.full((nq, k), -1, jnp.int32))
+    bd, bi = lax.fori_loop(0, nblocks, body, init)
+    return bd, jnp.where(jnp.isfinite(bd), bi, -1)
+
+
+class IndexResidualQuantizer(Index):
+    """faiss IndexResidualQuantizer(d, M, nbits): flat RQ codes +
+    additive ADC search (ST_norm_float)."""
+
+    def __init__(self, d: int, M: int, nbits: int = 8,
+                 metric: int = D.METRIC_L2):
+        super().__init__(d, metric)
+        if metric != D.METRIC_L2:
+            raise ValueError("RQ search implemented for L2 (ST_norm_float)")
+        self.M = int(M)
+        self.nbits = int(nbits)
+        self.beam_size = 5
+        self.rq: Optional[RQ.RQCodec] = None
+        self._codes: Optional[jnp.ndarray] = None
+        self._norms: Optional[jnp.ndarray] = None
+        self.is_trained = False
+
+    def train(self, x) -> None:
+        x = self._check_input(x)
+        self.rq = RQ.train_rq(x, self.M, self.nbits, verbose=self.verbose)
+        self._books = jnp.asarray(self.rq.codebooks)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        if not self.is_trained:
+            raise RuntimeError("train() before add()")
+        x = self._check_input(x)
+        codes = RQ.rq_encode(jnp.asarray(x), self._books,
+                             beam=self.beam_size)
+        recon = RQ.rq_decode(codes, self._books)
+        norms = jnp.sum(recon * recon, axis=1)
+        if self._codes is None:
+            self._codes, self._norms = codes, norms
+        else:
+            self._codes = jnp.concatenate([self._codes, codes])
+            self._norms = jnp.concatenate([self._norms, norms])
+        self.ntotal += len(x)
+
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        if self.ntotal == 0:
+            return (np.full((len(x), k), np.inf, np.float32),
+                    np.full((len(x), k), -1, np.int64))
+        Dv, Iv = _rq_knn(jnp.asarray(x), self._codes, self._norms,
+                         self._books, k, jnp.int32(self.ntotal))
+        return np.asarray(Dv), np.asarray(Iv, np.int64)
+
+    def reset(self) -> None:
+        self._codes = self._norms = None
+        self.ntotal = 0
+
+    def sa_code_size(self) -> int:
+        return self.rq.code_size
+
+    def sa_encode(self, x) -> np.ndarray:
+        x = self._check_input(x)
+        return np.asarray(RQ.rq_encode(jnp.asarray(x), self._books,
+                                       beam=self.beam_size))
+
+    def sa_decode(self, codes) -> np.ndarray:
+        return np.asarray(RQ.rq_decode(
+            jnp.asarray(np.ascontiguousarray(codes, np.uint8)), self._books))
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self.sa_decode(np.asarray(self._codes[key : key + 1]))[0]
+
+
+IndexAdditiveQuantizer = IndexResidualQuantizer  # family alias
+
+
+class IndexIVFResidualQuantizer(IndexIVF):
+    """faiss IndexIVFResidualQuantizer: invlists store RQ codes of the
+    residuals + a stored f32 full-vector reconstruction norm
+    (ST_norm_float); scan adds the exact <q, c_list> cross term per
+    probe (use_precomputed_table=0 style)."""
+
+    def __init__(self, quantizer, d: int, nlist: int, M: int,
+                 nbits: int = 8, metric: int = D.METRIC_L2,
+                 block_size: int = 128):
+        super().__init__(quantizer, d, nlist, metric, block_size)
+        self.M = int(M)
+        self.nbits = int(nbits)
+        self.beam_size = 5
+        self.rq: Optional[RQ.RQCodec] = None
+
+    def train_encoder(self, x: np.ndarray) -> None:
+        assign = self._assign(x)
+        cent = np.asarray(self._centroid_table())
+        resid = x - cent[assign]
+        self.rq = RQ.train_rq(resid, self.M, self.nbits,
+                              verbose=self.verbose)
+        self._books = jnp.asarray(self.rq.codebooks)
+
+    def _pack(self, x, ids, assign):
+        from ..ops.ivf_scan import pack_code_invlists
+
+        cent = np.asarray(self._centroid_table())
+        resid = jnp.asarray(x - cent[assign])
+        codes = RQ.rq_encode(resid, self._books, beam=self.beam_size)
+        # full-vector reconstruction norm, stored as 4 extra code bytes
+        recon = RQ.rq_decode(codes, self._books) + jnp.asarray(cent[assign])
+        norms = np.asarray(jnp.sum(recon * recon, axis=1), np.float32)
+        payload = np.concatenate(
+            [np.asarray(codes), norms[:, None].view(np.uint8)], axis=1)
+        return pack_code_invlists(payload, ids, assign, self.nlist,
+                                  self.block_size)
+
+    def search(self, x, k: int, *, params=None):
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        x = self._check_input(x)
+        nprobe, mnb = self._effective_params(params)
+        xq = jnp.asarray(x)
+        _, probes = self._coarse_search_device(xq, nprobe)
+        Dv, Iv = _ivf_rq_search(
+            xq, probes.astype(jnp.int32), self.invlists.codes,
+            self.invlists.ids,
+            self.invlists.list_block_start, self.invlists.list_nblocks,
+            self.invlists.nblocks, self._books,
+            jnp.asarray(self._centroid_table()),
+            k, self.M, max_nblocks=mnb,
+        )
+        return np.asarray(Dv), np.asarray(Iv, np.int64)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        for xs, ids in zip(self._xb_host, self._ids_host):
+            hit = np.nonzero(ids == key)[0]
+            if hit.size:
+                return xs[hit[0]]
+        raise KeyError(key)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "M", "max_nblocks"),
+)
+def _ivf_rq_search(xq, probes, codes_t, ids_t, lbs, lnb, NB, books, cent,
+                   k: int, M: int, *, max_nblocks: int):
+    """Probe-major IVF-RQ scan: LUT over residual codebooks + exact
+    <q, c_list> per probe (both MXU contractions)."""
+    nq, d = xq.shape
+    nprobe = probes.shape[1]
+    xq = xq.astype(jnp.float32)
+    qn = jnp.sum(xq * xq, axis=1)
+    lut = RQ.rq_query_tables(xq, books)                  # (nq, M, ksub)
+    ksub = books.shape[1]
+    q_cent_ip = jnp.dot(xq, cent.T,
+                        preferred_element_type=jnp.float32)  # (nq, nlist)
+
+    starts = lbs[probes]
+    nblk = jnp.minimum(lnb[probes], max_nblocks)
+
+    bd = jnp.full((nq, k), jnp.inf, jnp.float32)
+    bi = jnp.full((nq, k), -1, jnp.int32)
+    flat_lut = lut.reshape(nq, M * ksub)
+
+    def probe_body(p, carry):
+        bd, bi = carry
+        pl = probes[:, p]
+        qc = jnp.take_along_axis(q_cent_ip, pl[:, None], axis=1)[:, 0]
+
+        def block_body(o, carry2):
+            bd2, bi2 = carry2
+            bids = jnp.where(o < nblk[:, p], starts[:, p] + o, NB)
+            payload = codes_t[bids]                      # (nq, B, M+4)
+            stage = payload[..., :M]
+            # (nq, B, 4) uint8 -> (nq, B) f32
+            nf = lax.bitcast_convert_type(
+                payload[..., M : M + 4], jnp.float32)
+            vids = ids_t[bids]                           # (nq, B)
+            B = stage.shape[1]
+            idx = (stage.astype(jnp.int32)
+                   + (jnp.arange(M, dtype=jnp.int32) * ksub)[None, None, :])
+            g = jnp.take_along_axis(flat_lut, idx.reshape(nq, B * M),
+                                    axis=1)
+            ip_res = g.reshape(nq, B, M).sum(axis=2)
+            ip_full = ip_res + qc[:, None]
+            dis = qn[:, None] + nf - 2.0 * ip_full
+            dis = jnp.where(vids >= 0, dis, jnp.inf)
+            nbd, nbi = T.merge_topk(bd2, bi2, dis, vids, k)
+            return nbd, nbi
+
+        return lax.fori_loop(0, max_nblocks, block_body, (bd, bi))
+
+    bd, bi = lax.fori_loop(0, nprobe, probe_body, (bd, bi))
+    return bd, bi
