@@ -224,6 +224,11 @@ class IndexFlat1D(IndexFlat):
         offs = np.arange(-kk, kk + 1)
         cand = np.clip(pos[:, None] + offs[None, :], 0, n - 1)
         dis = (self._sorted[cand] - x[:, None]) ** 2
+        # clipping at the array ends duplicates candidates; candidates are
+        # sorted, so mask adjacent repeats
+        dup = np.zeros_like(dis, dtype=bool)
+        dup[:, 1:] = cand[:, 1:] == cand[:, :-1]
+        dis[dup] = np.inf
         order = np.argsort(dis, axis=1)[:, :k]
         Dv = np.take_along_axis(dis, order, axis=1).astype(np.float32)
         Iv = self._perm[np.take_along_axis(cand, order, axis=1)]
