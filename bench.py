@@ -110,6 +110,7 @@ def main():
     # --- config 2: IVF4096,Flat sweep --------------------------------------
     t3 = time.time()
     index = make_ivf_flat(d, nlist)
+    index.approx_topk = True     # hardware approx_max_k chunk selection
     index.cp.niter = 10
     index.train(xt)
     t_train = time.time() - t3

@@ -73,9 +73,10 @@ class IndexIVF(Index):
         self._ids_host: list[np.ndarray] = []
         self.invlists: Optional[ivf_scan.PackedInvLists] = None
         self.by_residual = False  # Flat path; PQ subclasses override
-        # scan strategy: 'query' (query-major compacted gather), 'grouped'
-        # (list-major shared block loads), or 'auto' (grouped for big
-        # batches where lists are probed by many queries at once)
+        # scan strategy: 'query' (query-major compacted gather; measured
+        # fastest on-chip at every batch size tried), 'grouped' (list-major
+        # shared block loads — wins only when step-count, not bandwidth,
+        # stops being the bound), or 'auto' (currently = query)
         self.scan_mode = "auto"
         self.group_size = 32
         # per-chunk candidate selection via the TPU's approx_max_k
@@ -220,13 +221,12 @@ class IndexIVF(Index):
         return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
 
     def _use_grouped(self, nq: int, nprobe: int, id_mask) -> bool:
-        if id_mask is not None or self.scan_mode == "query":
+        if id_mask is not None or self.scan_mode in ("query", "auto"):
+            # measured on v5e: the query-major compacted scan beats the
+            # grouped scan at every (nq, nprobe) tried — both are bound by
+            # sequential chunk steps, and grouped adds scatter overhead
             return False
-        if self.scan_mode == "grouped":
-            return True
-        # auto: list-major pays off once each probed list serves >= half a
-        # group of queries on average
-        return nq * nprobe >= self.nlist * max(self.group_size // 2, 1)
+        return self.scan_mode == "grouped"
 
     def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
                        id_mask=None):
