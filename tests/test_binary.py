@@ -101,3 +101,39 @@ def test_binary_from_float(bin_data):
     flat.add(xb)
     Df, If = flat.search(xq, 5)
     assert np.array_equal(D, Df)
+
+
+def test_binary_hnsw(bin_data):
+    from tpu_ann.models.binary import IndexBinaryHNSW
+
+    d, xb, xq = bin_data
+    idx = IndexBinaryHNSW(d, M=16)
+    idx.hnsw.efSearch = 64
+    idx.add(xb)
+    D, I = idx.search(xq, 5)
+    flat = IndexBinaryFlat(d)
+    flat.add(xb)
+    Df, If = flat.search(xq, 5)
+    inter = np.mean([len(np.intersect1d(I[i], If[i])) / 5
+                     for i in range(len(xq))])
+    assert inter > 0.7, inter
+    # distances are genuine Hamming values for the found ids
+    lut = np.array([bin(v).count("1") for v in range(256)], np.int32)
+    for i in range(5):
+        true = lut[np.bitwise_xor(xb[I[i, 0]], xq[i])].sum()
+        assert D[i, 0] == true
+
+
+def test_binary_hash(bin_data):
+    from tpu_ann.models.binary import IndexBinaryHash
+
+    d, xb, xq = bin_data
+    idx = IndexBinaryHash(d, b=12)
+    idx.nflip = 2
+    idx.add(xb)
+    D, I = idx.search(xq, 5)
+    found = (I[:, 0] >= 0).mean()
+    assert found > 0.9
+    # self-search hits itself at distance 0
+    D2, I2 = idx.search(xb[:10], 1)
+    assert (D2[:, 0] == 0).all()

@@ -54,6 +54,8 @@ from .models.base import SearchParameters  # noqa: F401
 from .models.binary import (  # noqa: F401
     IndexBinaryFlat,
     IndexBinaryFromFloat,
+    IndexBinaryHash,
+    IndexBinaryHNSW,
     IndexBinaryIVF,
 )
 from .models.extra import (  # noqa: F401

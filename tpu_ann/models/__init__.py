@@ -33,6 +33,8 @@ from .binary import (  # noqa: F401
     IndexBinary,
     IndexBinaryFlat,
     IndexBinaryFromFloat,
+    IndexBinaryHash,
+    IndexBinaryHNSW,
     IndexBinaryIVF,
 )
 from .extra import (  # noqa: F401

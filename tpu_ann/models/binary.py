@@ -199,3 +199,107 @@ class IndexBinaryFromFloat(IndexBinary):
     def reset(self) -> None:
         self.index.reset()
         self.ntotal = 0
+
+
+class IndexBinaryHNSW(IndexBinary):
+    """HNSW in Hamming space (faiss IndexBinaryHNSW).
+
+    L2 distance on unpacked 0/1 vectors equals Hamming distance exactly,
+    so the float HNSW engine (bf16 storage to halve the cost) searches the
+    binary space with identical semantics; codes are kept packed for
+    reconstruction."""
+
+    def __init__(self, d: int, M: int = 16):
+        super().__init__(d)
+        from .hnsw import IndexHNSWSQ
+
+        self._codes: List[np.ndarray] = []
+        self.index = IndexHNSWSQ(d, "bfloat16", M)
+
+    @property
+    def hnsw(self):
+        return self.index.hnsw
+
+    def add(self, x) -> None:
+        x = _check_codes(x, self.d)
+        self._codes.append(x)
+        self.index.add(np.asarray(H.unpack_bits(jnp.asarray(x))))
+        self.ntotal = self.index.ntotal
+
+    def search(self, x, k: int):
+        x = _check_codes(x, self.d)
+        xf = np.asarray(H.unpack_bits(jnp.asarray(x)))
+        Dv, Iv = self.index.search(xf, k)
+        return np.round(Dv).astype(np.int32), Iv
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return np.concatenate(self._codes)[key]
+
+    def reset(self) -> None:
+        self.index.reset()
+        self._codes = []
+        self.ntotal = 0
+
+
+class IndexBinaryHash(IndexBinary):
+    """Prefix-hash buckets (faiss IndexBinaryHash): vectors bucketed by
+    their first b bits; search enumerates buckets within `nflip` bit
+    flips of the query prefix and Hamming-scans their union."""
+
+    def __init__(self, d: int, b: int):
+        super().__init__(d)
+        if b > 24:
+            raise ValueError("hash prefix b too large (max 24)")
+        self.b = int(b)
+        self.nflip = 1
+        self._codes: Optional[np.ndarray] = None
+        self._buckets: dict = {}
+
+    def _hash(self, codes: np.ndarray) -> np.ndarray:
+        bits = np.asarray(H.unpack_bits(jnp.asarray(codes)))[:, : self.b]
+        weights = (1 << np.arange(self.b)).astype(np.int64)
+        return (bits.astype(np.int64) * weights[None, :]).sum(1)
+
+    def add(self, x) -> None:
+        x = _check_codes(x, self.d)
+        base = self.ntotal
+        self._codes = (x if self._codes is None
+                       else np.concatenate([self._codes, x]))
+        for i, h in enumerate(self._hash(x)):
+            self._buckets.setdefault(int(h), []).append(base + i)
+        self.ntotal += len(x)
+
+    def _candidate_buckets(self, h: int) -> List[int]:
+        out = [h]
+        if self.nflip >= 1:
+            out += [h ^ (1 << i) for i in range(self.b)]
+        if self.nflip >= 2:
+            out += [h ^ (1 << i) ^ (1 << j)
+                    for i in range(self.b) for j in range(i + 1, self.b)]
+        return out
+
+    def search(self, x, k: int):
+        x = _check_codes(x, self.d)
+        nq = len(x)
+        Dv = np.full((nq, k), 32767, np.int32)
+        Iv = np.full((nq, k), -1, np.int64)
+        hashes = self._hash(x)
+        lut = np.array([bin(v).count("1") for v in range(256)], np.int32)
+        for i in range(nq):
+            cand: List[int] = []
+            for h in self._candidate_buckets(int(hashes[i])):
+                cand.extend(self._buckets.get(h, ()))
+            if not cand:
+                continue
+            cand_a = np.asarray(cand)
+            dis = lut[np.bitwise_xor(self._codes[cand_a],
+                                     x[i][None, :])].sum(1)
+            order = np.argsort(dis)[:k]
+            Dv[i, : len(order)] = dis[order]
+            Iv[i, : len(order)] = cand_a[order]
+        return Dv, Iv
+
+    def reset(self) -> None:
+        self._codes = None
+        self._buckets = {}
+        self.ntotal = 0
