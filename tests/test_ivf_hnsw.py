@@ -97,3 +97,40 @@ def test_bad_magic(tmp_path):
         f.write(b"not an index")
     with pytest.raises(ValueError):
         index_io.read_index(p)
+
+
+@pytest.mark.parametrize("spec", [
+    "PQ4", "SQ8", "IVF16,PQ4", "IVF16,SQ8", "PCA16,Flat",
+    "IVF16,Flat,RFlat",
+])
+def test_save_load_all_types(spec, small_ds, tmp_path):
+    from tpu_ann.utils.factory import index_factory
+
+    idx = index_factory(small_ds.d, spec)
+    if hasattr(idx, "cp"):
+        idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    p = str(tmp_path / "x.tann")
+    index_io.write_index(idx, p)
+    loaded = index_io.read_index(p)
+    if hasattr(loaded, "nprobe"):
+        loaded.nprobe = idx.nprobe = 8
+    D1, I1 = idx.search(small_ds.get_queries()[:20], 5)
+    D2, I2 = loaded.search(small_ds.get_queries()[:20], 5)
+    assert (I1 == I2).all(), spec
+
+
+def test_save_load_idmap(small_ds, tmp_path):
+    from tpu_ann.models.flat import IndexFlat
+    from tpu_ann.models.idmap import IndexIDMap
+
+    idx = IndexIDMap(IndexFlat(small_ds.d))
+    ids = np.arange(small_ds.nb) * 3 + 7
+    idx.add_with_ids(small_ds.get_database(), ids)
+    p = str(tmp_path / "m.tann")
+    index_io.write_index(idx, p)
+    loaded = index_io.read_index(p)
+    _, I1 = idx.search(small_ds.get_database()[:5], 1)
+    _, I2 = loaded.search(small_ds.get_database()[:5], 1)
+    assert (I1 == I2).all()

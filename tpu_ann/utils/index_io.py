@@ -183,13 +183,16 @@ def _dump_ivf_common(index) -> Tuple[dict, dict]:
     if index.invlists is not None:
         il = index.invlists
         meta["max_nblocks"] = il.max_nblocks_per_list
+        coded = not hasattr(il, "data")
+        meta["il_coded"] = coded
         arrays.update({
-            "il_data": np.asarray(il.data),
+            "il_data": np.asarray(il.codes if coded else il.data),
             "il_ids": np.asarray(il.ids),
-            "il_norms": np.asarray(il.norms),
             "il_start": np.asarray(il.list_block_start),
             "il_nblocks": np.asarray(il.list_nblocks),
         })
+        if not coded:
+            arrays["il_norms"] = np.asarray(il.norms)
     if index._xb_host:
         arrays["xb_host"] = np.concatenate(index._xb_host, axis=0)
         arrays["ids_host"] = np.concatenate(index._ids_host, axis=0)
@@ -207,13 +210,23 @@ def _restore_ivf_common(idx, meta, arrays):
     idx.ntotal = int(meta["ntotal"])
     idx.is_trained = True
     if meta.get("has_invlists"):
-        pil = PackedInvLists(
-            data=jnp.asarray(np.asarray(arrays["il_data"])),
-            ids=jnp.asarray(np.asarray(arrays["il_ids"])),
-            norms=jnp.asarray(np.asarray(arrays["il_norms"])),
-            list_block_start=jnp.asarray(np.asarray(arrays["il_start"])),
-            list_nblocks=jnp.asarray(np.asarray(arrays["il_nblocks"])),
-        )
+        if meta.get("il_coded"):
+            from ..ops.ivf_scan import PackedCodeInvLists
+
+            pil = PackedCodeInvLists(
+                codes=jnp.asarray(np.asarray(arrays["il_data"])),
+                ids=jnp.asarray(np.asarray(arrays["il_ids"])),
+                list_block_start=jnp.asarray(np.asarray(arrays["il_start"])),
+                list_nblocks=jnp.asarray(np.asarray(arrays["il_nblocks"])),
+            )
+        else:
+            pil = PackedInvLists(
+                data=jnp.asarray(np.asarray(arrays["il_data"])),
+                ids=jnp.asarray(np.asarray(arrays["il_ids"])),
+                norms=jnp.asarray(np.asarray(arrays["il_norms"])),
+                list_block_start=jnp.asarray(np.asarray(arrays["il_start"])),
+                list_nblocks=jnp.asarray(np.asarray(arrays["il_nblocks"])),
+            )
         pil._max_nblocks = int(meta["max_nblocks"])
         idx.invlists = pil
     if "xb_host" in arrays:
@@ -301,3 +314,222 @@ def read_index(path: str, mmap: bool = False):
     host RAM stays proportional to touched pages, device upload unchanged."""
     meta, arrays = _read_container(path, mmap=mmap)
     return load_index(meta, arrays)
+
+
+# ---------------------------------------------------------------------------
+# codec / composite index serializers
+# ---------------------------------------------------------------------------
+
+def _dump_pq(index):
+    return (
+        {"tag": "IxPQ", "d": index.d, "metric": index.metric_type,
+         "ntotal": index.ntotal, "M": index.M, "nbits": index.nbits},
+        {"centroids": index.pq.centroids,
+         "codes": (np.asarray(index._codes[: index.ntotal])
+                   if index.ntotal else
+                   np.zeros((0, 0), np.uint8))},
+    )
+
+
+def _load_pq(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.pq import IndexPQ
+    from ..ops.pq import PQCodec
+
+    idx = IndexPQ(int(meta["d"]), int(meta["M"]), int(meta["nbits"]),
+                  int(meta["metric"]))
+    cents = np.asarray(arrays["centroids"])
+    idx.pq = PQCodec(centroids=cents, d=idx.d, M=idx.M, nbits=idx.nbits)
+    idx._centroids_dev = jnp.asarray(cents)
+    idx.is_trained = True
+    if meta["ntotal"]:
+        codes = np.asarray(arrays["codes"])
+        idx._codes = jnp.asarray(codes)
+        idx._capacity = codes.shape[0]
+        idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+def _dump_sq(index):
+    from ..ops.sq import QT_8BIT, QT_8BIT_UNIFORM
+
+    meta = {"tag": "IxSQ", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "qtype": index.qtype}
+    arrays = {}
+    if index.sq is not None and index.sq.vmin is not None:
+        arrays["vmin"] = index.sq.vmin
+        arrays["vdiff"] = index.sq.vdiff
+    if index.ntotal:
+        arrays["codes"] = np.asarray(index._codes)
+    return meta, arrays
+
+
+def _load_sq(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.pq import IndexScalarQuantizer
+    from ..ops.sq import SQCodec
+
+    idx = IndexScalarQuantizer(int(meta["d"]), int(meta["qtype"]),
+                               int(meta["metric"]))
+    idx.sq = SQCodec(qtype=int(meta["qtype"]), d=int(meta["d"]),
+                     vmin=(np.asarray(arrays["vmin"])
+                           if "vmin" in arrays else None),
+                     vdiff=(np.asarray(arrays["vdiff"])
+                            if "vdiff" in arrays else None))
+    idx.is_trained = True
+    if "codes" in arrays:
+        idx._codes = jnp.asarray(np.asarray(arrays["codes"]))
+        idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+def _dump_ivfpq(index):
+    meta, arrays = _dump_ivf_common(index)
+    meta["tag"] = "IwPQ"
+    meta.update(M=index.M, nbits=index.nbits,
+                by_residual=bool(index.by_residual))
+    arrays["pq_centroids"] = index.pq.centroids
+    return meta, arrays
+
+
+def _load_ivfpq(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.flat import IndexFlat
+    from ..models.ivf_pq import IndexIVFPQ
+    from ..ops.pq import PQCodec
+
+    idx = IndexIVFPQ(IndexFlat(int(meta["d"]), int(meta["metric"])),
+                     int(meta["d"]), int(meta["nlist"]), int(meta["M"]),
+                     int(meta["nbits"]), int(meta["metric"]),
+                     int(meta["block_size"]))
+    idx.by_residual = bool(meta["by_residual"])
+    cents = np.asarray(arrays["pq_centroids"])
+    idx.pq = PQCodec(centroids=cents, d=idx.d, M=idx.M, nbits=idx.nbits)
+    idx._pq_cent_dev = jnp.asarray(cents)
+    return _restore_ivf_common(idx, meta, arrays)
+
+
+def _dump_ivfsq(index):
+    meta, arrays = _dump_ivf_common(index)
+    meta["tag"] = "IwSQ"
+    meta["qtype"] = index.qtype
+    if index.sq.vmin is not None:
+        arrays["sq_vmin"] = index.sq.vmin
+        arrays["sq_vdiff"] = index.sq.vdiff
+    return meta, arrays
+
+
+def _load_ivfsq(meta, arrays):
+    from ..models.flat import IndexFlat
+    from ..models.ivf_pq import IndexIVFScalarQuantizer
+    from ..ops.sq import SQCodec
+
+    idx = IndexIVFScalarQuantizer(
+        IndexFlat(int(meta["d"]), int(meta["metric"])), int(meta["d"]),
+        int(meta["nlist"]), int(meta["qtype"]), int(meta["metric"]),
+        int(meta["block_size"]))
+    idx.sq = SQCodec(qtype=int(meta["qtype"]), d=int(meta["d"]),
+                     vmin=(np.asarray(arrays["sq_vmin"])
+                           if "sq_vmin" in arrays else None),
+                     vdiff=(np.asarray(arrays["sq_vdiff"])
+                            if "sq_vdiff" in arrays else None))
+    return _restore_ivf_common(idx, meta, arrays)
+
+
+def _dump_pretransform(index):
+    from ..models.transforms import LinearTransform
+
+    meta = {"tag": "IxPT", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "nchain": len(index.chain),
+            "chain_types": [type(t).__name__ for t in index.chain]}
+    arrays = {}
+    for i, t in enumerate(index.chain):
+        if not isinstance(t, LinearTransform):
+            raise TypeError(
+                f"cannot serialize transform {type(t).__name__}")
+        arrays[f"vt{i}_A"] = t.A
+        if t.b is not None:
+            arrays[f"vt{i}_b"] = t.b
+        meta[f"vt{i}_din"] = t.d_in
+        meta[f"vt{i}_dout"] = t.d_out
+        meta[f"vt{i}_ortho"] = bool(t.is_orthonormal)
+    sm, sa = dump_index(index.index)
+    _flatten("sub", sm, sa, meta, arrays)
+    return meta, arrays
+
+
+def _load_pretransform(meta, arrays):
+    from ..models.transforms import IndexPreTransform, LinearTransform
+
+    chain = []
+    for i in range(int(meta["nchain"])):
+        t = LinearTransform(int(meta[f"vt{i}_din"]),
+                            int(meta[f"vt{i}_dout"]))
+        t.A = np.asarray(arrays[f"vt{i}_A"])
+        if f"vt{i}_b" in arrays:
+            t.b = np.asarray(arrays[f"vt{i}_b"])
+        t.is_orthonormal = bool(meta[f"vt{i}_ortho"])
+        t.is_trained = True
+        chain.append(t)
+    sm, sa = _sub("sub", meta, arrays)
+    sub = load_index(sm, sa)
+    idx = IndexPreTransform(*chain, sub)
+    idx.ntotal = int(meta["ntotal"])
+    idx.is_trained = True
+    return idx
+
+
+def _dump_idmap(index):
+    meta = {"tag": "IxMp", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal}
+    arrays = {"id_map": np.asarray(index.id_map, np.int64)}
+    sm, sa = dump_index(index.index)
+    _flatten("sub", sm, sa, meta, arrays)
+    return meta, arrays
+
+
+def _load_idmap(meta, arrays):
+    from ..models.idmap import IndexIDMap
+
+    sm, sa = _sub("sub", meta, arrays)
+    idx = IndexIDMap(load_index(sm, sa))
+    idx.id_map = np.asarray(arrays["id_map"]).tolist()
+    idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+def _dump_refine(index):
+    meta = {"tag": "IxRF", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "k_factor": index.k_factor}
+    arrays = {}
+    bm, ba = dump_index(index.base_index)
+    _flatten("base", bm, ba, meta, arrays)
+    rm, ra = dump_index(index.refine_index)
+    _flatten("refine", rm, ra, meta, arrays)
+    return meta, arrays
+
+
+def _load_refine(meta, arrays):
+    from ..models.refine import IndexRefineFlat
+
+    bm, ba = _sub("base", meta, arrays)
+    rm, ra = _sub("refine", meta, arrays)
+    idx = IndexRefineFlat(load_index(bm, ba), load_index(rm, ra))
+    idx.k_factor = int(meta["k_factor"])
+    idx.ntotal = int(meta["ntotal"])
+    idx.is_trained = True
+    return idx
+
+
+_register("IndexPQ", "IxPQ", _dump_pq, _load_pq)
+_register("IndexScalarQuantizer", "IxSQ", _dump_sq, _load_sq)
+_register("IndexIVFPQ", "IwPQ", _dump_ivfpq, _load_ivfpq)
+_register("IndexIVFScalarQuantizer", "IwSQ", _dump_ivfsq, _load_ivfsq)
+_register("IndexPreTransform", "IxPT", _dump_pretransform,
+          _load_pretransform)
+_register("IndexIDMap", "IxMp", _dump_idmap, _load_idmap)
+_register("IndexRefine", "IxRF", _dump_refine, _load_refine)
+_register("IndexRefineFlat", "IxRF", _dump_refine, _load_refine)
