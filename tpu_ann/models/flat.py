@@ -39,7 +39,13 @@ class IndexFlat(Index):
         need = self.ntotal + n_new
         if need <= self._capacity:
             return
-        cap = max(next_pow2(need), 1024)
+        # pow2 growth up to 4M rows; beyond that pad to 1M-row granularity
+        # (pow2 would waste up to 2x HBM at Deep10M scale)
+        if need <= (1 << 22):
+            cap = max(next_pow2(need), 1024)
+        else:
+            GRAN = 1 << 20
+            cap = -(-need // GRAN) * GRAN
         xb = jnp.zeros((cap, self.d), jnp.float32)
         norms = jnp.zeros((cap,), jnp.float32)
         if self._xb is not None and self.ntotal:
