@@ -58,6 +58,20 @@ class IndexFlat(Index):
         n = x.shape[0]
         if n == 0:
             return
+        if self.ntotal == 0 and n > (1 << 22):
+            # large first add: pad on host and upload once — the
+            # functional .at[].set path would hold old+new+source buffers
+            # (3x) on device at once, which OOMs at Deep10M scale
+            GRAN = 1 << 20
+            cap = -(-n // GRAN) * GRAN
+            buf = np.zeros((cap, self.d), np.float32)
+            buf[:n] = x
+            self._xb = jnp.asarray(buf)
+            del buf
+            self._norms = D.l2_norms(self._xb)
+            self._capacity = cap
+            self.ntotal = n
+            return
         self._ensure_capacity(n)
         xj = jnp.asarray(x)
         self._xb = jnp.asarray(self._xb).at[self.ntotal : self.ntotal + n].set(xj)
