@@ -117,7 +117,7 @@ class IndexIVF(Index):
         ids = np.arange(self.ntotal, self.ntotal + len(x), dtype=np.int64)
         self.add_with_ids(x, ids)
 
-    def add_with_ids(self, x, ids) -> None:
+    def add_with_ids(self, x, ids, *, repack: bool = True) -> None:
         if not self.is_trained:
             raise RuntimeError("train() before add()")
         x = self._check_input(x)
@@ -127,7 +127,17 @@ class IndexIVF(Index):
         self._xb_host.append(x.copy())
         self._ids_host.append(ids.copy())
         self.ntotal += len(x)
-        self._repack()
+        if repack:
+            self._repack()
+        else:
+            self._dirty = True
+
+    _dirty = False
+
+    def _maybe_repack(self) -> None:
+        if self._dirty:
+            self._repack()
+            self._dirty = False
 
     # Coarse quantization strategy. On TPU, exact GEMM assignment over the
     # centroid table costs milliseconds up to nlist ~ 10^5 (one MXU matmul),
@@ -211,6 +221,7 @@ class IndexIVF(Index):
     def search(self, x, k: int, *, params: Optional[SearchParametersIVF] = None):
         """Fast path: both phases stay on device, one sync at the end
         (unlike search_stats, which syncs between phases to time them)."""
+        self._maybe_repack()
         if self.invlists is None:
             raise RuntimeError("empty index")
         x = self._check_input(x)
@@ -252,6 +263,7 @@ class IndexIVF(Index):
         """search + QueryLatencyStats split (fork's IndexIVF::search_stats,
         faiss/IndexIVF.cpp:727-860). Syncs between phases for the timing
         split; use search() for throughput."""
+        self._maybe_repack()
         if self.invlists is None:
             raise RuntimeError("empty index")
         x = self._check_input(x)

@@ -68,8 +68,15 @@ class IndexIVFHNSW(IndexIVF):
     # --- chunked add (archive .h add_chunk_size; fork's RW-reopen loop) ----
     def add(self, x) -> None:
         x = self._check_input(x)
+        n0 = self.ntotal
         for i0 in range(0, len(x), self.add_chunk_size):
-            super().add(x[i0 : i0 + self.add_chunk_size])
+            chunk = x[i0 : i0 + self.add_chunk_size]
+            ids = np.arange(n0 + i0, n0 + i0 + len(chunk), dtype=np.int64)
+            # defer the repack: repacking after EVERY chunk is O(n^2)
+            # in total rows (the fork pays the same via its
+            # read-modify-write loop; we pack once at the end)
+            self.add_with_ids(chunk, ids, repack=False)
+        self._maybe_repack()
         if self.auto_save and self.index_file_path:
             self.save_to_disk(self.index_file_path)
 
