@@ -108,3 +108,108 @@ def test_ivf_add_with_ids(small_ds):
     index.add_with_ids(xb, ids)
     _, I = index.search(xb[:5], 1)
     assert (I[:, 0] == ids[:5]).all()
+
+
+def test_ivf_int64_ids(small_ds):
+    """ids beyond int32 must survive the packed layout (reference idx_t is
+    int64); device invlists store int32 rows + a host remap."""
+    index = make_ivf_flat(small_ds.d, nlist=16)
+    index.train(small_ds.get_train())
+    xb = small_ds.get_database()
+    ids = np.arange(len(xb), dtype=np.int64) + (1 << 40)
+    index.add_with_ids(xb, ids)
+    _, I = index.search(xb[:5], 1)
+    assert (I[:, 0] == ids[:5]).all()
+    # selector filtering still works through the row remap
+    from tpu_ann.models.selectors import IDSelectorRange
+
+    params = SearchParametersIVF(
+        nprobe=16, sel=IDSelectorRange((1 << 40), (1 << 40) + 100))
+    _, I2 = index.search(xb[:5], 1, params=params)
+    assert (I2[I2 >= 0] < (1 << 40) + 100).all()
+
+
+def test_ivf_deferred_repack_consumers(small_ds):
+    """repack=False adds must be flushed by every invlist consumer
+    (range_search / search_preassigned / list_sizes / serialization)."""
+    index = make_ivf_flat(small_ds.d, nlist=16)
+    index.train(small_ds.get_train())
+    xb = small_ds.get_database()
+    index.add(xb[:2000])
+    index.add_with_ids(
+        xb[2000:], np.arange(2000, len(xb), dtype=np.int64), repack=False)
+    assert index.list_sizes.sum() == len(xb)
+    # range_search sees deferred rows
+    index._dirty = True
+    lims, dis, lab = index.range_search(xb[2001:2002], 1e-3)
+    assert 2001 in set(lab.tolist())
+    # serialization flushes
+    import tempfile, os
+    from tpu_ann.utils.index_io import read_index, write_index
+
+    index.add_with_ids(xb[:1] + 100.0, np.array([99999]), repack=False)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "i.tpuann")
+        write_index(index, p)
+        idx2 = read_index(p)
+    assert idx2.list_sizes.sum() == len(xb) + 1
+    _, I = idx2.search(xb[:1] + 100.0, 1)
+    assert I[0, 0] == 99999
+
+
+def test_ivf_reset_after_deferred_add(small_ds):
+    index = make_ivf_flat(small_ds.d, nlist=16)
+    index.train(small_ds.get_train())
+    index.add_with_ids(small_ds.get_database(),
+                       np.arange(small_ds.nb, dtype=np.int64), repack=False)
+    index.reset()
+    with pytest.raises(RuntimeError):
+        index.search(small_ds.get_queries(), 1)
+
+
+def test_ivf_chunked_add_caches_assignments(small_ds):
+    """A repack after chunked adds must not recompute old chunks' coarse
+    assignments (O(chunk) add contract)."""
+    index = make_ivf_flat(small_ds.d, nlist=16)
+    index.train(small_ds.get_train())
+    xb = small_ds.get_database()
+    index.add(xb[:2000])
+    a0 = index._assign_host[0]
+    assert a0 is not None
+    index.add(xb[2000:])
+    assert index._assign_host[0] is a0  # identity: not recomputed
+    Dv, Iv = index.search(xb[:5], 1)
+    assert (Iv[:, 0] == np.arange(5)).all()
+
+
+def test_ivf_remove_update_vectorized(small_ds):
+    from tpu_ann.models.selectors import IDSelectorArray
+
+    index = make_ivf_flat(small_ds.d, nlist=16)
+    index.train(small_ds.get_train())
+    xb = small_ds.get_database()
+    index.add(xb)
+    removed = index.remove_ids(IDSelectorArray([1, 3, 5]))
+    assert removed == 3
+    assert index.ntotal == len(xb) - 3
+    _, I = index.search(xb[1:2], 1)
+    assert I[0, 0] != 1
+    # update vector 7 to a far point; its id must follow
+    far = xb[7:8] + 50.0
+    index.update_vectors(np.array([7]), far)
+    index.nprobe = 16
+    _, I = index.search(far, 1)
+    assert I[0, 0] == 7
+
+
+def test_kmeans_nredo_ip_keeps_best(rng):
+    """For the similarity (IP/spherical) objective, nredo must keep the
+    restart with the MAX summed similarity: adding restarts can only
+    improve on the single-run result (redo 0 is seed-identical)."""
+    x = rng.rand(600, 16).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cp1 = ClusteringParameters(niter=6, nredo=1, seed=5, spherical=True)
+    _, stats1 = kmeans(x, 8, cp1, metric=D.METRIC_INNER_PRODUCT)
+    cp3 = ClusteringParameters(niter=6, nredo=3, seed=5, spherical=True)
+    _, stats3 = kmeans(x, 8, cp3, metric=D.METRIC_INNER_PRODUCT)
+    assert stats3[-1].obj >= stats1[-1].obj - 1e-4

@@ -112,3 +112,77 @@ def test_kmeans_checkpoint_resume(tmp_path, rng):
     c2, st2 = kmeans(x, 8, cp, checkpoint=ck)
     assert c2.shape == (8, 8)
     assert len(st2) == 3  # iters 3..5 only
+
+
+def _pack_pq_shards(codes, assign, nlist, n_shards, block_size=16):
+    """Pack row-partitions of coded invlists per shard with GLOBAL row ids,
+    padded to common block counts, stacked on a leading shard axis."""
+    from tpu_ann.ops.ivf_scan import pack_code_invlists
+
+    n = len(codes)
+    rows_per_shard = -(-n // n_shards)
+    packs = []
+    for s in range(n_shards):
+        lo = s * rows_per_shard
+        hi = min(lo + rows_per_shard, n)
+        packs.append(pack_code_invlists(
+            codes[lo:hi], np.arange(lo, hi), assign[lo:hi], nlist,
+            block_size=block_size))
+    max_blocks = max(p.codes.shape[0] for p in packs)
+    mnb = max(p.max_nblocks_per_list for p in packs)
+    cs, ids, lbs, lnb = [], [], [], []
+    for p in packs:
+        nbp = max_blocks - p.codes.shape[0]
+        cs.append(np.pad(np.asarray(p.codes), ((0, nbp), (0, 0), (0, 0))))
+        ids.append(np.pad(np.asarray(p.ids), ((0, nbp), (0, 0)),
+                          constant_values=-1))
+        lbs.append(np.asarray(p.list_block_start))
+        lnb.append(np.asarray(p.list_nblocks))
+    return (jnp.asarray(np.stack(cs)), jnp.asarray(np.stack(ids)),
+            jnp.asarray(np.stack(lbs)), jnp.asarray(np.stack(lnb)), mnb)
+
+
+@pytest.mark.parametrize("nbits", [8, 4])
+def test_sharded_ivf_scan_pq_matches_single(mesh, rng, nbits):
+    """Sharded PQ/x4fs ADC scan == single-device scan over the union pack
+    (BASELINE config #5's code path on the virtual mesh)."""
+    from tpu_ann.ops import pq as PQ
+    from tpu_ann.ops.ivf_scan import pack_code_invlists, scan_invlists_pq
+    from tpu_ann.parallel import sharded_ivf_scan_pq
+
+    n, d, nlist, nq, k, M = 1024, 16, 12, 8, 5, 4
+    xb = rng.rand(n, d).astype(np.float32)
+    xq = rng.rand(nq, d).astype(np.float32)
+    cent = xb[rng.choice(n, nlist, replace=False)]
+    _, assign = D.knn(jnp.asarray(xb), jnp.asarray(cent), 1)
+    assign = np.asarray(assign)[:, 0]
+
+    pqc = PQ.train_pq(xb - cent[assign], M, nbits)
+    books = jnp.asarray(pqc.centroids)
+    resid = jnp.asarray(xb - cent[assign])
+    codes = np.asarray(PQ.pq_encode(resid, books))
+    if nbits == 4:
+        codes = np.asarray(PQ.pack_codes_4bit(jnp.asarray(codes)))
+
+    cd, probes = D.knn(jnp.asarray(xq), jnp.asarray(cent), 6)
+    probes = probes.astype(jnp.int32)
+    cd = cd.astype(jnp.float32)
+
+    # single-device oracle over the union pack (global row ids)
+    union = pack_code_invlists(codes, np.arange(n), assign, nlist,
+                               block_size=16)
+    D1, I1, _ = scan_invlists_pq(
+        jnp.asarray(xq), probes, cd, union, books, jnp.asarray(cent), k,
+        max_nblocks=union.max_nblocks_per_list, packed4=(nbits == 4))
+
+    cs, ids, lbs, lnb, mnb = _pack_pq_shards(codes, assign, nlist, 4)
+    Ds, Is = sharded_ivf_scan_pq(
+        jnp.asarray(xq), probes, cd, cs, ids, lbs, lnb, books,
+        jnp.asarray(cent), k, max_nblocks=mnb, packed4=(nbits == 4),
+        mesh=mesh)
+    np.testing.assert_allclose(np.asarray(Ds), np.asarray(D1), rtol=1e-4,
+                               atol=1e-4)
+    # same candidate sets (ties may reorder equal distances)
+    for q in range(nq):
+        assert set(np.asarray(Is)[q].tolist()) == \
+            set(np.asarray(I1)[q].tolist())

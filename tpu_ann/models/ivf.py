@@ -71,6 +71,18 @@ class IndexIVF(Index):
         # ArrayInvertedLists' host copy)
         self._xb_host: list[np.ndarray] = []
         self._ids_host: list[np.ndarray] = []
+        # per-chunk cached coarse assignments (None = not yet computed), so
+        # a repack after chunked adds costs O(new chunk) device work, not a
+        # reassignment of every stored row (InvertedLists::add_entries is
+        # O(chunk) in the reference)
+        self._assign_host: list[Optional[np.ndarray]] = []
+        # device invlists store int32 ROW indices (positions in the packed
+        # host order); user ids are int64 host-side (`_ids_flat`) and results
+        # are remapped on exit. This keeps device ids at 32 bits (the GPU
+        # backend's INDICES_32_BIT move) while supporting the full int64
+        # id space of the reference (idx_t, faiss/Index.h).
+        self._ids_flat: Optional[np.ndarray] = None
+        self._ids_trivial = True
         self.invlists: Optional[ivf_scan.PackedInvLists] = None
         self.by_residual = False  # Flat path; PQ subclasses override
         # scan strategy: 'query' (query-major compacted gather; measured
@@ -124,20 +136,31 @@ class IndexIVF(Index):
         ids = np.asarray(ids, np.int64)
         if len(ids) != len(x):
             raise ValueError("ids / x length mismatch")
-        self._xb_host.append(x.copy())
-        self._ids_host.append(ids.copy())
-        self.ntotal += len(x)
+        self._append_chunk(x.copy(), ids.copy())
         if repack:
             self._repack()
-        else:
-            self._dirty = True
+
+    def _append_chunk(self, x: np.ndarray, ids: np.ndarray,
+                      assign: Optional[np.ndarray] = None) -> None:
+        """Append one host chunk (+ optional precomputed assignment) and
+        mark the device invlists stale."""
+        self._xb_host.append(x)
+        self._ids_host.append(np.asarray(ids, np.int64))
+        self._assign_host.append(
+            None if assign is None else np.asarray(assign, np.int64))
+        self.ntotal += len(x)
+        self._dirty = True
+
+    def invalidate_assign(self) -> None:
+        """Drop cached coarse assignments (call after the quantizer's
+        centroids change, e.g. replace_ivf_quantizer / cluster splits)."""
+        self._assign_host = [None] * len(self._xb_host)
 
     _dirty = False
 
     def _maybe_repack(self) -> None:
         if self._dirty:
             self._repack()
-            self._dirty = False
 
     # Coarse quantization strategy. On TPU, exact GEMM assignment over the
     # centroid table costs milliseconds up to nlist ~ 10^5 (one MXU matmul),
@@ -181,13 +204,47 @@ class IndexIVF(Index):
         return np.asarray(a)[:, 0]
 
     def _repack(self) -> None:
-        """Rebuild packed device invlists from the host store. Chunked adds
-        repack in O(ntotal) like the fork's read-modify-write add loop
-        (tutorial/python/190-...test.py:1253-1311)."""
+        """Rebuild packed device invlists from the host store.
+
+        Coarse assignments are computed only for chunks without a cached
+        one, so a repack after a chunked add costs O(new rows) device work
+        (the reference's add path is likewise O(chunk),
+        InvertedLists::add_entries). The host-side counting sort over all
+        rows is native memcpy-bound."""
+        if not self._xb_host:
+            self.invlists = None
+            self._ids_flat = None
+            self._ids_trivial = True
+            self._dirty = False
+            return
+        # backfill missing per-chunk assignments (device GEMM per new chunk)
+        while len(self._assign_host) < len(self._xb_host):
+            self._assign_host.append(None)
+        for j, a in enumerate(self._assign_host):
+            if a is None:
+                self._assign_host[j] = np.asarray(
+                    self._assign(self._xb_host[j]), np.int64)
         x = np.concatenate(self._xb_host, axis=0)
         ids = np.concatenate(self._ids_host, axis=0)
-        assign = self._assign(x)
-        self.invlists = self._pack(x, ids, assign)
+        assign = np.concatenate(self._assign_host)
+        self._ids_flat = ids
+        n = len(ids)
+        self._ids_trivial = bool(
+            n == 0 or (ids[0] == 0 and ids[-1] == n - 1
+                       and np.array_equal(ids, np.arange(n, dtype=np.int64))))
+        rows = np.arange(n, dtype=np.int64)
+        self.invlists = self._pack(x, rows, assign)
+        self._dirty = False
+
+    def _map_ids(self, I) -> np.ndarray:
+        """Map device row indices back to user int64 ids (-1 preserved)."""
+        I = np.asarray(I, np.int64)
+        if self._ids_trivial or self._ids_flat is None:
+            return I
+        safe = np.clip(I, 0, len(self._ids_flat) - 1)
+        out = self._ids_flat[safe]
+        out[I < 0] = -1
+        return out
 
     def _pack(self, x, ids, assign) -> ivf_scan.PackedInvLists:
         return ivf_scan.pack_invlists(
@@ -210,13 +267,16 @@ class IndexIVF(Index):
 
     def _sel_mask(self, params) -> Optional[jnp.ndarray]:
         """Lower params.sel (IDSelector) to a device bitmap over stored
-        ids (impl/IDSelector.h -> one gather in the scan kernel)."""
+        ROWS (impl/IDSelector.h -> one gather in the scan kernel): the
+        user-id bitmap is gathered at each row's id on host, so the device
+        filter indexes by the same row ids the invlists store."""
         sel = getattr(params, "sel", None) if params is not None else None
         if sel is None:
             return None
-        max_id = max((int(i.max()) for i in self._ids_host if len(i)),
-                     default=-1)
-        return jnp.asarray(sel.make_bitmap(max_id + 1))
+        ids = self._ids_flat
+        if ids is None or not len(ids):
+            return None
+        return jnp.asarray(sel.member_array(ids).astype(np.uint8))
 
     def search(self, x, k: int, *, params: Optional[SearchParametersIVF] = None):
         """Fast path: both phases stay on device, one sync at the end
@@ -229,7 +289,7 @@ class IndexIVF(Index):
         xq_dev = jnp.asarray(x)
         Dv, Iv = self._search_device(xq_dev, k, nprobe, mnb,
                                      id_mask=self._sel_mask(params))
-        return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
+        return np.asarray(Dv), self._map_ids(Iv)
 
     def _use_grouped(self, nq: int, nprobe: int, id_mask) -> bool:
         if id_mask is not None or self.scan_mode in ("query", "auto"):
@@ -283,7 +343,7 @@ class IndexIVF(Index):
                 max_nblocks=mnb,
             )
             Dv = np.asarray(Dv)
-            Iv = np.asarray(Iv, dtype=np.int64)
+            Iv = self._map_ids(Iv)
         stats = SearchStats(
             nq=len(x),
             total_us=t_q.us + t_s.us,
@@ -295,23 +355,29 @@ class IndexIVF(Index):
         return Dv, Iv, stats
 
     def range_search(self, x, radius: float):
-        """faiss IndexIVF::range_search over the probed lists."""
+        """faiss IndexIVF::range_search over the probed lists. Uses the
+        same coarse-quantization path as search() so both report identical
+        probes for a given index configuration."""
         from ..ops.range_search import range_search_ivf
 
+        self._maybe_repack()
         if self.invlists is None:
             raise RuntimeError("empty index")
         x = self._check_input(x)
         nprobe, mnb = self._effective_params(None)
-        _, probes = self.quantizer.search(x, nprobe)
+        _, probes = self._coarse_search_device(jnp.asarray(x), nprobe)
         res = range_search_ivf(
             x, np.asarray(probes, np.int32), self.invlists, radius,
             self.metric_type, max_nblocks=mnb,
         )
-        return res.lims, res.distances, res.labels
+        return res.lims, res.distances, self._map_ids(res.labels)
 
     def search_preassigned(self, x, k: int, probes: np.ndarray):
         """Scan given precomputed coarse assignment
         (faiss/IndexIVF.cpp:399, contrib/ivf_tools.search_preassigned)."""
+        self._maybe_repack()
+        if self.invlists is None:
+            raise RuntimeError("empty index")
         x = self._check_input(x)
         mnb = self.invlists.max_nblocks_per_list
         Dv, Iv, _ = ivf_scan.scan_invlists(
@@ -322,47 +388,65 @@ class IndexIVF(Index):
             self.metric_type,
             max_nblocks=mnb,
         )
-        return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
+        return np.asarray(Dv), self._map_ids(Iv)
 
     def remove_ids(self, sel) -> int:
         """Remove stored ids matching an IDSelector
-        (IndexIVF::remove_ids via DirectMap); invlists repacked."""
+        (IndexIVF::remove_ids via DirectMap); invlists repacked.
+        Membership is one vectorized member_array per chunk, not a
+        Python loop."""
+        self._maybe_repack()
         removed = 0
-        new_x, new_ids = [], []
-        for xs, ids in zip(self._xb_host, self._ids_host):
-            keep = np.array([not sel.is_member(int(i)) for i in ids])
+        new_x, new_ids, new_assign = [], [], []
+        for xs, ids, a in zip(self._xb_host, self._ids_host,
+                              self._assign_host):
+            keep = ~sel.member_array(ids)
             removed += int((~keep).sum())
             if keep.any():
                 new_x.append(xs[keep])
                 new_ids.append(ids[keep])
+                new_assign.append(None if a is None else a[keep])
         self._xb_host, self._ids_host = new_x, new_ids
+        self._assign_host = new_assign
         self.ntotal -= removed
         if self.ntotal:
             self._repack()
         else:
             self.invlists = None
+            self._ids_flat = None
+            self._dirty = False
         return removed
 
     def update_vectors(self, ids, x) -> None:
         """Replace vectors in place (IndexIVF::update_vectors): same ids,
-        new data, reassigned to their new lists."""
+        new data, reassigned to their new lists. Matching is a sorted
+        searchsorted join per chunk (the DirectMap lookup, vectorized)."""
+        self._maybe_repack()
         x = self._check_input(x)
         ids = np.asarray(ids, np.int64)
-        lut = {int(i): j for j, i in enumerate(ids)}
-        for xs, stored in zip(self._xb_host, self._ids_host):
-            for j, sid in enumerate(stored):
-                hit = lut.get(int(sid))
-                if hit is not None:
-                    xs[j] = x[hit]
+        order = np.argsort(ids, kind="stable")
+        sid = ids[order]
+        for j, (xs, stored) in enumerate(
+                zip(self._xb_host, self._ids_host)):
+            pos = np.searchsorted(sid, stored)
+            pos_c = np.minimum(pos, len(sid) - 1)
+            hit = (pos < len(sid)) & (sid[pos_c] == stored)
+            if hit.any():
+                xs[hit] = x[order[pos_c[hit]]]
+                self._assign_host[j] = None  # data moved; reassign chunk
         self._repack()
 
     # --- misc ----------------------------------------------------------------
     def reset(self) -> None:
-        self._xb_host, self._ids_host = [], []
+        self._xb_host, self._ids_host, self._assign_host = [], [], []
         self.invlists = None
+        self._ids_flat = None
+        self._ids_trivial = True
+        self._dirty = False
         self.ntotal = 0
 
     def reconstruct(self, key: int) -> np.ndarray:
+        self._maybe_repack()
         for xs, ids in zip(self._xb_host, self._ids_host):
             hit = np.nonzero(ids == key)[0]
             if hit.size:
@@ -371,18 +455,21 @@ class IndexIVF(Index):
 
     @property
     def list_sizes(self) -> np.ndarray:
-        """Per-list entry counts (InvertedLists::list_size for all lists)."""
+        """Per-list entry counts (InvertedLists::list_size for all lists).
+        One segment-sum over per-block valid counts (lists own contiguous
+        block ranges), no Python loop over nlist."""
+        self._maybe_repack()
         if self.invlists is None:
             return np.zeros(self.nlist, np.int64)
         ids = np.asarray(self.invlists.ids[:-1])
-        sizes = np.zeros(self.nlist, np.int64)
-        starts = np.asarray(self.invlists.list_block_start)
-        nblk = np.asarray(self.invlists.list_nblocks)
-        for l in range(self.nlist):
-            if nblk[l]:
-                blk = ids[starts[l] : starts[l] + nblk[l]]
-                sizes[l] = (blk >= 0).sum()
-        return sizes
+        valid_per_block = (ids >= 0).sum(axis=1).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(valid_per_block)])
+        starts = np.asarray(self.invlists.list_block_start, np.int64)
+        nblk = np.asarray(self.invlists.list_nblocks, np.int64)
+        # empty lists point their start at the dummy block with nblk == 0
+        lo = np.minimum(starts, len(valid_per_block))
+        hi = np.minimum(starts + nblk, len(valid_per_block))
+        return csum[hi] - csum[lo]
 
     def imbalance_factor(self) -> float:
         from ..ops.kmeans import imbalance_factor

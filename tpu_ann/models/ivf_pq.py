@@ -98,6 +98,7 @@ class IndexIVFPQ(IndexIVF):
 
     def search_stats(self, x, k: int, *,
                      params: Optional[SearchParametersIVF] = None):
+        self._maybe_repack()
         if self.invlists is None:
             raise RuntimeError("empty index")
         import jax
@@ -111,7 +112,7 @@ class IndexIVFPQ(IndexIVF):
         with Timer() as t_s:
             Dv, Iv, ndis = self._scan_device(xq_dev, probes, cd, k, mnb)
             Dv = np.asarray(Dv)
-            Iv = np.asarray(Iv, np.int64)
+            Iv = self._map_ids(Iv)
         stats = SearchStats(
             nq=len(x), total_us=t_q.us + t_s.us,
             quantization_us=t_q.us, list_scan_us=t_s.us,
@@ -121,6 +122,7 @@ class IndexIVFPQ(IndexIVF):
 
     def reconstruct(self, key: int) -> np.ndarray:
         # decode from host copy path (DirectMap role)
+        self._maybe_repack()
         for xs, ids in zip(self._xb_host, self._ids_host):
             hit = np.nonzero(ids == key)[0]
             if hit.size:
@@ -167,6 +169,7 @@ class IndexIVFScalarQuantizer(IndexIVF):
 
     def search_stats(self, x, k: int, *,
                      params: Optional[SearchParametersIVF] = None):
+        self._maybe_repack()
         if self.invlists is None:
             raise RuntimeError("empty index")
         import jax
@@ -185,7 +188,7 @@ class IndexIVFScalarQuantizer(IndexIVF):
                 qtype=self.qtype, max_nblocks=mnb,
             )
             Dv = np.asarray(Dv)
-            Iv = np.asarray(Iv, np.int64)
+            Iv = self._map_ids(Iv)
         stats = SearchStats(
             nq=len(x), total_us=t_q.us + t_s.us,
             quantization_us=t_q.us, list_scan_us=t_s.us,

@@ -166,6 +166,7 @@ class IndexIVFResidualQuantizer(IndexIVF):
                                   self.block_size)
 
     def search(self, x, k: int, *, params=None):
+        self._maybe_repack()
         if self.invlists is None:
             raise RuntimeError("empty index")
         x = self._check_input(x)
@@ -180,9 +181,10 @@ class IndexIVFResidualQuantizer(IndexIVF):
             jnp.asarray(self._centroid_table()),
             k, self.M, max_nblocks=mnb,
         )
-        return np.asarray(Dv), np.asarray(Iv, np.int64)
+        return np.asarray(Dv), self._map_ids(Iv)
 
     def reconstruct(self, key: int) -> np.ndarray:
+        self._maybe_repack()
         for xs, ids in zip(self._xb_host, self._ids_host):
             hit = np.nonzero(ids == key)[0]
             if hit.size:

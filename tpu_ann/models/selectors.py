@@ -18,17 +18,23 @@ import numpy as np
 
 
 class IDSelector:
-    """Base: subclasses implement is_member (host) and make_bitmap."""
+    """Base: subclasses implement is_member (host), member_array
+    (vectorized membership over an arbitrary id array — used to build the
+    per-ROW device mask, so sparse 64-bit id spaces never materialize a
+    dense bitmap), and make_bitmap (dense mask over [0, n))."""
 
     def is_member(self, i: int) -> bool:
         raise NotImplementedError
 
+    def member_array(self, ids: np.ndarray) -> np.ndarray:
+        """(len(ids),) bool membership of each id (vectorized is_member)."""
+        return np.fromiter((self.is_member(int(i)) for i in ids),
+                           bool, count=len(ids))
+
     def make_bitmap(self, n: int) -> np.ndarray:
         """(n,) uint8 allow-mask over internal ids [0, n)."""
-        out = np.zeros(n, np.uint8)
-        for i in range(n):
-            out[i] = self.is_member(i)
-        return out
+        return self.member_array(np.arange(n, dtype=np.int64)).astype(
+            np.uint8)
 
 
 class IDSelectorRange(IDSelector):
@@ -39,6 +45,10 @@ class IDSelectorRange(IDSelector):
 
     def is_member(self, i: int) -> bool:
         return self.imin <= i < self.imax
+
+    def member_array(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids)
+        return (ids >= self.imin) & (ids < self.imax)
 
     def make_bitmap(self, n: int) -> np.ndarray:
         out = np.zeros(n, np.uint8)
@@ -54,6 +64,9 @@ class IDSelectorArray(IDSelector):
 
     def is_member(self, i: int) -> bool:
         return bool((self.ids == i).any())
+
+    def member_array(self, ids: np.ndarray) -> np.ndarray:
+        return np.isin(np.asarray(ids, np.int64), self.ids)
 
     def make_bitmap(self, n: int) -> np.ndarray:
         out = np.zeros(n, np.uint8)
@@ -74,6 +87,13 @@ class IDSelectorBitmap(IDSelector):
     def is_member(self, i: int) -> bool:
         return bool((self.bitmap[i >> 3] >> (i & 7)) & 1)
 
+    def member_array(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids, np.int64)
+        inb = (ids >= 0) & ((ids >> 3) < len(self.bitmap))
+        safe = np.where(inb, ids, 0)
+        bit = (self.bitmap[safe >> 3] >> (safe & 7)) & 1
+        return (bit.astype(bool)) & inb
+
     def make_bitmap(self, n: int) -> np.ndarray:
         idx = np.arange(n)
         return ((self.bitmap[idx >> 3] >> (idx & 7)) & 1).astype(np.uint8)
@@ -82,6 +102,9 @@ class IDSelectorBitmap(IDSelector):
 class IDSelectorAll(IDSelector):
     def is_member(self, i: int) -> bool:
         return True
+
+    def member_array(self, ids: np.ndarray) -> np.ndarray:
+        return np.ones(len(ids), bool)
 
     def make_bitmap(self, n: int) -> np.ndarray:
         return np.ones(n, np.uint8)
@@ -94,6 +117,9 @@ class IDSelectorNot(IDSelector):
     def is_member(self, i: int) -> bool:
         return not self.sel.is_member(i)
 
+    def member_array(self, ids: np.ndarray) -> np.ndarray:
+        return ~self.sel.member_array(ids)
+
     def make_bitmap(self, n: int) -> np.ndarray:
         return (1 - self.sel.make_bitmap(n)).astype(np.uint8)
 
@@ -104,6 +130,9 @@ class IDSelectorAnd(IDSelector):
 
     def is_member(self, i: int) -> bool:
         return self.lhs.is_member(i) and self.rhs.is_member(i)
+
+    def member_array(self, ids: np.ndarray) -> np.ndarray:
+        return self.lhs.member_array(ids) & self.rhs.member_array(ids)
 
     def make_bitmap(self, n: int) -> np.ndarray:
         return (self.lhs.make_bitmap(n) & self.rhs.make_bitmap(n))
@@ -116,6 +145,9 @@ class IDSelectorOr(IDSelector):
     def is_member(self, i: int) -> bool:
         return self.lhs.is_member(i) or self.rhs.is_member(i)
 
+    def member_array(self, ids: np.ndarray) -> np.ndarray:
+        return self.lhs.member_array(ids) | self.rhs.member_array(ids)
+
     def make_bitmap(self, n: int) -> np.ndarray:
         return (self.lhs.make_bitmap(n) | self.rhs.make_bitmap(n))
 
@@ -126,6 +158,9 @@ class IDSelectorXOr(IDSelector):
 
     def is_member(self, i: int) -> bool:
         return self.lhs.is_member(i) != self.rhs.is_member(i)
+
+    def member_array(self, ids: np.ndarray) -> np.ndarray:
+        return self.lhs.member_array(ids) ^ self.rhs.member_array(ids)
 
     def make_bitmap(self, n: int) -> np.ndarray:
         return (self.lhs.make_bitmap(n) ^ self.rhs.make_bitmap(n))

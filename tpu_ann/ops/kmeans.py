@@ -197,7 +197,12 @@ def kmeans(
                     f"  iter {it}: obj={st.obj:.4g} "
                     f"imbalance={st.imbalance_factor:.3f} nsplit={st.nsplit}"
                 )
-        if best is None or obj < best[0]:
+        # inner-product / spherical objective is a summed similarity:
+        # higher is better, so nredo keeps the max (Clustering.cpp keeps
+        # min for L2, max for IP)
+        better = (obj > best[0] if D.is_similarity_metric(metric)
+                  else obj < best[0]) if best is not None else True
+        if better:
             best = (obj, np.asarray(cent), stats)
     return best[1], best[2]
 

@@ -4,6 +4,7 @@ from .sharded import (  # noqa: F401
     make_mesh,
     shard_rows,
     sharded_ivf_scan,
+    sharded_ivf_scan_pq,
     sharded_kmeans_iter,
     sharded_knn,
 )

@@ -225,6 +225,82 @@ def sharded_ivf_scan(
     return fn(xq, probes, data, ids, norms, list_block_start, list_nblocks)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "by_residual", "max_nblocks",
+                     "packed4", "mesh"),
+)
+def sharded_ivf_scan_pq(
+    xq: jnp.ndarray,
+    probes: jnp.ndarray,
+    coarse_dis: jnp.ndarray,
+    codes: jnp.ndarray,
+    ids: jnp.ndarray,
+    list_block_start: jnp.ndarray,
+    list_nblocks: jnp.ndarray,
+    pq_centroids: jnp.ndarray,
+    coarse_centroids: jnp.ndarray,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    by_residual: bool = True,
+    max_nblocks: int,
+    packed4: bool = False,
+    mesh: Mesh,
+):
+    """Sharded ADC scan over PQ-coded invlists — the mesh analog of
+    multi-GPU sharded IVFPQ (faiss/IndexShardsIVF.cpp composed with
+    gpu/impl/IVFPQ.cu): every shard holds a disjoint row-partition's
+    code invlists, shares the replicated coarse quantizer + PQ codebooks,
+    runs the local ADC scan, and the per-shard top-k partials merge with
+    one all_gather + exact k-select on ICI. This is BASELINE config #5
+    (`IVF65536,PQ32x4fs` sharded over a v5p mesh).
+
+    Args (leading axis = shard):
+      codes (S, nblocks+1, B, code_width), ids (S, nblocks+1, B),
+      list_block_start/list_nblocks (S, nlist).
+    Replicated: xq (nq, d), probes/coarse_dis (nq, nprobe),
+      pq_centroids (M, ksub, dsub), coarse_centroids (nlist, d).
+    Returns replicated (D, I); ids are whatever the shard packs stored
+    (global row ids by convention).
+    """
+    from ..ops.ivf_scan import PackedCodeInvLists, scan_invlists_pq
+
+    similarity = D.is_similarity_metric(metric)
+
+    def local(xq_r, probes_r, cdis_r, codes_l, ids_l, lbs_l, lnb_l,
+              pqc, cc):
+        pil = PackedCodeInvLists(
+            codes=codes_l[0], ids=ids_l[0],
+            list_block_start=lbs_l[0], list_nblocks=lnb_l[0],
+        )
+        d_l, i_l, _ = scan_invlists_pq(
+            xq_r, probes_r, cdis_r, pil, pqc, cc, k, metric,
+            by_residual=by_residual, max_nblocks=max_nblocks,
+            packed4=packed4,
+        )
+        dg = lax.all_gather(d_l, "shard")
+        ig = lax.all_gather(i_l, "shard")
+        d_m, i_m = T.merge_topk_axis(dg, ig, k, similarity=similarity)
+        d_all = lax.all_gather(d_m, "replica", axis=0, tiled=True)
+        i_all = lax.all_gather(i_m, "replica", axis=0, tiled=True)
+        return d_all, i_all
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("replica", None), P("replica", None), P("replica", None),
+            P("shard", None, None, None), P("shard", None, None),
+            P("shard", None), P("shard", None),
+            P(None, None, None), P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+    )
+    return fn(xq, probes, coarse_dis, codes, ids, list_block_start,
+              list_nblocks, pq_centroids, coarse_centroids)
+
+
 def kmeans_distributed(
     x: np.ndarray,
     k: int,

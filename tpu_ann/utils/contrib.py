@@ -119,18 +119,10 @@ def add_preassigned(index_ivf, x: np.ndarray, a: np.ndarray,
     if ids is None:
         ids = np.arange(index_ivf.ntotal, index_ivf.ntotal + len(x),
                         dtype=np.int64)
-    index_ivf._xb_host.append(x.copy())
-    index_ivf._ids_host.append(np.asarray(ids, np.int64).copy())
-    index_ivf.ntotal += len(x)
-    xs = np.concatenate(index_ivf._xb_host, axis=0)
-    idsall = np.concatenate(index_ivf._ids_host, axis=0)
-    # reuse given assignment for the new chunk, recompute for the rest
-    if len(xs) == len(x):
-        assign = a
-    else:
-        assign = index_ivf._assign(xs[: len(xs) - len(x)])
-        assign = np.concatenate([assign, a])
-    index_ivf.invlists = index_ivf._pack(xs, idsall, assign)
+    # O(chunk): the given assignment is cached with the chunk; existing
+    # chunks keep their cached assignments through the repack
+    index_ivf._append_chunk(x.copy(), np.asarray(ids, np.int64).copy(), a)
+    index_ivf._repack()
 
 
 def merge_indexes(dst, srcs) -> None:
@@ -139,9 +131,12 @@ def merge_indexes(dst, srcs) -> None:
     for src in srcs:
         if src.nlist != dst.nlist or src.d != dst.d:
             raise ValueError("incompatible shard")
-        dst._xb_host.extend(src._xb_host)
-        dst._ids_host.extend(src._ids_host)
-        dst.ntotal += src.ntotal
+        src._maybe_repack()
+        # shards share the trained quantizer (contract above), so cached
+        # assignments remain valid in dst
+        for xs, ids, a in zip(src._xb_host, src._ids_host,
+                              src._assign_host):
+            dst._append_chunk(xs, ids, a)
     dst._repack()
 
 
@@ -188,6 +183,7 @@ class MatrixStats:
 
 def get_invlist(index_ivf, l: int) -> Tuple[np.ndarray, np.ndarray]:
     """ids and vectors/codes of one inverted list."""
+    index_ivf._maybe_repack()
     il = index_ivf.invlists
     starts = np.asarray(il.list_block_start)
     nblk = np.asarray(il.list_nblocks)
@@ -202,7 +198,7 @@ def get_invlist(index_ivf, l: int) -> Tuple[np.ndarray, np.ndarray]:
                else np.asarray(il.codes[b0 : b0 + nblk[l]]))
     payload = payload.reshape(-1, payload.shape[-1])
     keep = ids >= 0
-    return ids[keep].astype(np.int64), payload[keep]
+    return index_ivf._map_ids(ids[keep]), payload[keep]
 
 
 def get_invlist_sizes(index_ivf) -> np.ndarray:

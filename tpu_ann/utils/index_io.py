@@ -171,6 +171,9 @@ def _load_hnsw(meta, arrays):
 
 
 def _dump_ivf_common(index) -> Tuple[dict, dict]:
+    # flush any deferred (repack=False) adds so the serialized invlists
+    # match ntotal — otherwise a loaded index would silently miss rows
+    index._maybe_repack()
     meta = {
         "d": index.d, "metric": index.metric_type, "ntotal": index.ntotal,
         "nlist": index.nlist, "nprobe": index.nprobe,
@@ -231,7 +234,16 @@ def _restore_ivf_common(idx, meta, arrays):
         idx.invlists = pil
     if "xb_host" in arrays:
         idx._xb_host = [np.asarray(arrays["xb_host"])]
-        idx._ids_host = [np.asarray(arrays["ids_host"])]
+        ids = np.asarray(arrays["ids_host"])
+        idx._ids_host = [ids]
+        idx._assign_host = [None]
+        # packed invlists store row indices; rebuild the row->id map
+        idx._ids_flat = ids
+        n = len(ids)
+        idx._ids_trivial = bool(
+            n == 0 or (ids[0] == 0 and ids[-1] == n - 1
+                       and np.array_equal(ids, np.arange(n,
+                                                         dtype=np.int64))))
     return idx
 
 

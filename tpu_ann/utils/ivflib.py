@@ -44,6 +44,7 @@ def replace_ivf_quantizer(index_ivf: IndexIVF, new_quantizer) -> None:
     if new_quantizer.ntotal != index_ivf.nlist:
         raise ValueError("new quantizer must hold exactly nlist centroids")
     index_ivf.quantizer = new_quantizer
+    index_ivf.invalidate_assign()  # centroids changed; reassign everything
     if index_ivf.ntotal:
         index_ivf._repack()
 
@@ -65,18 +66,23 @@ class SlidingIndexWindow:
             if ids is None:
                 ids = np.arange(idx.ntotal, idx.ntotal + len(x),
                                 dtype=np.int64)
-            idx._xb_host.append(np.ascontiguousarray(x, np.float32))
-            idx._ids_host.append(np.asarray(ids, np.int64))
-            idx.ntotal += len(x)
+            idx._append_chunk(np.ascontiguousarray(x, np.float32),
+                              np.asarray(ids, np.int64))
             self._slices.append(1)
         while len(self._slices) > self.nslice:
             ndrop = self._slices.pop(0)
             for _ in range(ndrop):
                 dropped = idx._xb_host.pop(0)
                 idx._ids_host.pop(0)
+                if idx._assign_host:
+                    idx._assign_host.pop(0)
                 idx.ntotal -= len(dropped)
         if idx.ntotal:
             idx._repack()
+        else:
+            idx.invlists = None
+            idx._ids_flat = None
+            idx._dirty = False
 
 
 class ClusterManager:
@@ -119,6 +125,7 @@ class ClusterManager:
         q.reset()
         q.add(cents)
         idx.nlist = new_nlist
+        idx.invalidate_assign()  # centroid set changed
         idx._repack()
         return self.split_k - 1
 
