@@ -312,3 +312,98 @@ def test_ivf_rq_recall(small_ds):
     gt = small_ds.get_groundtruth(10)
     r = recall_at_r(I, gt, 10)
     assert r > 0.6, r
+
+
+def test_lsq_beats_rq_mse(small_ds):
+    """ICM + least-squares refinement must reconstruct at least as well as
+    the stage-wise-greedy RQ it warm-starts from (LocalSearchQuantizer's
+    reason to exist, impl/LocalSearchQuantizer.cpp)."""
+    from tpu_ann.ops.lsq import lsq_encode, train_lsq
+    from tpu_ann.ops.rq import rq_decode, rq_encode, train_rq
+    import jax
+
+    xt = small_ds.get_train()
+    rq = train_rq(xt, M=4, nbits=6, niter=8)
+    rcodes = rq_encode(jnp.asarray(xt[:500]), jnp.asarray(rq.codebooks),
+                       beam=5)
+    mse_rq = ((np.asarray(rq_decode(rcodes, jnp.asarray(rq.codebooks)))
+               - xt[:500]) ** 2).mean()
+
+    lsq = train_lsq(xt, M=4, nbits=6, train_iters=4)
+    lcodes = lsq_encode(jnp.asarray(xt[:500]), jnp.asarray(lsq.codebooks),
+                        jax.random.PRNGKey(0))
+    mse_lsq = ((np.asarray(rq_decode(lcodes, jnp.asarray(lsq.codebooks)))
+                - xt[:500]) ** 2).mean()
+    assert mse_lsq <= mse_rq * 1.05, (mse_lsq, mse_rq)
+
+
+def test_index_lsq_recall(small_ds):
+    from tpu_ann.models.rq import IndexLocalSearchQuantizer
+
+    idx = IndexLocalSearchQuantizer(small_ds.d, M=8, nbits=6)
+    idx.train_iters = 3
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.6, r
+
+
+def test_index_prq_plsq_recall(small_ds):
+    from tpu_ann.models.rq import (
+        IndexProductLocalSearchQuantizer,
+        IndexProductResidualQuantizer,
+    )
+
+    for cls in (IndexProductResidualQuantizer,
+                IndexProductLocalSearchQuantizer):
+        idx = cls(small_ds.d, nsplits=2, Msub=4, nbits=6)
+        if hasattr(idx, "train_iters"):
+            idx.train_iters = 3
+        idx.train(small_ds.get_train())
+        idx.add(small_ds.get_database())
+        _, I = idx.search(small_ds.get_queries(), 10)
+        gt = small_ds.get_groundtruth(10)
+        r = recall_at_r(I, gt, 10)
+        assert r > 0.6, (cls.__name__, r)
+        # code round-trip
+        codes = idx.sa_encode(small_ds.get_queries()[:8])
+        rec = idx.sa_decode(codes)
+        assert rec.shape == (8, small_ds.d)
+
+
+def test_ivf_lsq_recall(small_ds):
+    from tpu_ann.models.rq import IndexIVFLocalSearchQuantizer
+
+    idx = IndexIVFLocalSearchQuantizer(IndexFlat(small_ds.d), small_ds.d,
+                                       nlist=32, M=8, nbits=6)
+    idx.cp.niter = 5
+    idx.train_iters = 3
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.nprobe = 16
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.55, r
+
+
+def test_factory_aq_spellings(small_ds):
+    from tpu_ann.models.rq import (
+        IndexIVFProductResidualQuantizer,
+        IndexLocalSearchQuantizer,
+        IndexProductLocalSearchQuantizer,
+        IndexResidualQuantizer,
+    )
+    from tpu_ann.utils.factory import index_factory
+
+    d = small_ds.d
+    assert isinstance(index_factory(d, "RQ4x6"), IndexResidualQuantizer)
+    assert isinstance(index_factory(d, "LSQ4x6"),
+                      IndexLocalSearchQuantizer)
+    assert isinstance(index_factory(d, "PLSQ2x2x6"),
+                      IndexProductLocalSearchQuantizer)
+    ivf = index_factory(d, "IVF32,PRQ2x2x6")
+    assert isinstance(ivf, IndexIVFProductResidualQuantizer)
+    assert ivf.nlist == 32 and ivf.nsplits == 2

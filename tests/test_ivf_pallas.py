@@ -1,0 +1,53 @@
+"""Fused list-major Pallas IVF scan: equivalence to the query-major
+compacted scan (interpret mode on the CPU mesh; compiled on real TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_ann.ops import distances as D
+from tpu_ann.ops.ivf_scan import pack_invlists, scan_invlists
+from tpu_ann.ops.ivf_scan_pallas import scan_invlists_fused
+
+
+@pytest.mark.parametrize("nprobe", [1, 8])
+def test_fused_scan_matches_query_major(rng, nprobe):
+    n, d, nlist, nq, k = 3000, 32, 24, 64, 10
+    xb = rng.rand(n, d).astype(np.float32)
+    xq = rng.rand(nq, d).astype(np.float32)
+    cent = xb[rng.choice(n, nlist, replace=False)]
+    _, assign = D.knn(jnp.asarray(xb), jnp.asarray(cent), 1)
+    assign = np.asarray(assign)[:, 0]
+    il = pack_invlists(xb, np.arange(n), assign, nlist, block_size=16)
+
+    _, probes = D.knn(jnp.asarray(xq), jnp.asarray(cent), nprobe)
+    probes = probes.astype(jnp.int32)
+
+    D0, I0, _ = scan_invlists(jnp.asarray(xq), probes, il, k,
+                              max_nblocks=il.max_nblocks_per_list)
+    D1, I1, _ = scan_invlists_fused(jnp.asarray(xq), probes, il, k,
+                                    PT=32, CB=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                               rtol=1e-4, atol=1e-4)
+    # candidate sets match (ties may reorder)
+    for q in range(nq):
+        assert set(np.asarray(I1)[q].tolist()) == \
+            set(np.asarray(I0)[q].tolist()), q
+
+
+def test_fused_scan_empty_lists(rng):
+    """Empty lists (zero-width ranges) and k > list size."""
+    n, d, nlist, nq, k = 60, 16, 16, 8, 10
+    xb = rng.rand(n, d).astype(np.float32)
+    xq = rng.rand(nq, d).astype(np.float32)
+    assign = np.zeros(n, np.int64)  # everything in list 0
+    il = pack_invlists(xb, np.arange(n), assign, nlist, block_size=16)
+    probes = jnp.asarray(
+        np.stack([np.arange(4) for _ in range(nq)]), jnp.int32)
+    D1, I1, _ = scan_invlists_fused(jnp.asarray(xq), probes, il, k,
+                                    PT=16, CB=2, interpret=True)
+    D0, I0, _ = scan_invlists(jnp.asarray(xq), probes, il, k,
+                              max_nblocks=il.max_nblocks_per_list)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                               rtol=1e-4, atol=1e-4)

@@ -75,9 +75,16 @@ class IndexResidualQuantizer(Index):
         self._norms: Optional[jnp.ndarray] = None
         self.is_trained = False
 
+    def _train_codec(self, x: np.ndarray) -> "RQ.RQCodec":
+        return RQ.train_rq(x, self.M, self.nbits, verbose=self.verbose)
+
+    def _encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        return RQ.rq_encode(x, self._books, beam=self.beam_size)
+
     def train(self, x) -> None:
         x = self._check_input(x)
-        self.rq = RQ.train_rq(x, self.M, self.nbits, verbose=self.verbose)
+        self.rq = self._train_codec(x)
+        self.M = self.rq.M  # product AQs expand M to nsplits*Msub stages
         self._books = jnp.asarray(self.rq.codebooks)
         self.is_trained = True
 
@@ -85,8 +92,7 @@ class IndexResidualQuantizer(Index):
         if not self.is_trained:
             raise RuntimeError("train() before add()")
         x = self._check_input(x)
-        codes = RQ.rq_encode(jnp.asarray(x), self._books,
-                             beam=self.beam_size)
+        codes = self._encode(jnp.asarray(x))
         recon = RQ.rq_decode(codes, self._books)
         norms = jnp.sum(recon * recon, axis=1)
         if self._codes is None:
@@ -114,8 +120,7 @@ class IndexResidualQuantizer(Index):
 
     def sa_encode(self, x) -> np.ndarray:
         x = self._check_input(x)
-        return np.asarray(RQ.rq_encode(jnp.asarray(x), self._books,
-                                       beam=self.beam_size))
+        return np.asarray(self._encode(jnp.asarray(x)))
 
     def sa_decode(self, codes) -> np.ndarray:
         return np.asarray(RQ.rq_decode(
@@ -126,6 +131,65 @@ class IndexResidualQuantizer(Index):
 
 
 IndexAdditiveQuantizer = IndexResidualQuantizer  # family alias
+
+
+class IndexLocalSearchQuantizer(IndexResidualQuantizer):
+    """faiss IndexLocalSearchQuantizer (IndexAdditiveQuantizer.h): additive
+    codes encoded by batched ICM with perturbations (ops.lsq), searched
+    with the shared additive ADC scan."""
+
+    def __init__(self, d: int, M: int, nbits: int = 8,
+                 metric: int = D.METRIC_L2):
+        super().__init__(d, M, nbits, metric)
+        self.train_iters = 8
+        self.icm_iters = 4
+        self.nperts = 4
+        self.lambd = 1e-2
+        self._enc_seed = 0
+
+    def _train_codec(self, x: np.ndarray):
+        from ..ops import lsq as LSQ
+
+        return LSQ.train_lsq(
+            x, self.M, self.nbits, train_iters=self.train_iters,
+            icm_iters=self.icm_iters, nperts=self.nperts,
+            lambd=self.lambd, verbose=self.verbose)
+
+    def _encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import lsq as LSQ
+
+        self._enc_seed += 1
+        return LSQ.lsq_encode(
+            x, self._books, jax.random.PRNGKey(self._enc_seed),
+            icm_iters=self.icm_iters, nperts=self.nperts)
+
+
+class IndexProductResidualQuantizer(IndexResidualQuantizer):
+    """faiss IndexProductResidualQuantizer: d is split into nsplits
+    sub-spaces each coded by an independent RQ
+    (impl/ProductAdditiveQuantizer.cpp). Represented as one additive codec
+    with block-diagonal codebooks so every scan path is shared."""
+
+    def __init__(self, d: int, nsplits: int, Msub: int, nbits: int = 8,
+                 metric: int = D.METRIC_L2):
+        super().__init__(d, nsplits * Msub, nbits, metric)
+        self.nsplits = int(nsplits)
+        self.Msub = int(Msub)
+
+    _paq_kind = "rq"
+
+    def _train_codec(self, x: np.ndarray):
+        from ..ops import lsq as LSQ
+
+        return LSQ.train_product_aq(
+            x, self.nsplits, self.Msub, self.nbits, kind=self._paq_kind,
+            verbose=self.verbose)
+
+
+class IndexProductLocalSearchQuantizer(IndexProductResidualQuantizer):
+    """faiss IndexProductLocalSearchQuantizer: product of LSQs."""
+
+    _paq_kind = "lsq"
 
 
 class IndexIVFResidualQuantizer(IndexIVF):
@@ -143,12 +207,18 @@ class IndexIVFResidualQuantizer(IndexIVF):
         self.beam_size = 5
         self.rq: Optional[RQ.RQCodec] = None
 
+    def _train_codec(self, resid: np.ndarray) -> "RQ.RQCodec":
+        return RQ.train_rq(resid, self.M, self.nbits, verbose=self.verbose)
+
+    def _encode_residuals(self, resid: jnp.ndarray) -> jnp.ndarray:
+        return RQ.rq_encode(resid, self._books, beam=self.beam_size)
+
     def train_encoder(self, x: np.ndarray) -> None:
         assign = self._assign(x)
         cent = np.asarray(self._centroid_table())
         resid = x - cent[assign]
-        self.rq = RQ.train_rq(resid, self.M, self.nbits,
-                              verbose=self.verbose)
+        self.rq = self._train_codec(resid)
+        self.M = self.rq.M
         self._books = jnp.asarray(self.rq.codebooks)
 
     def _pack(self, x, ids, assign):
@@ -156,7 +226,7 @@ class IndexIVFResidualQuantizer(IndexIVF):
 
         cent = np.asarray(self._centroid_table())
         resid = jnp.asarray(x - cent[assign])
-        codes = RQ.rq_encode(resid, self._books, beam=self.beam_size)
+        codes = self._encode_residuals(resid)
         # full-vector reconstruction norm, stored as 4 extra code bytes
         recon = RQ.rq_decode(codes, self._books) + jnp.asarray(cent[assign])
         norms = np.asarray(jnp.sum(recon * recon, axis=1), np.float32)
@@ -190,6 +260,65 @@ class IndexIVFResidualQuantizer(IndexIVF):
             if hit.size:
                 return xs[hit[0]]
         raise KeyError(key)
+
+
+class IndexIVFLocalSearchQuantizer(IndexIVFResidualQuantizer):
+    """faiss IndexIVFLocalSearchQuantizer: IVF + ICM-encoded additive
+    residual codes (IndexIVFAdditiveQuantizer.h)."""
+
+    def __init__(self, quantizer, d: int, nlist: int, M: int,
+                 nbits: int = 8, metric: int = D.METRIC_L2,
+                 block_size: int = 128):
+        super().__init__(quantizer, d, nlist, M, nbits, metric, block_size)
+        self.train_iters = 8
+        self.icm_iters = 4
+        self.nperts = 4
+        self.lambd = 1e-2
+        self._enc_seed = 0
+
+    def _train_codec(self, resid: np.ndarray):
+        from ..ops import lsq as LSQ
+
+        return LSQ.train_lsq(
+            resid, self.M, self.nbits, train_iters=self.train_iters,
+            icm_iters=self.icm_iters, nperts=self.nperts,
+            lambd=self.lambd, verbose=self.verbose)
+
+    def _encode_residuals(self, resid: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import lsq as LSQ
+
+        self._enc_seed += 1
+        return LSQ.lsq_encode(
+            resid, self._books, jax.random.PRNGKey(self._enc_seed),
+            icm_iters=self.icm_iters, nperts=self.nperts)
+
+
+class IndexIVFProductResidualQuantizer(IndexIVFResidualQuantizer):
+    """faiss IndexIVFProductResidualQuantizer (block-diagonal additive
+    codec over d/nsplits slices; scan shared with IVF-RQ)."""
+
+    _paq_kind = "rq"
+
+    def __init__(self, quantizer, d: int, nlist: int, nsplits: int,
+                 Msub: int, nbits: int = 8, metric: int = D.METRIC_L2,
+                 block_size: int = 128):
+        super().__init__(quantizer, d, nlist, nsplits * Msub, nbits,
+                         metric, block_size)
+        self.nsplits = int(nsplits)
+        self.Msub = int(Msub)
+
+    def _train_codec(self, resid: np.ndarray):
+        from ..ops import lsq as LSQ
+
+        return LSQ.train_product_aq(
+            resid, self.nsplits, self.Msub, self.nbits,
+            kind=self._paq_kind, verbose=self.verbose)
+
+
+class IndexIVFProductLocalSearchQuantizer(IndexIVFProductResidualQuantizer):
+    """faiss IndexIVFProductLocalSearchQuantizer."""
+
+    _paq_kind = "lsq"
 
 
 @functools.partial(

@@ -1,0 +1,317 @@
+"""Pallas fused list-major IVF scan — the TPU kernel for high-nprobe /
+large-batch IVF search (the role of the GPU backend's IVFInterleaved
+two-pass scan, gpu/impl/IVFInterleaved.cu + IVFUtils.cu, redesigned for
+the TPU memory system).
+
+Why list-major: with nq queries probing nprobe lists each, a query-major
+scan reads every probed list's blocks once PER (query, probe) pair —
+nq*nprobe/nlist times each on average (156x redundant at the SIFT1M
+benchmark point). Sorting the (query, probe) pairs by list id and tiling
+them means one HBM read of a block feeds a (PT, B) MXU contraction for a
+whole pair tile.
+
+The layout insight that makes the kernel simple: packed invlists store
+each list's blocks contiguously and lists in id order, so the pairs of a
+sorted tile (covering lists l0..l1) touch ONE CONTIGUOUS RANGE of blocks
+[stream_start[l0], stream_start[l1] + nblk[l1]). The kernel's inner loop
+is therefore a double-buffered sequential DMA stream — no gather at all —
+and each pair masks the stream to its own list's sub-range with two
+scalar comparisons per (pair, block).
+
+Per chunk of CB blocks:
+    dis (PT, CB*B) = qnorm + bnorm - 2 * qv @ chunk^T      (one MXU dot)
+    mask rows outside each pair's [pstart, pend) block range
+    running per-pair top-k via k-step min-extraction        (VPU)
+
+Output is exact per-pair top-k; the caller merges pairs per query with
+one lax.top_k. Equivalence to the query-major `scan_invlists` is tested
+in tests/test_ivf_pallas.py (interpret mode on CPU, compiled on TPU).
+
+Reference hot loop this replaces: faiss/IndexIVF.cpp:511-589
+(search_preassigned's per-probe scan_codes) and IndexIVFFlat.cpp:130-196.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import distances as D
+
+
+def _grouped_kernel(
+    # scalar prefetch
+    tile_bs_ref,       # (ntiles,) int32: first stream block of tile
+    tile_nb_ref,       # (ntiles,) int32: number of stream blocks of tile
+    # tensor inputs
+    qv_ref,            # (PT, d) VMEM: tile's pair query vectors
+    qn_ref,            # (PT, 1) VMEM: tile's pair query norms
+    ps_ref,            # (PT, 1) VMEM int32: pair's list first stream block
+    pe_ref,            # (PT, 1) VMEM int32: pair's list end stream block
+    data_hbm,          # (nblocks+1, B, d) HBM
+    ids_hbm,           # (nblocks+1, B) int32 HBM
+    norms_hbm,         # (nblocks+1, B) HBM
+    # outputs
+    outd_ref,          # (PT, k) VMEM
+    outi_ref,          # (PT, k) VMEM
+    # scratch
+    dbuf,              # (2, CB, B, d) VMEM
+    ibuf,              # (2, CB, B) int32 VMEM
+    nbuf,              # (2, CB, B) VMEM
+    sems,              # DMA sems (2, 3)
+    *,
+    k: int,
+    CB: int,
+    B: int,
+    max_chunks: int,
+):
+    t = pl.program_id(0)
+    bs = tile_bs_ref[t]
+    nb = tile_nb_ref[t]
+    nchunks = jnp.minimum(lax.div(nb + CB - 1, CB), max_chunks)
+    PT = qv_ref.shape[0]
+
+    def start_dma(c, slot):
+        # contiguous CB-block slice of the stream starting at bs + c*CB
+        off = bs + c * CB
+        pltpu.make_async_copy(
+            data_hbm.at[pl.ds(off, CB)], dbuf.at[slot], sems.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            ids_hbm.at[pl.ds(off, CB)], ibuf.at[slot], sems.at[slot, 1]
+        ).start()
+        pltpu.make_async_copy(
+            norms_hbm.at[pl.ds(off, CB)], nbuf.at[slot], sems.at[slot, 2]
+        ).start()
+
+    def wait_dma(c, slot):
+        off = bs + c * CB
+        pltpu.make_async_copy(
+            data_hbm.at[pl.ds(off, CB)], dbuf.at[slot], sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            ids_hbm.at[pl.ds(off, CB)], ibuf.at[slot], sems.at[slot, 1]
+        ).wait()
+        pltpu.make_async_copy(
+            norms_hbm.at[pl.ds(off, CB)], nbuf.at[slot], sems.at[slot, 2]
+        ).wait()
+
+    @pl.when(nchunks > 0)
+    def _():
+        start_dma(0, 0)
+
+    qv = qv_ref[:]                                    # (PT, d)
+    qn = qn_ref[:]                                    # (PT, 1)
+    pstart = ps_ref[:]                                # (PT, 1)
+    pend = pe_ref[:]                                  # (PT, 1)
+
+    def chunk_body(c, carry):
+        bd, bi = carry                                # (PT, k) each
+        slot = lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            start_dma(c + 1, lax.rem(c + 1, 2))
+
+        wait_dma(c, slot)
+        chunk = dbuf[slot].reshape(CB * B, qv.shape[1])
+        vids = ibuf[slot].reshape(1, CB * B)
+        vnorm = nbuf[slot].reshape(1, CB * B)
+        ip = jax.lax.dot_general(
+            qv, chunk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # (PT, CB*B)
+        dis = jnp.maximum(qn + vnorm - 2.0 * ip, 0.0)
+
+        # mask: slot's stream block must lie in the pair's list range and
+        # the slot must hold a real row (ids >= 0)
+        blk = bs + c * CB + lax.broadcasted_iota(
+            jnp.int32, (1, CB * B), 1) // B
+        ok = (blk >= pstart) & (blk < pend) & (vids >= 0)
+        dis = jnp.where(ok, dis, jnp.inf)
+
+        # merge chunk into the running per-pair top-k: k rounds of
+        # min-extraction over (PT, k + CB*B) (WarpSelect's role; argmin ->
+        # one-hot dot keeps everything on the VPU, no dynamic gathers)
+        cd = jnp.concatenate([bd, dis], axis=1)
+        ci = jnp.concatenate([bi, jnp.broadcast_to(vids, dis.shape)],
+                             axis=1)
+        W = cd.shape[1]
+        lanes = lax.broadcasted_iota(jnp.int32, (PT, W), 1)
+        nd = []
+        ni = []
+        for _ in range(k):
+            val = jnp.min(cd, axis=1, keepdims=True)          # (PT, 1)
+            pos = jnp.argmin(cd, axis=1)                      # (PT,)
+            onehot = lanes == pos[:, None]
+            idv = jnp.sum(jnp.where(onehot, ci, 0), axis=1)
+            nd.append(val[:, 0])
+            ni.append(idv)
+            cd = jnp.where(onehot, jnp.inf, cd)
+        bd = jnp.stack(nd, axis=1)
+        bi = jnp.stack(ni, axis=1)
+        bi = jnp.where(jnp.isinf(bd), -1, bi)
+        return bd, bi
+
+    init = (
+        jnp.full((PT, k), jnp.inf, jnp.float32),
+        jnp.full((PT, k), -1, jnp.int32),
+    )
+    bd, bi = lax.fori_loop(0, nchunks, chunk_body, init)
+    outd_ref[:] = bd
+    outi_ref[:] = bi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "PT", "CB", "interpret"),
+)
+def scan_invlists_fused(
+    xq: jnp.ndarray,
+    probes: jnp.ndarray,
+    invlists,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    PT: int = 128,
+    CB: int = 4,
+    interpret: bool = False,
+):
+    """List-major fused IVF scan (see module docstring).
+
+    Args:
+      xq: (nq, d) queries. probes: (nq, nprobe) int32.
+      invlists: PackedInvLists (raw-vector storage).
+    Returns (D, I, ndis): exact per-query top-k over the probed lists.
+    """
+    nq, d = xq.shape
+    nprobe = probes.shape[1]
+    B = invlists.block_size
+    NB = invlists.nblocks
+    nlist = invlists.nlist
+    similarity = D.is_similarity_metric(metric)
+    if similarity:
+        raise NotImplementedError("fused scan: L2 only (IP: negate trick)")
+    xq = xq.astype(jnp.float32)
+    npairs = nq * nprobe
+
+    nblk = invlists.list_nblocks                     # (nlist,)
+    # stream starts: contiguous cumulative block offsets (identical to
+    # list_block_start except empty lists, whose start points at the
+    # dummy block; zero-width ranges mask them out anyway)
+    sstart = jnp.cumsum(nblk) - nblk                 # (nlist,)
+
+    # ---- sort pairs by list id -> contiguous tile block ranges ----------
+    l_flat = probes.reshape(npairs).astype(jnp.int32)
+    order = jnp.argsort(l_flat)
+    ls = l_flat[order]                               # sorted list ids
+    pq_idx = order // nprobe                         # pair's query row
+    p_start = sstart[ls]                             # (npairs,)
+    p_nb = nblk[ls]
+    p_end = p_start + p_nb
+
+    ntiles = -(-npairs // PT)
+    pad = ntiles * PT - npairs
+    if pad:
+        # padded pairs: zero-width range, query row 0
+        p_start = jnp.pad(p_start, (0, pad))
+        p_end = jnp.pad(p_end, (0, pad))
+        pq_idx = jnp.pad(pq_idx, (0, pad))
+        ls = jnp.pad(ls, (0, pad), constant_values=nlist - 1)
+
+    qv = xq[pq_idx]                                  # (npairs_pad, d)
+    qn = jnp.sum(qv * qv, axis=1, keepdims=True)
+
+    ps_t = p_start.reshape(ntiles, PT, 1).astype(jnp.int32)
+    pe_t = p_end.reshape(ntiles, PT, 1).astype(jnp.int32)
+    qv_t = qv.reshape(ntiles, PT, d)
+    qn_t = qn.reshape(ntiles, PT, 1)
+
+    # tile block range: [min pstart, max pend) over real pairs
+    ps2 = ps_t[:, :, 0]
+    pe2 = pe_t[:, :, 0]
+    width = pe2 - ps2
+    tile_bs = jnp.min(jnp.where(width > 0, ps2, NB), axis=1)
+    tile_be = jnp.max(jnp.where(width > 0, pe2, 0), axis=1)
+    tile_bs = jnp.minimum(tile_bs, tile_be)          # empty tile -> 0 len
+    tile_nb = tile_be - tile_bs
+    max_chunks = int(-(-NB // CB)) + 1
+
+    # ndis: rows scanned incl. block padding (IndexIVFStats.ndis analog)
+    ndis = jnp.sum(nblk[l_flat]) * B
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, PT, d), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, PT, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, PT, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, PT, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, PT, k), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, PT, k), lambda t, *_: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, CB, B, d), jnp.float32),
+            pltpu.VMEM((2, CB, B), jnp.int32),
+            pltpu.VMEM((2, CB, B), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+
+    def kern(tile_bs_ref, tile_nb_ref, qv_ref, qn_ref, ps_ref, pe_ref,
+             data_hbm, ids_hbm, norms_hbm, outd_ref, outi_ref,
+             dbuf, ibuf, nbuf, sems):
+        _grouped_kernel(
+            tile_bs_ref, tile_nb_ref,
+            qv_ref[0], qn_ref[0], ps_ref[0], pe_ref[0],
+            data_hbm, ids_hbm, norms_hbm,
+            outd_ref.at[0], outi_ref.at[0],
+            dbuf, ibuf, nbuf, sems,
+            k=k, CB=CB, B=B, max_chunks=max_chunks,
+        )
+
+    # pad the block stream so a full CB chunk past the end stays in bounds
+    data = invlists.data
+    ids = invlists.ids
+    norms = invlists.norms
+    data = jnp.pad(data, ((0, CB), (0, 0), (0, 0)))
+    ids = jnp.pad(ids, ((0, CB), (0, 0)), constant_values=-1)
+    norms = jnp.pad(norms, ((0, CB), (0, 0)))
+
+    outd, outi = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ntiles, PT, k), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, PT, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tile_bs.astype(jnp.int32), tile_nb.astype(jnp.int32),
+      qv_t, qn_t, ps_t, pe_t, data, ids, norms)
+
+    # ---- un-sort pairs, merge per query ----------------------------------
+    outd = outd.reshape(ntiles * PT, k)[:npairs]
+    outi = outi.reshape(ntiles * PT, k)[:npairs]
+    inv_d = jnp.full((npairs, k), jnp.inf, jnp.float32).at[order].set(outd)
+    inv_i = jnp.full((npairs, k), -1, jnp.int32).at[order].set(outi)
+    pair_d = inv_d.reshape(nq, nprobe * k)
+    pair_i = inv_i.reshape(nq, nprobe * k)
+    nv, pos = lax.top_k(-pair_d, k)
+    out_d = -nv
+    out_i = jnp.take_along_axis(pair_i, pos, axis=1)
+    out_i = jnp.where(jnp.isinf(out_d), -1, out_i)
+    return out_d, out_i, ndis

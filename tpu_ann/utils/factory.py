@@ -82,6 +82,26 @@ def _make_ivf(nlist: int, hnsw_m: int, code: str, d: int,
     if code in _SQ_TYPES:
         return IndexIVFScalarQuantizer(quant, d, nlist, _SQ_TYPES[code],
                                        metric)
+    if m := re.fullmatch(r"(RQ|LSQ)(\d+)x(\d+)", code):
+        from ..models.rq import (
+            IndexIVFLocalSearchQuantizer,
+            IndexIVFResidualQuantizer,
+        )
+
+        cls = (IndexIVFResidualQuantizer if m.group(1) == "RQ"
+               else IndexIVFLocalSearchQuantizer)
+        return cls(quant, d, nlist, int(m.group(2)), int(m.group(3)),
+                   metric)
+    if m := re.fullmatch(r"(PRQ|PLSQ)(\d+)x(\d+)x(\d+)", code):
+        from ..models.rq import (
+            IndexIVFProductLocalSearchQuantizer,
+            IndexIVFProductResidualQuantizer,
+        )
+
+        cls = (IndexIVFProductResidualQuantizer if m.group(1) == "PRQ"
+               else IndexIVFProductLocalSearchQuantizer)
+        return cls(quant, d, nlist, int(m.group(2)), int(m.group(3)),
+                   int(m.group(4)), metric)
     raise ValueError(f"index_factory: bad IVF code {code!r}")
 
 
@@ -136,6 +156,25 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
         index = IndexPQ(cur_d, int(m.group(1)), int(m.group(2) or 8), metric)
     elif head in _SQ_TYPES:
         index = IndexScalarQuantizer(cur_d, _SQ_TYPES[head], metric)
+    elif m := re.fullmatch(r"(RQ|LSQ)(\d+)x(\d+)", head):
+        from ..models.rq import (
+            IndexLocalSearchQuantizer,
+            IndexResidualQuantizer,
+        )
+
+        cls = (IndexResidualQuantizer if m.group(1) == "RQ"
+               else IndexLocalSearchQuantizer)
+        index = cls(cur_d, int(m.group(2)), int(m.group(3)), metric)
+    elif m := re.fullmatch(r"(PRQ|PLSQ)(\d+)x(\d+)x(\d+)", head):
+        from ..models.rq import (
+            IndexProductLocalSearchQuantizer,
+            IndexProductResidualQuantizer,
+        )
+
+        cls = (IndexProductResidualQuantizer if m.group(1) == "PRQ"
+               else IndexProductLocalSearchQuantizer)
+        index = cls(cur_d, int(m.group(2)), int(m.group(3)),
+                    int(m.group(4)), metric)
     else:
         raise ValueError(f"index_factory: unknown container {head!r}")
     if rest:
