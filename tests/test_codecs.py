@@ -407,3 +407,145 @@ def test_factory_aq_spellings(small_ds):
     ivf = index_factory(d, "IVF32,PRQ2x2x6")
     assert isinstance(ivf, IndexIVFProductResidualQuantizer)
     assert ivf.nlist == 32 and ivf.nsplits == 2
+
+
+@pytest.mark.parametrize("qtype", [SQ.QT_4BIT, SQ.QT_4BIT_UNIFORM,
+                                   SQ.QT_6BIT])
+def test_sq_lowbit_roundtrip(qtype, small_ds):
+    """4/6-bit packed codecs: code_size honors the bit budget and decode
+    error matches the level count (impl/ScalarQuantizer.h Codec4bit/6bit).
+    """
+    xt = small_ds.get_train()[:500]
+    codec = SQ.train_sq(xt, qtype)
+    codes = SQ.sq_encode(jnp.asarray(xt), codec)
+    d = small_ds.d
+    exp_size = (d + 1) // 2 if qtype != SQ.QT_6BIT else (d * 6 + 7) // 8
+    assert codes.shape[1] == exp_size == codec.code_size
+    recon = np.asarray(SQ.sq_decode(codes, codec))
+    levels = 16 if qtype != SQ.QT_6BIT else 64
+    max_err = (np.asarray(codec.vdiff) / levels).max()
+    assert np.abs(recon - xt).max() <= max_err * 1.01
+
+
+def test_sq_direct_codecs(rng):
+    x = rng.randint(0, 255, size=(100, 16)).astype(np.float32)
+    c = SQ.SQCodec(qtype=SQ.QT_8BIT_DIRECT, d=16)
+    codes = SQ.sq_encode(jnp.asarray(x), c)
+    np.testing.assert_array_equal(np.asarray(SQ.sq_decode(codes, c)), x)
+    xs = x - 128.0
+    cs = SQ.SQCodec(qtype=SQ.QT_8BIT_DIRECT_SIGNED, d=16)
+    codes = SQ.sq_encode(jnp.asarray(xs), cs)
+    np.testing.assert_array_equal(np.asarray(SQ.sq_decode(codes, cs)), xs)
+
+
+def test_sq_rangestat_modes(small_ds):
+    xt = small_ds.get_train()
+    c1 = SQ.train_sq(xt, SQ.QT_8BIT, rangestat=SQ.RS_MEANSTD)
+    c2 = SQ.train_sq(xt, SQ.QT_8BIT, rs_arg=0.05,
+                     rangestat=SQ.RS_QUANTILES)
+    # quantile window is strictly inside the minmax window
+    c0 = SQ.train_sq(xt, SQ.QT_8BIT)
+    assert (c2.vmin >= c0.vmin - 1e-6).all()
+    assert (c2.vmin + c2.vdiff <= c0.vmin + c0.vdiff + 1e-6).all()
+    assert c1.vdiff.shape == (small_ds.d,)
+
+
+@pytest.mark.parametrize("qtype", [SQ.QT_4BIT, SQ.QT_6BIT])
+def test_ivf_sq_lowbit_recall(small_ds, qtype):
+    """Packed low-bit codes scanned with in-kernel unpacking must track
+    the 8-bit path's recall at these easy scales."""
+    quant = IndexFlat(small_ds.d)
+    idx = IndexIVFScalarQuantizer(quant, small_ds.d, 32, qtype)
+    idx.cp.niter = 5
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.nprobe = 16
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.8, (qtype, r)
+
+
+def test_factory_sq_lowbit(small_ds):
+    from tpu_ann.utils.factory import index_factory
+
+    idx = index_factory(small_ds.d, "IVF32,SQ6")
+    assert idx.qtype == SQ.QT_6BIT
+    idx = index_factory(small_ds.d, "SQ4")
+    assert idx.qtype == SQ.QT_4BIT
+
+
+def test_sdc_search(small_ds):
+    """ST_SDC: symmetric code-to-code search — recall below ADC but well
+    above chance (ProductQuantizer::compute_sdc_table path)."""
+    from tpu_ann.models.pq import IndexPQ
+
+    idx = IndexPQ(small_ds.d, M=8)
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.search_type = IndexPQ.ST_SDC
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.5, r
+
+
+def test_polysemous_search(small_ds):
+    """Polysemous: at ht = code bits the filter passes everything
+    (== ADC recall); tightening ht cuts the hamming-pass count while
+    recall degrades gracefully (the benchs/README.md:51-61 trade)."""
+    from tpu_ann.models.pq import IndexPQ
+
+    idx = IndexPQ(small_ds.d, M=8)
+    idx.do_polysemous_training = True
+    idx.polysemous_iters = 3000  # keep the test quick
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    gt = small_ds.get_groundtruth(10)
+
+    _, I_adc = idx.search(small_ds.get_queries(), 10)
+    r_adc = recall_at_r(I_adc, gt, 10)
+
+    idx.search_type = IndexPQ.ST_POLYSEMOUS
+    idx.polysemous_ht = idx.M * idx.nbits  # pass-all threshold
+    _, I_all = idx.search(small_ds.get_queries(), 10)
+    assert recall_at_r(I_all, gt, 10) == pytest.approx(r_adc, abs=1e-6)
+    npass_all = idx.last_hamming_pass
+
+    idx.polysemous_ht = 28
+    _, I_ht = idx.search(small_ds.get_queries(), 10)
+    r_ht = recall_at_r(I_ht, gt, 10)
+    # measured trade at this scale: ~20% of candidates pass, recall ~0.6
+    assert idx.last_hamming_pass < npass_all * 0.5
+    assert r_ht > 0.4, r_ht
+
+
+def test_polysemous_training_improves_correlation(small_ds):
+    """After reordering, bit-Hamming between codes must correlate with
+    true centroid distances better than the untrained order."""
+    from tpu_ann.ops.polysemous import (
+        _hamming_table,
+        optimize_pq_for_hamming,
+    )
+    from tpu_ann.ops.pq import train_pq
+
+    pqc = train_pq(small_ds.get_train(), M=4, nbits=6, niter=10)
+    ham = _hamming_table(6).ravel()
+
+    def corr(cents):
+        cs = []
+        for m in range(4):
+            c = cents[m]
+            d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1).ravel()
+            cs.append(np.corrcoef(d2, ham)[0, 1])
+        return np.mean(cs)
+
+    c0 = corr(pqc.centroids)
+    opt = optimize_pq_for_hamming(pqc.centroids, n_iter=4000)
+    c1 = corr(opt)
+    assert c1 > c0 + 0.02, (c0, c1)
+    # reordering permutes, never changes, the centroid set
+    for m in range(4):
+        s0 = set(map(tuple, np.round(pqc.centroids[m], 5)))
+        s1 = set(map(tuple, np.round(opt[m], 5)))
+        assert s0 == s1

@@ -27,15 +27,16 @@ from .base import Index, next_pow2
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "db_block", "packed4"))
-def _pq_knn(xq, codes, centroids, k: int, metric: int, valid_n,
-            db_block: int = 65536, packed4: bool = False):
-    """Exact ADC k-NN over a flat code array (IndexPQ::search);
-    packed4 unpacks two 4-bit sub-indices per byte in-kernel."""
-    nq = xq.shape[0]
+def _lut_knn(lut, codes, k: int, metric: int, valid_n,
+             db_block: int = 65536, packed4: bool = False):
+    """Blocked LUT-sum k-NN over a flat code array given a per-query
+    (M, ksub) table — shared by ADC (query_tables) and SDC
+    (sdc_query_tables) searches; packed4 unpacks two 4-bit sub-indices
+    per byte in-kernel."""
+    nq = lut.shape[0]
     nb = codes.shape[0]
     similarity = D.is_similarity_metric(metric)
     bad = D.worst_value(metric)
-    lut = PQ.query_tables(xq, centroids, metric)         # (nq, M, ksub)
 
     block = min(db_block, max(nb, 1))
     nblocks = -(-nb // block)
@@ -62,8 +63,26 @@ def _pq_knn(xq, codes, centroids, k: int, metric: int, valid_n,
     return bd, jnp.where(jnp.isfinite(bd), bi, -1)
 
 
+def _pq_knn(xq, codes, centroids, k: int, metric: int, valid_n,
+            db_block: int = 65536, packed4: bool = False):
+    """Exact ADC k-NN over a flat code array (IndexPQ::search)."""
+    lut = PQ.query_tables(xq, centroids, metric)         # (nq, M, ksub)
+    return _lut_knn(lut, codes, k, metric, valid_n, db_block=db_block,
+                    packed4=packed4)
+
+
 class IndexPQ(Index):
-    """faiss IndexPQ(d, M, nbits): flat PQ codes + ADC search."""
+    """faiss IndexPQ(d, M, nbits): flat PQ codes + ADC search.
+
+    search_type selects the IndexPQ search strategies (IndexPQ.h
+    Search_type_t): ST_PQ (asymmetric ADC, default), ST_polysemous
+    (Hamming-on-codes filter with threshold `polysemous_ht` before ADC —
+    requires `do_polysemous_training`), ST_SDC (symmetric code-to-code).
+    """
+
+    ST_PQ = 0
+    ST_POLYSEMOUS = 1
+    ST_SDC = 2
 
     def __init__(self, d: int, M: int, nbits: int = 8,
                  metric: int = D.METRIC_L2):
@@ -74,10 +93,21 @@ class IndexPQ(Index):
         self._codes: Optional[jnp.ndarray] = None
         self._capacity = 0
         self.is_trained = False
+        self.search_type = self.ST_PQ
+        # polysemous knobs (IndexPQ.h: polysemous_ht; PolysemousTraining)
+        self.do_polysemous_training = False
+        self.polysemous_ht = 0          # 0 = M*nbits/2 + 1 like reference
+        self.polysemous_iters = 20000
+        self._sdc: Optional[jnp.ndarray] = None
 
     def train(self, x) -> None:
         x = self._check_input(x)
         self.pq = PQ.train_pq(x, self.M, self.nbits, verbose=self.verbose)
+        if self.do_polysemous_training:
+            from ..ops.polysemous import optimize_pq_for_hamming
+
+            self.pq.centroids = optimize_pq_for_hamming(
+                self.pq.centroids, n_iter=self.polysemous_iters)
         self._centroids_dev = jnp.asarray(self.pq.centroids)
         self.is_trained = True
 
@@ -112,10 +142,32 @@ class IndexPQ(Index):
             bad = -np.inf if self.is_similarity else np.inf
             return (np.full((len(x), k), bad, np.float32),
                     np.full((len(x), k), -1, np.int64))
+        if self.search_type == self.ST_POLYSEMOUS:
+            from ..ops.polysemous import polysemous_knn
+
+            ht = self.polysemous_ht or (self.M * self.nbits // 2 + 1)
+            Dv, Iv, npass = polysemous_knn(
+                jnp.asarray(x), self._codes, self._centroids_dev, k,
+                int(ht), jnp.int32(self.ntotal))
+            self.last_hamming_pass = int(npass)
+            return np.asarray(Dv), np.asarray(Iv, np.int64)
+        if self.search_type == self.ST_SDC:
+            Dv, Iv = self._sdc_knn(jnp.asarray(x), k)
+            return np.asarray(Dv), np.asarray(Iv, np.int64)
         Dv, Iv = _pq_knn(jnp.asarray(x), self._codes, self._centroids_dev,
                          k, self.metric_type, jnp.int32(self.ntotal),
                          packed4=self._packed4)
         return np.asarray(Dv), np.asarray(Iv, np.int64)
+
+    def _sdc_knn(self, xq, k: int):
+        """Symmetric search: encode queries, per-query SDC LUT, same
+        blocked LUT scan as ADC (IndexPQ ST_SDC)."""
+        if self._sdc is None:
+            self._sdc = PQ.sdc_tables(self._centroids_dev)
+        qcodes = PQ.pq_encode(xq, self._centroids_dev)
+        lut = PQ.sdc_query_tables(qcodes, self._sdc)
+        return _lut_knn(lut, self._codes, k, self.metric_type,
+                        jnp.int32(self.ntotal), packed4=self._packed4)
 
     def reset(self) -> None:
         self._codes, self._capacity, self.ntotal = None, 0, 0
@@ -150,7 +202,9 @@ class IndexScalarQuantizer(Index):
         self.qtype = int(qtype)
         self.sq: Optional[SQ.SQCodec] = None
         self._codes: Optional[jnp.ndarray] = None
-        self.is_trained = qtype in (SQ.QT_FP16, SQ.QT_BF16)
+        self.is_trained = qtype in (SQ.QT_FP16, SQ.QT_BF16,
+                                    SQ.QT_8BIT_DIRECT,
+                                    SQ.QT_8BIT_DIRECT_SIGNED)
         if self.is_trained:
             self.sq = SQ.SQCodec(qtype=self.qtype, d=d)
 

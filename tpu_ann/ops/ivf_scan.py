@@ -592,17 +592,17 @@ def scan_invlists_sq(
 ):
     """Scan SQ-coded invlists: dequantize gathered code blocks on the VPU
     then one distance contraction (SQDistanceComputer role,
-    impl/ScalarQuantizer.cpp). Compacted-table driver, see _scan_compacted.
+    impl/ScalarQuantizer.cpp) — incl. in-kernel 4-bit/6-bit unpacking.
+    Compacted-table driver, see _scan_compacted.
     """
     from . import sq as SQ
 
     similarity = D.is_similarity_metric(metric)
     bad = D.worst_value(metric)
+    d = xq.shape[1]
 
     def dequant(codes):
-        if qtype in (SQ.QT_8BIT, SQ.QT_8BIT_UNIFORM):
-            return vmin + (codes.astype(jnp.float32) + 0.5) / 256.0 * vdiff
-        return codes.astype(jnp.float32)
+        return SQ.sq_dequant_codes(codes, qtype, d, vmin, vdiff)
 
     def score(q, qex, bids):
         vecs = dequant(invlists.codes[bids])        # (qtile, cb, B, d)

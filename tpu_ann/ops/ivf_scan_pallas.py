@@ -166,8 +166,10 @@ def _grouped_kernel(
         jnp.full((PT, k), -1, jnp.int32),
     )
     bd, bi = lax.fori_loop(0, nchunks, chunk_body, init)
-    outd_ref[:] = bd
-    outi_ref[:] = bi
+    # outputs are stored (k, PT): the lane dimension must stay 128-aligned
+    # (Mosaic rejects k-wide lane slices); callers transpose back in XLA
+    outd_ref[:] = bd.T
+    outi_ref[:] = bi.T
 
 
 @functools.partial(
@@ -261,8 +263,8 @@ def scan_invlists_fused(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, PT, k), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, PT, k), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, k, PT), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, k, PT), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, CB, B, d), jnp.float32),
@@ -296,16 +298,16 @@ def scan_invlists_fused(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ntiles, PT, k), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, PT, k), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, k, PT), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, k, PT), jnp.int32),
         ],
         interpret=interpret,
     )(tile_bs.astype(jnp.int32), tile_nb.astype(jnp.int32),
       qv_t, qn_t, ps_t, pe_t, data, ids, norms)
 
     # ---- un-sort pairs, merge per query ----------------------------------
-    outd = outd.reshape(ntiles * PT, k)[:npairs]
-    outi = outi.reshape(ntiles * PT, k)[:npairs]
+    outd = outd.transpose(0, 2, 1).reshape(ntiles * PT, k)[:npairs]
+    outi = outi.transpose(0, 2, 1).reshape(ntiles * PT, k)[:npairs]
     inv_d = jnp.full((npairs, k), jnp.inf, jnp.float32).at[order].set(outd)
     inv_i = jnp.full((npairs, k), -1, jnp.int32).at[order].set(outi)
     pair_d = inv_d.reshape(nq, nprobe * k)

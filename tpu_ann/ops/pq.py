@@ -175,6 +175,26 @@ def unpack_codes_4bit(packed: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(packed.shape[:-1] + (packed.shape[-1] * 2,))
 
 
+@jax.jit
+def sdc_tables(centroids: jnp.ndarray) -> jnp.ndarray:
+    """(M, ksub, ksub) symmetric distance tables ||c_mi - c_mj||^2
+    (ProductQuantizer::compute_sdc_table). Used by SDC search (codes vs
+    codes, no decode) and code_distance utilities."""
+    ip = jnp.einsum("mkd,mld->mkl", centroids, centroids,
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    cn = jnp.sum(centroids * centroids, axis=2)
+    return jnp.maximum(cn[:, :, None] + cn[:, None, :] - 2.0 * ip, 0.0)
+
+
+def sdc_query_tables(qcodes: jnp.ndarray, sdc: jnp.ndarray) -> jnp.ndarray:
+    """Per-query SDC LUT: (nq, M, ksub) = sdc[m, qcode_m, :]. Feeding this
+    into `adc_scan` gives symmetric code-to-code search (IndexPQ ST_SDC) —
+    the encoded query replaces the float query in the LUT."""
+    M = sdc.shape[0]
+    return sdc[jnp.arange(M)[None, :], qcodes.astype(jnp.int32)]
+
+
 def adc_scan(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     """Sum LUT entries over sub-codes: lut (nq, M, ksub) x codes (nq, C, M)
     -> (nq, C) distances. The TPU analog of the pq4 shuffle-LUT inner loop.

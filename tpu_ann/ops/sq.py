@@ -1,11 +1,17 @@
 """Scalar quantization — TPU counterpart of faiss `impl/ScalarQuantizer.
-{h,cpp}` (QT_8bit / QT_8bit_uniform / QT_fp16 / QT_bf16 codecs).
+{h,cpp}` (QT_8bit / QT_4bit / QT_6bit, uniform and per-dim trained,
+QT_fp16 / QT_bf16 / QT_8bit_direct codecs, RangeStat training modes).
 
 The reference stores per-dimension trained [vmin, vdiff] ranges and decodes
 inside per-ISA SQDistanceComputer templates. Here codecs are plain jit
 encode/decode functions; the IVF scan dequantizes gathered codes on the VPU
-right before the distance contraction (decode-in-kernel), so HBM holds 1-2
-bytes/dim like the reference.
+right before the distance contraction (decode-in-kernel), so HBM holds the
+same packed bytes/dim as the reference:
+
+  QT_4bit  — two dims per byte (Codec4bit)
+  QT_6bit  — four dims per three bytes (Codec6bit bit packing)
+  QT_8bit  — one byte per dim
+  fp16/bf16 — two bytes per dim
 """
 
 from __future__ import annotations
@@ -18,12 +24,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Quantizer types (subset of faiss ScalarQuantizer::QuantizerType,
+# Quantizer types (faiss ScalarQuantizer::QuantizerType,
 # impl/ScalarQuantizer.h:27-38)
 QT_8BIT = 0          # per-dim trained min/range
 QT_8BIT_UNIFORM = 1  # single min/range over all dims
 QT_FP16 = 2
 QT_BF16 = 3
+QT_4BIT = 4
+QT_4BIT_UNIFORM = 5
+QT_6BIT = 6
+QT_8BIT_DIRECT = 7          # codes stored as-is (data already uint8)
+QT_8BIT_DIRECT_SIGNED = 8   # decode = code - 128
+
+# RangeStat (impl/ScalarQuantizer.h RangeStat): how train() derives ranges
+RS_MINMAX = 0     # [min, max] of the training data
+RS_MEANSTD = 1    # mean ± rs_arg * std
+RS_QUANTILES = 2  # rs_arg/1-rs_arg quantiles
+
+_NBITS = {QT_8BIT: 8, QT_8BIT_UNIFORM: 8, QT_4BIT: 4, QT_4BIT_UNIFORM: 4,
+          QT_6BIT: 6}
 
 
 @dataclasses.dataclass
@@ -35,52 +54,151 @@ class SQCodec:
 
     @property
     def code_size(self) -> int:
-        if self.qtype in (QT_8BIT, QT_8BIT_UNIFORM):
-            return self.d
-        return 2 * self.d  # fp16 / bf16
+        if self.qtype in (QT_4BIT, QT_4BIT_UNIFORM):
+            return (self.d + 1) // 2
+        if self.qtype == QT_6BIT:
+            return (self.d * 6 + 7) // 8
+        if self.qtype in (QT_FP16, QT_BF16):
+            return 2 * self.d
+        return self.d  # 8-bit family
 
     @property
     def code_dtype(self):
-        if self.qtype in (QT_8BIT, QT_8BIT_UNIFORM):
-            return np.uint8
         if self.qtype == QT_FP16:
             return np.float16
-        return jnp.bfloat16
+        if self.qtype == QT_BF16:
+            return jnp.bfloat16
+        return np.uint8
 
 
-def train_sq(x: np.ndarray, qtype: int, rs_arg: float = 0.0) -> SQCodec:
-    """Train ranges (ScalarQuantizer::train, RangeStat RS_minmax)."""
+def train_sq(x: np.ndarray, qtype: int, rs_arg: float = 0.0,
+             rangestat: int = RS_MINMAX) -> SQCodec:
+    """Train ranges (ScalarQuantizer::train, train_Uniform/NonUniform).
+    rangestat selects how the [vmin, vmax] window is derived; rs_arg is
+    the std multiplier (RS_meanstd, default 3) or quantile (RS_quantiles,
+    default 0.01)."""
     x = np.ascontiguousarray(x, np.float32)
     d = x.shape[1]
-    if qtype == QT_8BIT:
-        vmin = x.min(axis=0)
-        vmax = x.max(axis=0)
-    elif qtype == QT_8BIT_UNIFORM:
-        vmin = np.full(d, x.min(), np.float32)
-        vmax = np.full(d, x.max(), np.float32)
-    else:
+    if qtype in (QT_FP16, QT_BF16, QT_8BIT_DIRECT, QT_8BIT_DIRECT_SIGNED):
         return SQCodec(qtype=qtype, d=d)
+    uniform = qtype in (QT_8BIT_UNIFORM, QT_4BIT_UNIFORM)
+    xs = x.reshape(-1, 1) if uniform else x
+    if rangestat == RS_MEANSTD:
+        arg = rs_arg or 3.0
+        mean, std = xs.mean(axis=0), xs.std(axis=0)
+        vmin, vmax = mean - arg * std, mean + arg * std
+    elif rangestat == RS_QUANTILES:
+        arg = rs_arg or 0.01
+        vmin = np.quantile(xs, arg, axis=0)
+        vmax = np.quantile(xs, 1.0 - arg, axis=0)
+    else:
+        vmin, vmax = xs.min(axis=0), xs.max(axis=0)
+    if uniform:
+        vmin = np.full(d, vmin[0], np.float32)
+        vmax = np.full(d, vmax[0], np.float32)
     vdiff = np.maximum(vmax - vmin, 1e-12).astype(np.float32)
     return SQCodec(qtype=qtype, d=d, vmin=vmin.astype(np.float32),
                    vdiff=vdiff)
 
 
+# --- bit packing -----------------------------------------------------------
+
+def pack_4bit(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., d) values < 16 -> (..., ceil(d/2)) bytes, low nibble first."""
+    d = q.shape[-1]
+    if d % 2:
+        q = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, 1)])
+    q = q.astype(jnp.uint8).reshape(q.shape[:-1] + (-1, 2))
+    return (q[..., 0] | (q[..., 1] << 4)).astype(jnp.uint8)
+
+
+def unpack_4bit(b: jnp.ndarray, d: int) -> jnp.ndarray:
+    lo = b & 0x0F
+    hi = b >> 4
+    out = jnp.stack([lo, hi], axis=-1).reshape(b.shape[:-1] + (-1,))
+    return out[..., :d]
+
+
+def pack_6bit(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., d) values < 64 -> (..., 3d/4) bytes (Codec6bit layout:
+    4 values per 3 bytes, little-endian bit stream)."""
+    d = q.shape[-1]
+    pad = (-d) % 4
+    if pad:
+        q = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pad)])
+    q = q.astype(jnp.uint16).reshape(q.shape[:-1] + (-1, 4))
+    v0, v1, v2, v3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    b0 = (v0 | (v1 << 6)) & 0xFF
+    b1 = ((v1 >> 2) | (v2 << 4)) & 0xFF
+    b2 = ((v2 >> 4) | (v3 << 2)) & 0xFF
+    out = jnp.stack([b0, b1, b2], axis=-1).astype(jnp.uint8)
+    return out.reshape(out.shape[:-2] + (-1,))
+
+
+def unpack_6bit(b: jnp.ndarray, d: int) -> jnp.ndarray:
+    g = b.reshape(b.shape[:-1] + (-1, 3)).astype(jnp.uint16)
+    b0, b1, b2 = g[..., 0], g[..., 1], g[..., 2]
+    v0 = b0 & 0x3F
+    v1 = ((b0 >> 6) | (b1 << 2)) & 0x3F
+    v2 = ((b1 >> 4) | (b2 << 4)) & 0x3F
+    v3 = (b2 >> 2) & 0x3F
+    out = jnp.stack([v0, v1, v2, v3], axis=-1).astype(jnp.uint8)
+    return out.reshape(out.shape[:-2] + (-1,))[..., :d]
+
+
+# --- encode / decode --------------------------------------------------------
+
 def sq_encode(x: jnp.ndarray, codec: SQCodec) -> jnp.ndarray:
     x = x.astype(jnp.float32)
-    if codec.qtype in (QT_8BIT, QT_8BIT_UNIFORM):
-        vmin = jnp.asarray(codec.vmin)
-        vdiff = jnp.asarray(codec.vdiff)
-        q = jnp.clip((x - vmin) / vdiff, 0.0, 1.0)
-        return jnp.round(q * 255.0).astype(jnp.uint8)
-    if codec.qtype == QT_FP16:
+    qt = codec.qtype
+    if qt == QT_FP16:
         return x.astype(jnp.float16)
-    return x.astype(jnp.bfloat16)
+    if qt == QT_BF16:
+        return x.astype(jnp.bfloat16)
+    if qt == QT_8BIT_DIRECT:
+        return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+    if qt == QT_8BIT_DIRECT_SIGNED:
+        return jnp.clip(jnp.round(x) + 128, 0, 255).astype(jnp.uint8)
+    nbits = _NBITS[qt]
+    levels = (1 << nbits) - 1
+    vmin = jnp.asarray(codec.vmin)
+    vdiff = jnp.asarray(codec.vdiff)
+    q = jnp.clip((x - vmin) / vdiff, 0.0, 1.0)
+    q = jnp.round(q * levels).astype(jnp.uint8)
+    if qt in (QT_4BIT, QT_4BIT_UNIFORM):
+        return pack_4bit(q)
+    if qt == QT_6BIT:
+        return pack_6bit(q)
+    return q
+
+
+def sq_dequant_codes(codes: jnp.ndarray, qtype: int, d: int,
+                     vmin: jnp.ndarray, vdiff: jnp.ndarray) -> jnp.ndarray:
+    """Dequantize packed codes (any leading shape) -> float32 (..., d).
+    The decode-in-kernel path shared by flat search and the IVF scan
+    (SQDistanceComputer role). Reference decode is
+    (code + 0.5) / 2^bits * vdiff + vmin (Codec*::decode_component)."""
+    if qtype in (QT_FP16, QT_BF16):
+        return codes.astype(jnp.float32)
+    if qtype == QT_8BIT_DIRECT:
+        return codes.astype(jnp.float32)
+    if qtype == QT_8BIT_DIRECT_SIGNED:
+        return codes.astype(jnp.float32) - 128.0
+    if qtype in (QT_4BIT, QT_4BIT_UNIFORM):
+        q = unpack_4bit(codes, d)
+        scale = 16.0
+    elif qtype == QT_6BIT:
+        q = unpack_6bit(codes, d)
+        scale = 64.0
+    else:
+        q = codes
+        scale = 256.0
+    return vmin + (q.astype(jnp.float32) + 0.5) / scale * vdiff
 
 
 def sq_decode(codes: jnp.ndarray, codec: SQCodec) -> jnp.ndarray:
-    if codec.qtype in (QT_8BIT, QT_8BIT_UNIFORM):
-        vmin = jnp.asarray(codec.vmin)
-        vdiff = jnp.asarray(codec.vdiff)
-        # reference decode: (code + 0.5) / 256 (Codec8bit::decode_component)
-        return vmin + (codes.astype(jnp.float32) + 0.5) / 256.0 * vdiff
-    return codes.astype(jnp.float32)
+    vmin = (jnp.asarray(codec.vmin) if codec.vmin is not None
+            else jnp.zeros((codec.d,), jnp.float32))
+    vdiff = (jnp.asarray(codec.vdiff) if codec.vdiff is not None
+             else jnp.ones((codec.d,), jnp.float32))
+    return sq_dequant_codes(codes, codec.qtype, codec.d, vmin, vdiff)

@@ -40,7 +40,8 @@ from ..models.transforms import (
     VectorTransform,
 )
 
-_SQ_TYPES = {"SQ8": SQ.QT_8BIT, "SQfp16": SQ.QT_FP16, "SQbf16": SQ.QT_BF16}
+_SQ_TYPES = {"SQ8": SQ.QT_8BIT, "SQ6": SQ.QT_6BIT, "SQ4": SQ.QT_4BIT,
+             "SQfp16": SQ.QT_FP16, "SQbf16": SQ.QT_BF16}
 
 
 def _parse_transform(tok: str, d: int) -> Optional[VectorTransform]:
