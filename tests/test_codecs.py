@@ -103,6 +103,41 @@ def test_ivfpq_recall(small_ds):
     assert st.ndis > 0
 
 
+def test_ivfpqr_beats_base_ivfpq(small_ds):
+    """IndexIVFPQR (faiss IndexIVFPQR.cpp): the refinement PQ re-rank must
+    improve recall over the base IVFPQ at the same base code budget."""
+    from tpu_ann.models.ivf_pq import IndexIVFPQR
+
+    gt = small_ds.get_groundtruth(10)
+    base = make_ivf_pq(small_ds.d, nlist=32, M=4)
+    base.cp.niter = 6
+    base.train(small_ds.get_train())
+    base.add(small_ds.get_database())
+    base.nprobe = 16
+    _, Ib = base.search(small_ds.get_queries(), 10)
+    rb = recall_at_r(Ib, gt, 10)
+
+    idx = IndexIVFPQR(IndexFlat(small_ds.d), small_ds.d, 32, 4,
+                      8, small_ds.d // 4, 8)
+    idx.cp.niter = 6
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.nprobe = 16
+    _, Ir, st = idx.search_stats(small_ds.get_queries(), 10)
+    rr = recall_at_r(Ir, gt, 10)
+    assert rr > rb + 0.03, f"PQR {rr} vs PQ {rb}"
+    assert st.ndis > 0
+
+
+def test_ivfpqr_factory(small_ds):
+    from tpu_ann.utils.factory import index_factory
+    from tpu_ann.models.ivf_pq import IndexIVFPQR
+
+    idx = index_factory(small_ds.d, "IVF32,PQ4+8")
+    assert isinstance(idx, IndexIVFPQR)
+    assert idx.M == 4 and idx.M_refine == 8
+
+
 def test_ivfpq_residual_and_plain_paths(small_ds):
     """Both by_residual settings must search correctly (the residual ADC
     itself is validated exactly against reconstruction distances in

@@ -1,0 +1,135 @@
+"""Tile-granular HNSW traversal tests (ops/hnsw_tiles.py) — recall-parity
+oracle like the reference's test_hnsw.cpp (recall/stats, not graph shape)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tpu_ann.ops import distances as D
+from tpu_ann.ops import hnsw as H
+from tpu_ann.ops import hnsw_tiles as HT
+from tpu_ann.models.flat import IndexFlat
+from tpu_ann.models.hnsw import IndexHNSWFlat
+from tpu_ann.utils.evaluation import recall_at_r
+
+
+@pytest.fixture(scope="module")
+def data():
+    import tpu_ann.utils.datasets as ds_mod
+
+    ds = ds_mod.SyntheticDataset(d=32, nt=0, nb=12000, nq=100)
+    xb, xq = ds.get_database(), ds.get_queries()
+    flat = IndexFlat(32)
+    flat.add(xb)
+    _, gt = flat.search(xq, 10)
+    return xb, xq, gt
+
+
+@pytest.fixture(scope="module")
+def tile_graph(data):
+    xb, xq, gt = data
+    graph, assign = H.build_graph_knn(jnp.asarray(xb), 16, 40)
+    order = HT.spatial_order(xb, 32, assign=assign)
+    tg = HT.build_tiles(xb, np.asarray(graph.neighbors0), order=order, b=32)
+    return tg, graph
+
+
+def test_knn_build_recall_per_node_search(data):
+    """The batch kNN build must give per-node beam recall parity."""
+    xb, xq, gt = data
+    graph, _ = H.build_graph_knn(jnp.asarray(xb), 16, 40)
+    Dv, Iv, _ = H.hnsw_search(jnp.asarray(xb), graph, jnp.asarray(xq),
+                              ef=64, k=10)
+    r = recall_at_r(np.asarray(Iv), gt, 10)
+    assert r > 0.9, f"recall@10 {r}"
+
+
+def test_tile_search_recall(tile_graph, data):
+    xb, xq, gt = data
+    tg, _ = tile_graph
+    Dv, Iv, st = HT.tile_search(tg, jnp.asarray(xq), 10, ef=96,
+                                refine_vectors=jnp.asarray(xb))
+    r = recall_at_r(np.asarray(Iv), gt, 10)
+    assert r > 0.85, f"recall@10 {r}"
+    assert int(st["ndis"]) > 0 and int(st["nhops"]) > 0
+    # the walk must not degenerate into a full scan
+    assert int(st["ndis"]) < 0.6 * len(xb) * len(xq)
+
+
+def test_tile_search_ids_and_distances(tile_graph, data):
+    """Returned ids are node ids; distances match exact recomputation."""
+    xb, xq, gt = data
+    tg, _ = tile_graph
+    Dv, Iv, _ = HT.tile_search(tg, jnp.asarray(xq[:10]), 5, ef=64,
+                               refine_vectors=jnp.asarray(xb))
+    Dv, Iv = np.asarray(Dv), np.asarray(Iv)
+    for q in range(10):
+        for j in range(5):
+            if Iv[q, j] < 0:
+                continue
+            true = ((xq[q] - xb[Iv[q, j]]) ** 2).sum()
+            assert abs(true - Dv[q, j]) < 1e-2 * max(true, 1.0)
+
+
+def test_tile_search_self_query(tile_graph, data):
+    xb, xq, gt = data
+    tg, _ = tile_graph
+    _, Iv, _ = HT.tile_search(tg, jnp.asarray(xb[:32]), 1, ef=32,
+                              refine_vectors=jnp.asarray(xb))
+    hit = (np.asarray(Iv)[:, 0] == np.arange(32)).mean()
+    assert hit > 0.9
+
+
+def test_tile_search_inner_product(data):
+    xb, xq, gt = data
+    graph, assign = H.build_graph_knn(jnp.asarray(xb), 16, 40,
+                                      metric=D.METRIC_INNER_PRODUCT)
+    order = HT.spatial_order(xb, 32, assign=assign)
+    tg = HT.build_tiles(xb, np.asarray(graph.neighbors0), order=order, b=32)
+    Dv, Iv, _ = HT.tile_search(tg, jnp.asarray(xq), 10, ef=96,
+                               metric=D.METRIC_INNER_PRODUCT,
+                               refine_vectors=jnp.asarray(xb))
+    ips = xq @ xb.T
+    gt_ip = np.argsort(-ips, axis=1)[:, :10]
+    r = recall_at_r(np.asarray(Iv), gt_ip, 10)
+    assert r > 0.8, f"IP recall@10 {r}"
+    # similarities descending
+    Dv = np.asarray(Dv)
+    assert (np.diff(Dv, axis=1) <= 1e-3).all()
+
+
+def test_incremental_add_extends_graph(data, monkeypatch):
+    """A small second add must extend the graph (wave continuation), not
+    rebuild it, and keep recall (hnsw_add_vertices on non-empty index)."""
+    xb, xq, gt = data
+    index = IndexHNSWFlat(32, M=16)
+    index.hnsw.efConstruction = 40
+    index.add(xb[:9000])
+    calls = []
+    orig = H.build_graph_knn
+    monkeypatch.setattr(H, "build_graph_knn",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    index.add(xb[9000:])
+    assert not calls, "small add must not trigger a full rebuild"
+    assert index.graph.n == len(xb)
+    index.hnsw.efSearch = 96
+    index.hnsw.tile_threshold = 10**9   # per-node path: isolate graph quality
+    _, I = index.search(xq, 10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.85, f"recall@10 after incremental add {r}"
+
+
+def test_index_hnsw_tile_path(data):
+    """IndexHNSW routes through tiles above the threshold and keeps
+    recall; below it, the per-node path answers identically-shaped."""
+    xb, xq, gt = data
+    index = IndexHNSWFlat(32, M=16)
+    index.hnsw.efConstruction = 40
+    index.hnsw.tile_threshold = 4096   # force tile path (nb=12000)
+    index.add(xb)
+    assert index._use_tiles()
+    index.hnsw.efSearch = 96
+    _, I, st = index.search_stats(xq, 10)
+    r = recall_at_r(I, gt, 10)
+    assert r > 0.85, f"recall@10 {r}"
+    assert st.ndis > 0

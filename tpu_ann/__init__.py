@@ -34,8 +34,13 @@ from .models.ivf import (  # noqa: F401
 from .models.ivf_hnsw import IndexIVFHNSW  # noqa: F401
 from .models.ivf_pq import (  # noqa: F401
     IndexIVFPQ,
+    IndexIVFPQR,
     IndexIVFScalarQuantizer,
     make_ivf_pq,
+)
+from .models.ivf_extra import (  # noqa: F401
+    IndexIVFIndependentQuantizer,
+    IndexIVFSpectralHash,
 )
 from .models.pq import IndexPQ, IndexScalarQuantizer  # noqa: F401
 from .models.refine import IndexRefine, IndexRefineFlat  # noqa: F401

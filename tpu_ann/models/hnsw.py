@@ -36,15 +36,30 @@ class SearchParametersHNSW:
 
 
 class HNSWParams:
-    """Knob bag matching faiss `HNSW` public fields (impl/HNSW.h:152-170)."""
+    """Knob bag matching faiss `HNSW` public fields (impl/HNSW.h:152-170),
+    plus the TPU-specific build/traversal knobs."""
 
     def __init__(self, M: int = 32):
         self.M = int(M)
         self.efConstruction = 40
         self.efSearch = 16
-        # TPU-specific batching knobs
+        # TPU-specific batching knobs (legacy per-node beam)
         self.expand = 2
         self.wave_size = 1024
+        # build strategy: "knn" = batch kNN-graph + diversity prune (fast,
+        # MXU-friendly; ops.hnsw.build_graph_knn), "insert" = wave
+        # insertion (ops.hnsw.build_graph), "auto" = knn
+        self.build_mode = "auto"
+        # tile-granular traversal (ops.hnsw_tiles) — used when
+        # ntotal >= tile_threshold
+        self.tile_threshold = 8192
+        self.tile_size = 32        # rows per contiguous gather block
+        self.expand_tiles = 4      # vectors expanded per hop
+        self.scan_tiles = 0        # fresh tiles scanned per hop (0 = auto)
+        self.tile_max_hops = 0     # 0 = scaled from ef/expand
+        self.tile_seeds = 0        # 0 = scaled from expand
+        self.stop_frac = 0.15      # slack on the tile stop rule
+        self.tile_refine = True    # exact f32 re-score of ef candidates
 
 
 class IndexHNSW(Index):
@@ -58,6 +73,10 @@ class IndexHNSW(Index):
         self.graph: Optional[H.HNSWGraph] = None
         self._built_n = 0        # vectors already in the graph
         self._level_seed = 1234
+        # tile-granular search structures (derived from the graph; see
+        # ops/hnsw_tiles.py) + the coarse assignment used as spatial order
+        self._tiles = None
+        self._coarse_assign = None
         # reduced-precision device copy of the vectors (IndexHNSWSQ role:
         # graph distances on compressed storage); None = f32
         self.storage_dtype: Optional[str] = None
@@ -81,32 +100,92 @@ class IndexHNSW(Index):
     def _build_pending(self) -> None:
         """Extend the graph to cover all stored vectors.
 
-        A fresh (re)build draws all levels at once; incremental adds draw
-        levels for the new points and continue wave insertion over the
-        merged tables (same level law, HNSW::random_level)."""
+        Default ("auto"/"knn") is the batch kNN-graph build
+        (ops.hnsw.build_graph_knn — see its section comment for the
+        mapping onto the reference's insertion loop); "insert" keeps the
+        wave-insertion rebuild."""
         n = self.storage.ntotal
         if n == self._built_n:
             return
+        self._tiles = None
         vectors = self.storage.vectors
+        if self.storage.ntotal != int(vectors.shape[0]):
+            vectors = vectors[: self.storage.ntotal]
+        if (self.graph is not None and self._built_n > 0
+                and n - self._built_n <= self.incremental_frac
+                * self._built_n):
+            # incremental continuation (hnsw_add_vertices on a non-empty
+            # index): new points wave-insert into the existing level 0
+            self.graph = H.extend_graph(
+                vectors, self.graph, self._built_n,
+                m=self.hnsw.M,
+                ef_construction=self.hnsw.efConstruction,
+                seed=self._level_seed,
+                wave_size=self.hnsw.wave_size,
+                metric=self.metric_type,
+                verbose=self.verbose,
+            )
+            self._coarse_assign = None
+            self._built_n = n
+            return
         levels = H.random_levels(n, self.hnsw.M, self._level_seed)
-        # note: rebuild-from-scratch when extending keeps the level draw
-        # consistent; incremental continuation is an optimization for later
-        self.graph = H.build_graph(
-            vectors,
-            self.hnsw.M,
-            self.hnsw.efConstruction,
-            levels=levels,
-            wave_size=self.hnsw.wave_size,
-            metric=self.metric_type,
-            verbose=self.verbose,
-        )
+        if self.hnsw.build_mode == "insert":
+            self.graph = H.build_graph(
+                vectors,
+                self.hnsw.M,
+                self.hnsw.efConstruction,
+                levels=levels,
+                wave_size=self.hnsw.wave_size,
+                metric=self.metric_type,
+                verbose=self.verbose,
+            )
+            self._coarse_assign = None
+        else:
+            self.graph, self._coarse_assign = H.build_graph_knn(
+                vectors,
+                self.hnsw.M,
+                self.hnsw.efConstruction,
+                levels=levels,
+                metric=self.metric_type,
+                verbose=self.verbose,
+            )
         self._built_n = n
+
+    def _ensure_tiles(self):
+        """Build (and cache) the tile-granular search structures."""
+        if self._tiles is not None:
+            return self._tiles
+        from ..ops import hnsw_tiles as HT
+
+        n = self.ntotal
+        vectors = self.storage.vectors
+        if n != int(vectors.shape[0]):
+            vectors = vectors[:n]
+        assign = None
+        if self._coarse_assign is not None and \
+                len(self._coarse_assign) == n:
+            assign = self._coarse_assign
+        order = HT.spatial_order(np.asarray(vectors), self.hnsw.tile_size,
+                                 assign=assign, seed=self._level_seed)
+        self._tiles = HT.build_tiles(
+            np.asarray(vectors),
+            np.asarray(self.graph.neighbors0),
+            order=order,
+            b=self.hnsw.tile_size,
+        )
+        return self._tiles
+
+    def _use_tiles(self) -> bool:
+        return (self.graph is not None
+                and self.ntotal >= self.hnsw.tile_threshold)
 
     def reset(self) -> None:
         self.storage.reset()
         self.graph = None
         self.ntotal = 0
         self._built_n = 0
+        self._tiles = None
+        self._coarse_assign = None
 
     # --- search -----------------------------------------------------------
     def _effective(self, k: int, params):
@@ -123,6 +202,42 @@ class IndexHNSW(Index):
     # beam-search footprint scales with nq * expand * 2M * d — big batches
     # (e.g. a 1M-vector add assigning through an HNSW quantizer) are tiled
     search_chunk = 8192
+    # adds up to this fraction of the built graph extend it incrementally
+    # (wave insertion); larger adds trigger a fresh batch-kNN build
+    incremental_frac = 0.5
+
+    def _tile_search_chunk(self, xq_dev, k: int, ef: int):
+        """One tile-granular search call (ops/hnsw_tiles.tile_search)."""
+        from ..ops import hnsw_tiles as HT
+
+        tg = self._ensure_tiles()
+        hp = self.hnsw
+        refine = None
+        if hp.tile_refine:
+            refine = self.storage.vectors
+            if self.ntotal != int(refine.shape[0]):
+                refine = refine[: self.ntotal]
+        return HT.tile_search(
+            tg, xq_dev, k,
+            ef=ef,
+            expand=hp.expand_tiles,
+            scan_tiles=hp.scan_tiles,
+            max_hops=hp.tile_max_hops,
+            seed_count=hp.tile_seeds,
+            metric=self.metric_type,
+            stop_frac=hp.stop_frac,
+            refine_vectors=refine,
+        )
+
+    def _search_device_stats(self, xq_dev, k: int, ef: int, expand: int):
+        """Device search returning (D, I, {nhops, ndis}) via the tile path
+        when the index is large enough, else the per-node beam."""
+        if self._use_tiles():
+            return self._tile_search_chunk(xq_dev, k, ef)
+        return H.hnsw_search(
+            self._search_vectors(), self.graph, xq_dev,
+            ef=ef, k=k, expand=expand, metric=self.metric_type,
+        )
 
     def search_device(self, xq_dev: jnp.ndarray, k: int,
                       params: Optional[SearchParametersHNSW] = None):
@@ -131,19 +246,13 @@ class IndexHNSW(Index):
         nq = xq_dev.shape[0]
         if nq > self.search_chunk:
             outs = [
-                H.hnsw_search(
-                    self._search_vectors(), self.graph,
-                    xq_dev[i : i + self.search_chunk],
-                    ef=ef, k=k, expand=expand, metric=self.metric_type,
-                )[:2]
+                self._search_device_stats(
+                    xq_dev[i : i + self.search_chunk], k, ef, expand)[:2]
                 for i in range(0, nq, self.search_chunk)
             ]
             return (jnp.concatenate([o[0] for o in outs]),
                     jnp.concatenate([o[1] for o in outs]))
-        Dv, Iv, _ = H.hnsw_search(
-            self._search_vectors(), self.graph, xq_dev,
-            ef=ef, k=k, expand=expand, metric=self.metric_type,
-        )
+        Dv, Iv, _ = self._search_device_stats(xq_dev, k, ef, expand)
         return Dv, Iv
 
     def search(self, x, k: int, *, params: Optional[SearchParametersHNSW] = None):
@@ -173,10 +282,9 @@ class IndexHNSW(Index):
             parts = []
             st = {"ndis": 0, "nhops": 0}
             for i0 in range(0, nq_all, self.search_chunk):
-                Dc, Ic, stc = H.hnsw_search(
-                    self._search_vectors(), self.graph,
-                    xq_all[i0 : i0 + self.search_chunk],
-                    ef=ef, k=kk, expand=expand, metric=self.metric_type,
+                Dc, Ic, stc = self._search_device_stats(
+                    xq_all[i0 : i0 + self.search_chunk], kk,
+                    max(ef, kk), expand,
                 )
                 parts.append((Dc, Ic))
                 st = {"ndis": st["ndis"] + int(stc["ndis"]),

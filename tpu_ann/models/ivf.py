@@ -372,6 +372,16 @@ class IndexIVF(Index):
         )
         return res.lims, res.distances, self._map_ids(res.labels)
 
+    def _scan_probes_device(self, xq_dev, probes, cd, k: int, mnb: int,
+                            id_mask=None):
+        """Phase-2 scan with given probes — the codec-dispatch point
+        (IVFFlat raw scan here; PQ/SQ/hash subclasses override)."""
+        Dv, Iv, _ = ivf_scan.scan_invlists(
+            xq_dev, probes, self.invlists, k, self.metric_type,
+            max_nblocks=mnb, id_mask=id_mask, approx=self.approx_topk,
+        )
+        return Dv, Iv
+
     def search_preassigned(self, x, k: int, probes: np.ndarray):
         """Scan given precomputed coarse assignment
         (faiss/IndexIVF.cpp:399, contrib/ivf_tools.search_preassigned)."""
@@ -380,14 +390,10 @@ class IndexIVF(Index):
             raise RuntimeError("empty index")
         x = self._check_input(x)
         mnb = self.invlists.max_nblocks_per_list
-        Dv, Iv, _ = ivf_scan.scan_invlists(
-            jnp.asarray(x),
-            jnp.asarray(probes, dtype=jnp.int32),
-            self.invlists,
-            k,
-            self.metric_type,
-            max_nblocks=mnb,
-        )
+        probes_dev = jnp.asarray(probes, dtype=jnp.int32)
+        cd = jnp.zeros(probes_dev.shape, jnp.float32)
+        Dv, Iv = self._scan_probes_device(jnp.asarray(x), probes_dev, cd,
+                                          k, mnb)
         return np.asarray(Dv), self._map_ids(Iv)
 
     def remove_ids(self, sel) -> int:

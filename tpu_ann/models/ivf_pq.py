@@ -96,6 +96,12 @@ class IndexIVFPQ(IndexIVF):
                                       k, mnb, id_mask=id_mask)
         return Dv, Iv
 
+    def _scan_probes_device(self, xq_dev, probes, cd, k: int, mnb: int,
+                            id_mask=None):
+        Dv, Iv, _ = self._scan_device(xq_dev, probes, cd, k, mnb,
+                                      id_mask=id_mask)
+        return Dv, Iv
+
     def search_stats(self, x, k: int, *,
                      params: Optional[SearchParametersIVF] = None):
         self._maybe_repack()
@@ -130,6 +136,127 @@ class IndexIVFPQ(IndexIVF):
         raise KeyError(key)
 
 
+class IndexIVFPQR(IndexIVFPQ):
+    """IVFPQ + second-level refinement PQ (faiss IndexIVFPQR,
+    faiss/IndexIVFPQ.h / IndexIVFPQR.cpp): a `refine_pq` codes the
+    residual left after the first PQ; search fetches k*k_factor
+    candidates with the base ADC scan, reconstructs them through both
+    codebooks (coarse + pq + refine_pq) and re-ranks exactly.
+
+    TPU layout: refine re-ranking is random-access by row, so base and
+    refine codes are ALSO kept as flat row-indexed device arrays
+    (bytes-per-row gathers + one (nq, kk, d) decode contraction)."""
+
+    def __init__(self, quantizer, d: int, nlist: int, M: int,
+                 nbits: int = 8, M_refine: int = 8, nbits_refine: int = 8,
+                 metric: int = D.METRIC_L2, block_size: int = 128):
+        super().__init__(quantizer, d, nlist, M, nbits, metric, block_size)
+        self.M_refine = int(M_refine)
+        self.nbits_refine = int(nbits_refine)
+        self.refine_pq: Optional[PQ.PQCodec] = None
+        self.k_factor = 4          # faiss IndexIVFPQR::k_factor default
+        self._row_codes = None     # (n, M) uint8 device
+        self._row_refine = None    # (n, M_refine) uint8 device
+        self._row_assign = None    # (n,) int32 device
+
+    def train_encoder(self, x: np.ndarray) -> None:
+        super().train_encoder(x)
+        assign = self._assign(x)
+        xj = jnp.asarray(x)
+        if self.by_residual and self.metric_type == D.METRIC_L2:
+            xj = xj - self._coarse_centroids()[jnp.asarray(assign)]
+        codes = PQ.pq_encode(xj, self._pq_cent_dev)
+        r2 = np.asarray(xj - PQ.pq_decode(codes, self._pq_cent_dev))
+        self.refine_pq = PQ.train_pq(r2, self.M_refine, self.nbits_refine,
+                                     verbose=self.verbose)
+        self._refine_cent_dev = jnp.asarray(self.refine_pq.centroids)
+
+    def _pack(self, x, ids, assign):
+        xj = jnp.asarray(x)
+        aj = jnp.asarray(np.asarray(assign, np.int64))
+        if self.by_residual and self.metric_type == D.METRIC_L2:
+            res = xj - self._coarse_centroids()[aj]
+        else:
+            res = xj
+        codes = PQ.pq_encode(res, self._pq_cent_dev)
+        r2 = res - PQ.pq_decode(codes, self._pq_cent_dev)
+        refine = PQ.pq_encode(r2, self._refine_cent_dev)
+        # flat row-indexed side tables for the re-rank pass
+        self._row_codes = codes
+        self._row_refine = refine
+        self._row_assign = aj.astype(jnp.int32)
+        packed = (PQ.pack_codes_4bit(codes) if self.nbits == 4
+                  else codes)
+        return ivf_scan.pack_code_invlists(np.asarray(packed), ids, assign,
+                                           self.nlist, self.block_size)
+
+    def _rerank_device(self, xq_dev, rows, k: int):
+        """Reconstruct candidate rows through coarse+pq+refine and re-rank
+        exactly (IndexIVFPQR::search_preassigned second pass)."""
+        safe = jnp.clip(rows, 0, self._row_codes.shape[0] - 1)
+        rec = PQ.pq_decode(self._row_codes[safe].reshape(-1, self.M),
+                           self._pq_cent_dev)
+        rec = rec + PQ.pq_decode(
+            self._row_refine[safe].reshape(-1, self.M_refine),
+            self._refine_cent_dev)
+        rec = rec.reshape(rows.shape + (self.d,))
+        if self.by_residual and self.metric_type == D.METRIC_L2:
+            rec = rec + self._coarse_centroids()[self._row_assign[safe]]
+        ip = jnp.einsum("qd,qcd->qc", xq_dev.astype(jnp.float32), rec,
+                        preferred_element_type=jnp.float32)
+        if D.is_similarity_metric(self.metric_type):
+            sc = -ip
+        else:
+            qn = jnp.sum(xq_dev * xq_dev, axis=1, keepdims=True)
+            vn = jnp.sum(rec * rec, axis=2)
+            sc = jnp.maximum(qn + vn - 2.0 * ip, 0.0)
+        import jax.lax as lax
+
+        sc = jnp.where(rows >= 0, sc, jnp.inf)
+        neg, pos = lax.top_k(-sc, k)
+        out_d = -neg
+        out_i = jnp.take_along_axis(rows, pos, axis=1)
+        if D.is_similarity_metric(self.metric_type):
+            out_d = -out_d
+        return out_d, out_i
+
+    def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
+                       id_mask=None):
+        cd, probes = self._coarse_search_device(xq_dev, nprobe)
+        kk = min(int(k * max(self.k_factor, 1)),
+                 max(int(self.ntotal), k))
+        Dv, Iv, _ = self._scan_device(xq_dev, probes.astype(jnp.int32), cd,
+                                      kk, mnb, id_mask=id_mask)
+        return self._rerank_device(xq_dev, Iv, k)
+
+    def search_stats(self, x, k: int, *,
+                     params: Optional[SearchParametersIVF] = None):
+        self._maybe_repack()
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        import jax
+
+        x = self._check_input(x)
+        nprobe, mnb = self._effective_params(params)
+        xq_dev = jnp.asarray(x)
+        with Timer() as t_q:
+            cd, probes = self._coarse_search_device(xq_dev, nprobe)
+            probes = jax.block_until_ready(probes.astype(jnp.int32))
+        kk = min(int(k * max(self.k_factor, 1)),
+                 max(int(self.ntotal), k))
+        with Timer() as t_s:
+            Dv, Iv, ndis = self._scan_device(xq_dev, probes, cd, kk, mnb)
+            Dv, Iv = self._rerank_device(xq_dev, Iv, k)
+            Dv = np.asarray(Dv)
+            Iv = self._map_ids(Iv)
+        stats = SearchStats(
+            nq=len(x), total_us=t_q.us + t_s.us,
+            quantization_us=t_q.us, list_scan_us=t_s.us,
+            ndis=int(ndis), nlist_visited=len(x) * nprobe,
+        )
+        return Dv, Iv, stats
+
+
 class IndexIVFScalarQuantizer(IndexIVF):
     """IVF with SQ-coded invlists (faiss IndexIVFScalarQuantizer)."""
 
@@ -159,9 +286,14 @@ class IndexIVFScalarQuantizer(IndexIVF):
     def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
                        id_mask=None):
         _, probes = self._coarse_search_device(xq_dev, nprobe)
+        return self._scan_probes_device(xq_dev, probes.astype(jnp.int32),
+                                        None, k, mnb, id_mask=id_mask)
+
+    def _scan_probes_device(self, xq_dev, probes, cd, k: int, mnb: int,
+                            id_mask=None):
         vmin, vdiff = self._sq_params()
         Dv, Iv, _ = ivf_scan.scan_invlists_sq(
-            xq_dev, probes.astype(jnp.int32), self.invlists,
+            xq_dev, probes, self.invlists,
             vmin, vdiff, k, self.metric_type,
             qtype=self.qtype, max_nblocks=mnb, id_mask=id_mask,
         )

@@ -67,10 +67,13 @@ class RandomRotationMatrix(LinearTransform):
 
     def train(self, x: Optional[np.ndarray] = None) -> None:
         rs = np.random.RandomState(self.seed)
-        g = rs.randn(self.d_in, self.d_in)
-        q, _ = np.linalg.qr(g)                 # orthogonal (d_in, d_in)
-        self.A = q.T[: self.d_out].astype(np.float32)
-        self.is_orthonormal = True
+        # d_out > d_in embeds into the larger space then rotates there
+        # (faiss RandomRotationMatrix::init with d_out > d_in)
+        dd = max(self.d_in, self.d_out)
+        g = rs.randn(dd, dd)
+        q, _ = np.linalg.qr(g)                 # orthogonal (dd, dd)
+        self.A = q.T[: self.d_out, : self.d_in].astype(np.float32)
+        self.is_orthonormal = self.d_out <= self.d_in
         self.is_trained = True
 
 

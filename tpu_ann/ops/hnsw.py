@@ -184,12 +184,15 @@ def _greedy_level(vectors, graph: HNSWGraph, xq, level: int, cur, cur_d,
 
 
 def _batch_dists(xq, vecs, metric: int = D.METRIC_L2):
-    """(nq, d) x (nq, c, d) -> (nq, c) distances."""
+    """(nq, d) x (nq, c, d) -> (nq, c) CANONICAL scores: ascending-best for
+    every metric (inner product is negated), so all beam/heuristic sorts in
+    this module share one ordering. Public entry points flip the sign back
+    for similarity metrics."""
     ip = jnp.einsum("qd,qcd->qc", xq, vecs,
                     precision=lax.Precision.DEFAULT,
                     preferred_element_type=jnp.float32)
     if D.is_similarity_metric(metric):
-        return ip
+        return -ip
     qn = jnp.sum(xq * xq, axis=1, keepdims=True)
     vn = jnp.sum(vecs * vecs, axis=2)
     return jnp.maximum(qn + vn - 2.0 * ip, 0.0)
@@ -201,7 +204,7 @@ def _batch_dists(xq, vecs, metric: int = D.METRIC_L2):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ef", "k", "expand", "max_hops", "metric"),
+    static_argnames=("ef", "k", "expand", "max_hops", "metric", "raw"),
 )
 def beam_search_level0(
     vectors: jnp.ndarray,
@@ -214,6 +217,7 @@ def beam_search_level0(
     expand: int = 2,
     max_hops: int = 0,
     metric: int = D.METRIC_L2,
+    raw: bool = False,
 ):
     """Bounded best-first search over the level-0 graph, all queries in
     lockstep.
@@ -307,7 +311,10 @@ def beam_search_level0(
     bd, bi, bexp, visited, done, hops, ndis = lax.while_loop(
         cond, body, (bd, bi, bexp, visited, done0, 0, jnp.int32(0))
     )
-    return bd[:, :k], bi[:, :k], {"nhops": hops, "ndis": ndis}
+    out_d = bd[:, :k]
+    if D.is_similarity_metric(metric) and not raw:
+        out_d = -out_d   # canonical -> user-facing similarity
+    return out_d, bi[:, :k], {"nhops": hops, "ndis": ndis}
 
 
 @functools.partial(
@@ -344,9 +351,11 @@ def hnsw_search(
 # ---------------------------------------------------------------------------
 
 def _select_neighbors_heuristic(q_vecs, cand_ids, cand_dis, vectors, m: int,
-                                metric: int = D.METRIC_L2):
+                                metric: int = D.METRIC_L2,
+                                return_dis: bool = False):
     """For each wave point: scan candidates in distance order, keep c only
-    if dist(q, c) < dist(c, kept_j) for all kept j. Returns (W, m) ids.
+    if dist(q, c) < dist(c, kept_j) for all kept j. Returns (W, m) ids
+    (plus the kept candidates' distances when `return_dis`).
 
     Vectorized: pairwise candidate-candidate distances once, then a scan
     over candidate rank with a kept-mask carry.
@@ -357,24 +366,23 @@ def _select_neighbors_heuristic(q_vecs, cand_ids, cand_dis, vectors, m: int,
     cand_dis = jnp.take_along_axis(cand_dis, order, axis=1)
     valid = cand_ids >= 0
     cvecs = vectors[jnp.where(valid, cand_ids, 0)]       # (W, C, d)
-    # pairwise distances among candidates
+    # pairwise CANONICAL scores among candidates (cand_dis must also be
+    # canonical: ascending-best, IP negated — see _batch_dists)
     ip = jnp.einsum("wcd,wed->wce", cvecs, cvecs,
                     precision=lax.Precision.DEFAULT,
                     preferred_element_type=jnp.float32)
     if D.is_similarity_metric(metric):
-        pair = ip
-        better = lambda a, b: a > b   # noqa: E731
+        pair = -ip
     else:
         nrm = jnp.einsum("wcd,wcd->wc", cvecs, cvecs,
                          precision=lax.Precision.DEFAULT)
         pair = jnp.maximum(nrm[:, :, None] + nrm[:, None, :] - 2.0 * ip, 0.0)
-        better = lambda a, b: a < b   # noqa: E731
 
     def scan_body(carry, i):
         kept, nkept = carry   # kept: (W, C) bool mask over candidate rank
         # dist from candidate i to all kept candidates
         di = pair[:, i, :]                               # (W, C)
-        conflict = jnp.any(kept & better(di, cand_dis[:, i][:, None]),
+        conflict = jnp.any(kept & (di < cand_dis[:, i][:, None]),
                            axis=1)
         take = valid[:, i] & ~conflict & (nkept < m)
         kept = kept.at[:, i].set(take)
@@ -389,8 +397,13 @@ def _select_neighbors_heuristic(q_vecs, cand_ids, cand_dis, vectors, m: int,
     take = min(m, C)
     sorder = jnp.argsort(score, axis=1)[:, :take]
     out = jnp.take_along_axis(jnp.where(kept, cand_ids, -1), sorder, axis=1)
+    out_d = jnp.take_along_axis(score, sorder, axis=1)
     if take < m:
         out = jnp.pad(out, ((0, 0), (0, m - take)), constant_values=-1)
+        out_d = jnp.pad(out_d, ((0, 0), (0, m - take)),
+                        constant_values=jnp.inf)
+    if return_dis:
+        return out, out_d
     return out
 
 
@@ -400,9 +413,11 @@ def _select_neighbors_heuristic(q_vecs, cand_ids, cand_dis, vectors, m: int,
 
 def _apply_reverse_links(vectors, neighbors_l, fwd_ids, wave_ids,
                          metric: int = D.METRIC_L2):
-    """Add reverse edges target <- wave point, pruning each touched target's
-    list back to degree by distance rank (cheap variant of faiss
-    add_link's shrink; forward links use the full heuristic).
+    """Add reverse edges target <- wave point, pruning each touched
+    target's list back to degree with the diversity heuristic (faiss
+    add_link's shrink on overflow, HNSW.cpp:520-535 — distance-rank
+    pruning here was measured to erode old nodes' long-range links over
+    repeated waves, degrading recall of already-inserted points).
 
     neighbors_l: (N, deg). fwd_ids: (W, m) forward targets (-1 pad).
     wave_ids: (W,) new node ids.
@@ -446,9 +461,9 @@ def _apply_reverse_links(vectors, neighbors_l, fwd_ids, wave_ids,
     row = lax.broadcasted_iota(jnp.int32, cand.shape, 0)
     dup = jnp.zeros(cand.shape, bool).at[row, sids].set(dup_sorted)
     dis = jnp.where(dup, jnp.inf, dis)
-    keep = jnp.argsort(dis, axis=1)[:, :deg]
-    new_list = jnp.take_along_axis(
-        jnp.where(jnp.isfinite(dis), cand, -1), keep, axis=1)
+    cand = jnp.where(jnp.isfinite(dis), cand, -1)
+    new_list = _select_neighbors_heuristic(tvec, cand, dis, vectors, deg,
+                                           metric)
     # duplicate valid rows write identical values (idempotent scatter);
     # invalid rows are routed to a dummy row N that is sliced off
     t_write = jnp.where(ok_s, tgt_s, N)
@@ -477,7 +492,7 @@ def _insert_wave_level(vectors, neighbors_l, xq_wave, wave_ids, entry_ids,
     efc = ef_construction
     cd, ci, _ = beam_search_level0(
         vectors, neighbors_l, xq_wave, entry_ids,
-        ef=efc, k=efc, expand=2, metric=metric,
+        ef=efc, k=efc, expand=2, metric=metric, raw=True,
     )
     # never link a point to itself (its own row is already in `vectors`)
     self_hit = ci == wave_ids[:, None]
@@ -651,5 +666,333 @@ def build_graph(
         upper_neighbors=upper_neighbors[:u],
         levels=jnp.asarray(levels),
         entry=graph_entry,
+        max_level=max_level,
+    )
+
+
+# ---------------------------------------------------------------------------
+# GEMM-based graph construction (TPU-first alternative to wave insertion)
+#
+# The reference builds HNSW by sequential insertion (`add_with_locks`,
+# HNSW.cpp:542-591): each point beam-searches the partial graph for
+# efConstruction candidates, keeps a diverse subset (shrink heuristic) and
+# adds capped reverse links. That is a pointer-chasing workload. The batch
+# reformulation below computes the same three ingredients with dense
+# MXU-friendly kernels over the FINAL point set:
+#   1. candidates  = approximate kNN of every point (blocked GEMM for small
+#      n; kmeans route + packed-invlist scan for large n — the same trick
+#      faiss' NNDescent/NSG path uses a kNN graph for),
+#   2. forward links = the shrink_neighbor_list diversity heuristic
+#      (HNSW.cpp:245-299) batched over all nodes,
+#   3. reverse links = capped run-length scatter + a second diversity prune
+#      (the overflow shrink in add_link, HNSW.cpp:501-537).
+# Insertion order no longer exists, so parity is validated on recall, like
+# the reference's own tests (tests/test_hnsw.cpp checks stats/recall).
+# ---------------------------------------------------------------------------
+
+
+def _knn_candidates(x: np.ndarray, C: int, metric: int, seed: int,
+                    verbose: bool = False):
+    """Approximate (or exact, small n) kNN table used as link candidates.
+
+    Returns (dis (n, C) f32 ascending-best, ids (n, C) int32, assign (n,)
+    int64 coarse assignment for spatial reordering — or None when the exact
+    path ran)."""
+    from . import ivf_scan as IV
+    from . import kmeans as K
+
+    n, d = x.shape
+    C = min(C, n - 1)
+    if n <= 32768:
+        dis, ids = D.knn(
+            jnp.asarray(x), jnp.asarray(x), min(C + 1, n), metric,
+            compute_dtype="bfloat16", approx=n > 8192, refine_factor=2,
+        )
+        return np.asarray(dis), np.asarray(ids, np.int32), None
+
+    nlist = int(min(16384, max(256, n // 256)))
+    cp = K.ClusteringParameters(niter=8, seed=seed, verbose=verbose,
+                                max_points_per_centroid=128)
+    centroids, _ = K.kmeans(x, nlist, params=cp, metric=metric)
+    nprobe = 8
+    _, probes = D.knn(jnp.asarray(x), jnp.asarray(centroids), nprobe, metric,
+                      compute_dtype="bfloat16", approx=True)
+    probes = np.asarray(probes, np.int32)
+    assign = probes[:, 0].astype(np.int64)
+    pil = IV.pack_invlists(x, np.arange(n, dtype=np.int64), assign, nlist)
+    out_d = np.empty((n, C + 1), np.float32)
+    out_i = np.empty((n, C + 1), np.int64)
+    chunk = 65536
+    for i0 in range(0, n, chunk):
+        dc, ic, _ = IV.scan_invlists(
+            jnp.asarray(x[i0 : i0 + chunk]),
+            jnp.asarray(probes[i0 : i0 + chunk]),
+            pil, C + 1, metric,
+            max_nblocks=pil._max_nblocks, approx=True,
+        )
+        out_d[i0 : i0 + chunk] = np.asarray(dc)
+        out_i[i0 : i0 + chunk] = np.asarray(ic)
+        if verbose:
+            print(f"hnsw knn-candidates: {min(i0 + chunk, n)}/{n}")
+    return out_d, out_i.astype(np.int32), assign
+
+
+def _drop_self(dis: np.ndarray, ids: np.ndarray, C: int,
+               row_ids: Optional[np.ndarray] = None):
+    """Remove each row's own id from its CANONICAL (ascending-best)
+    candidate list, keep C best."""
+    n = ids.shape[0]
+    own = row_ids if row_ids is not None else np.arange(n, dtype=ids.dtype)
+    self_m = ids == own[:, None]
+    bad = (ids < 0) | self_m
+    dis = np.where(bad, np.inf, dis)
+    ids = np.where(bad, -1, ids)
+    order = np.argsort(dis, axis=1, kind="stable")
+    dis = np.take_along_axis(dis, order, axis=1)[:, :C]
+    ids = np.take_along_axis(ids, order, axis=1)[:, :C]
+    return dis, ids
+
+
+def _prune_all(vectors, cand_ids: np.ndarray, cand_dis: np.ndarray, m: int,
+               metric: int, chunk: int = 8192, verbose: bool = False,
+               tag: str = ""):
+    """Batched shrink_neighbor_list over every node (chunked on rows).
+    Returns (ids (n, m) int32, dis (n, m) f32 — inf for empty slots)."""
+    n = cand_ids.shape[0]
+    out = np.empty((n, m), np.int32)
+    out_d = np.empty((n, m), np.float32)
+    for i0 in range(0, n, chunk):
+        sel, seld = _select_neighbors_heuristic(
+            None,
+            jnp.asarray(cand_ids[i0 : i0 + chunk]),
+            jnp.asarray(cand_dis[i0 : i0 + chunk]),
+            vectors, m, metric, return_dis=True,
+        )
+        out[i0 : i0 + chunk] = np.asarray(sel)
+        out_d[i0 : i0 + chunk] = np.asarray(seld)
+        if verbose and (i0 // chunk) % 16 == 0:
+            print(f"hnsw prune{tag}: {min(i0 + chunk, n)}/{n}")
+    return out, out_d
+
+
+def _reverse_candidates(fwd: np.ndarray, fwd_dis: np.ndarray, cap: int):
+    """For each node v, up to `cap` nodes u with v in fwd[u] (the reverse
+    edges that sequential insertion would have tried to add), with their
+    (symmetric-metric) edge distances."""
+    n, m = fwd.shape
+    src = np.repeat(np.arange(n, dtype=np.int32), m)
+    dst = fwd.reshape(-1)
+    dd = fwd_dis.reshape(-1)
+    ok = dst >= 0
+    src, dst, dd = src[ok], dst[ok], dd[ok]
+    order = np.argsort(dst, kind="stable")
+    src, dst, dd = src[order], dst[order], dd[order]
+    start = np.searchsorted(dst, dst)          # first index of each run
+    pos = np.arange(len(dst)) - start
+    keep = pos < cap
+    rev_ids = np.full((n, cap), -1, np.int32)
+    rev_dis = np.full((n, cap), np.inf, np.float32)
+    rev_ids[dst[keep], pos[keep]] = src[keep]
+    rev_dis[dst[keep], pos[keep]] = dd[keep]
+    return rev_ids, rev_dis
+
+
+def _merge_prune(vectors, fwd, fwd_dis, rev_ids, rev_dis, m: int,
+                 metric: int, verbose: bool, tag: str) -> np.ndarray:
+    """Final per-node list: diversity prune of forward ∪ reverse candidates
+    (duplicates masked). All scores canonical ascending-best."""
+    cand = np.concatenate([fwd, rev_ids], axis=1)
+    cdis = np.concatenate([fwd_dis, rev_dis], axis=1)
+    # mask duplicate ids per row (a reverse edge may already be forward)
+    sorder = np.argsort(np.where(cand >= 0, cand, np.int64(2**62)), axis=1,
+                        kind="stable")
+    cs = np.take_along_axis(cand, sorder, axis=1)
+    dup_sorted = np.concatenate(
+        [np.zeros((len(cand), 1), bool), cs[:, 1:] == cs[:, :-1]], axis=1)
+    dup = np.zeros(cand.shape, bool)
+    np.put_along_axis(dup, sorder, dup_sorted, axis=1)
+    cdis = np.where(dup | (cand < 0), np.inf, cdis)
+    cand = np.where(dup, -1, cand)
+    return _prune_all(vectors, cand, cdis, m, metric, chunk=4096,
+                      verbose=verbose, tag=tag)[0]
+
+
+def build_graph_knn(
+    vectors: jnp.ndarray,
+    m: int,
+    ef_construction: int,
+    *,
+    levels: Optional[np.ndarray] = None,
+    seed: int = 1234,
+    metric: int = D.METRIC_L2,
+    verbose: bool = False,
+) -> Tuple[HNSWGraph, Optional[np.ndarray]]:
+    """Build an HNSW-compatible graph from a batch kNN table (see module
+    section comment). Returns (graph, coarse_assign or None) — the coarse
+    assignment doubles as the spatial reordering key for the tile-granular
+    search layout (ops/hnsw_tiles.py).
+
+    `ef_construction` plays its reference role as the candidate-pool size
+    feeding the diversity heuristic (search_neighbors_to_add beam width,
+    HNSW.cpp:375)."""
+    x = np.ascontiguousarray(np.asarray(vectors), np.float32)
+    n, d = x.shape
+    m0 = 2 * m
+    similarity = D.is_similarity_metric(metric)
+    if levels is None:
+        levels = random_levels(n, m, seed)
+    levels = np.asarray(levels, np.int32)
+    max_level = int(levels.max(initial=0))
+
+    C = int(min(max(m0 + 16, ef_construction), max(n - 1, 1)))
+    dis, ids, assign = _knn_candidates(x, C, metric, seed, verbose)
+    if similarity:
+        dis = -dis   # canonical ascending-best
+    dis, ids = _drop_self(dis, ids, C)
+
+    vec_dev = jnp.asarray(x)
+    fwd, fwd_dis = _prune_all(vec_dev, ids, dis, m0, metric, verbose=verbose,
+                              tag="/fwd")
+    rev_ids, rev_dis = _reverse_candidates(fwd, fwd_dis, m0)
+    neighbors0 = _merge_prune(vec_dev, fwd, fwd_dis, rev_ids, rev_dis, m0,
+                              metric, verbose, "/lvl0")
+
+    upper_ids_np, upper_neighbors = _link_upper_levels(
+        x, levels, m, metric, similarity, verbose)
+
+    entry = int(np.argmax(levels))
+    graph = HNSWGraph(
+        neighbors0=jnp.asarray(neighbors0),
+        upper_ids=jnp.asarray(upper_ids_np),
+        upper_neighbors=jnp.asarray(upper_neighbors),
+        levels=jnp.asarray(levels),
+        entry=jnp.int32(entry),
+        max_level=max_level,
+    )
+    return graph, assign
+
+
+def _link_upper_levels(x: np.ndarray, levels: np.ndarray, m: int,
+                       metric: int, similarity: bool, verbose: bool):
+    """Link every upper level by exact kNN + diversity prune within the
+    level's node subset (subsets shrink geometrically — 1/M per level —
+    so exact MXU kNN is cheap). Returns (upper_ids (U,), upper_neighbors
+    (U, Lmax, m) with global-id values)."""
+    max_level = int(levels.max(initial=0))
+    upper_ids_np = np.nonzero(levels >= 1)[0].astype(np.int32)
+    if len(upper_ids_np) == 0:
+        upper_ids_np = np.array([0], np.int32)
+        lmax_tab = 1
+    else:
+        lmax_tab = max(max_level, 1)
+    u = len(upper_ids_np)
+    upper_neighbors = np.full((u, lmax_tab, m), -1, np.int32)
+    for lev in range(1, max_level + 1):
+        sub = np.nonzero(levels >= lev)[0].astype(np.int32)
+        ns = len(sub)
+        if ns <= 1:
+            continue
+        cu = int(min(max(m + 8, 32), ns - 1))
+        sd, si = D.knn(
+            jnp.asarray(x[sub]), jnp.asarray(x[sub]), min(cu + 1, ns),
+            metric, compute_dtype="bfloat16", approx=ns > 8192,
+            refine_factor=2,
+        )
+        sd = np.asarray(sd)
+        if similarity:
+            sd = -sd
+        sd, si = _drop_self(sd, np.asarray(si, np.int32), cu)
+        sub_dev = jnp.asarray(x[sub])
+        sfwd, sdis = _prune_all(sub_dev, si, sd, m, metric, verbose=False)
+        srev, srd = _reverse_candidates(sfwd, sdis, m)
+        slinks = _merge_prune(sub_dev, sfwd, sdis, srev, srd, m, metric,
+                              False, "/upper")
+        # subset rows -> global ids; store at the upper-table rows
+        glob = np.where(slinks >= 0, sub[np.clip(slinks, 0, ns - 1)], -1)
+        rows = np.searchsorted(upper_ids_np, sub)
+        upper_neighbors[rows, lev - 1] = glob
+        if verbose:
+            print(f"hnsw upper level {lev}: {ns} nodes linked")
+    return upper_ids_np, upper_neighbors
+
+
+def extend_graph(
+    vectors: jnp.ndarray,
+    graph: HNSWGraph,
+    n_old: int,
+    *,
+    m: int,
+    ef_construction: int,
+    levels_new: Optional[np.ndarray] = None,
+    seed: int = 1234,
+    wave_size: int = 1024,
+    metric: int = D.METRIC_L2,
+    verbose: bool = False,
+) -> HNSWGraph:
+    """Incrementally insert nodes n_old..n-1 into an existing graph — the
+    batch counterpart of `hnsw_add_vertices` on a non-empty index
+    (faiss/IndexHNSW.cpp:68-224): new points beam-search the EXISTING
+    level-0 graph in waves and link with the diversity heuristic; upper
+    levels are relinked over the merged (small) upper subsets.
+
+    Level draws for the new points use the same geometric law with an
+    offset seed, so repeated adds stay deterministic."""
+    x = np.ascontiguousarray(np.asarray(vectors), np.float32)
+    n, d = x.shape
+    n_new = n - n_old
+    if n_new <= 0:
+        return graph
+    m0 = graph.m0
+    similarity = D.is_similarity_metric(metric)
+    if levels_new is None:
+        levels_new = random_levels(n_new, m, seed, offset=n_old)
+    levels = np.concatenate([np.asarray(graph.levels, np.int32),
+                             np.asarray(levels_new, np.int32)])
+    max_level = int(levels.max(initial=0))
+
+    # level 0: wave insertion of the new nodes over the existing table.
+    # Descents run on the OLD upper graph + entry (every node reachable
+    # there is level-0-linked); upper levels are relinked at the end.
+    vectors_dev = jnp.asarray(x)
+    neighbors0 = jnp.concatenate([
+        jnp.asarray(graph.neighbors0),
+        jnp.full((n_new + 1, m0), -1, jnp.int32),
+    ])
+    old_entry = int(graph.entry)
+    new_ids = np.arange(n_old, n, dtype=np.int64)
+    for i0 in range(0, n_new, wave_size):
+        from ..utils.interrupt import InterruptCallback
+
+        InterruptCallback.check()
+        wave = new_ids[i0 : i0 + wave_size]
+        nw = len(wave)
+        wave_pad = np.full(wave_size, n, np.int64)
+        wave_pad[:nw] = wave
+        xw = np.zeros((wave_size, d), np.float32)
+        xw[:nw] = x[wave]
+        xw = jnp.asarray(xw)
+        cur = jnp.full((wave_size,), old_entry, jnp.int32)
+        cur_d = _batch_dists(xw, vectors_dev[cur][:, None, :], metric)[:, 0]
+        for lev in range(graph.max_level, 0, -1):
+            cur, cur_d = _greedy_level(vectors_dev, graph, xw, lev,
+                                       cur, cur_d)
+        neighbors0, _ = _insert_wave_level(
+            vectors_dev, neighbors0, xw, jnp.asarray(wave_pad),
+            cur[:, None], jnp.int32(n),
+            m_fwd=m0, ef_construction=ef_construction, metric=metric,
+        )
+        if verbose:
+            print(f"hnsw extend: {min(i0 + wave_size, n_new)}/{n_new}")
+
+    # upper levels: relink merged subsets (geometrically small)
+    upper_ids_np, upper_neighbors = _link_upper_levels(
+        x, levels, m, metric, similarity, verbose)
+    entry = int(np.argmax(levels))
+    return HNSWGraph(
+        neighbors0=neighbors0[:n],
+        upper_ids=jnp.asarray(upper_ids_np),
+        upper_neighbors=jnp.asarray(upper_neighbors),
+        levels=jnp.asarray(levels),
+        entry=jnp.int32(entry),
         max_level=max_level,
     )

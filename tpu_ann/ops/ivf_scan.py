@@ -572,6 +572,119 @@ def scan_invlists_pq(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("k", "nbit", "max_nblocks", "qt", "chunk_probes"),
+)
+def scan_invlists_hash(
+    zq: jnp.ndarray,
+    probes: jnp.ndarray,
+    invlists: PackedCodeInvLists,
+    trained: jnp.ndarray,
+    period: float,
+    k: int,
+    *,
+    nbit: int,
+    max_nblocks: int,
+    chunk_probes: int = 4,
+    qt: int = 64,
+    id_mask: Optional[jnp.ndarray] = None,
+):
+    """Hamming scan over spectral-hash invlists
+    (faiss/IndexIVFSpectralHash.cpp IVFScanner): the query projection is
+    binarized against each probed list's thresholds
+    (binarize_with_freq: bit i = floor((z_i - c_i) * 2/period) & 1), then
+    compared to the stored codes.
+
+    TPU formulation: bits as +-1 bf16 vectors turn Hamming into one MXU
+    contraction per block — ham = (nbit - q_pm . c_pm) / 2 — instead of
+    XOR+popcount lanes (HammingComputer dispatch in the reference).
+
+    Args:
+      zq: (nq, nbit) float query projections (vt already applied).
+      trained: (nlist, nbit) per-list thresholds (zeros for Thresh_global).
+    Returns (D, I, ndis).
+    """
+    nq, _ = zq.shape
+    nprobe = probes.shape[1]
+    B = invlists.block_size
+    NB = invlists.nblocks
+    nbytes = nbit // 8
+    freq = 2.0 / period
+    zq = zq.astype(jnp.float32)
+
+    pc = min(chunk_probes, nprobe)
+    npc = -(-nprobe // pc)
+    ppad = npc * pc - nprobe
+    if ppad:
+        probes = jnp.concatenate(
+            [probes, jnp.full((nq, ppad), -1, probes.dtype)], axis=1)
+    qtile = min(qt, nq)
+    nqt = -(-nq // qtile)
+    qpad = nqt * qtile - nq
+    if qpad:
+        zq = jnp.pad(zq, ((0, qpad), (0, 0)))
+        probes = jnp.pad(probes, ((0, qpad), (0, 0)), constant_values=-1)
+    zq_t = zq.reshape(nqt, qtile, nbit)
+    probes_t = probes.reshape(nqt, qtile, npc, pc)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+
+    def unpack_pm(codes):
+        # (..., nbytes) uint8 -> (..., nbit) +-1 bf16
+        bits = (codes[..., None] >> shifts) & jnp.uint8(1)
+        bits = bits.reshape(codes.shape[:-1] + (nbit,))
+        return (bits.astype(jnp.bfloat16) * 2 - 1)
+
+    def scan_tile(args):
+        q, qprobes = args                     # (qtile, nbit), (qtile,npc,pc)
+
+        def probe_chunk(c, carry):
+            bd, bi, nd = carry
+            pl = qprobes[:, c, :]
+            pvalid = pl >= 0
+            pl_s = jnp.where(pvalid, pl, 0)
+            thr = trained[pl_s]                          # (qtile, pc, nbit)
+            xi = jnp.floor((q[:, None, :] - thr) * freq).astype(jnp.int32)
+            qpm = ((xi & 1).astype(jnp.bfloat16) * 2 - 1)  # (qtile,pc,nbit)
+            starts = invlists.list_block_start[pl_s]
+            nblk = jnp.minimum(invlists.list_nblocks[pl_s], max_nblocks)
+            nblk = jnp.where(pvalid, nblk, 0)
+
+            def block_body(o, carry2):
+                bd2, bi2, nd2 = carry2
+                bids = jnp.where(o < nblk, starts + o, NB)
+                codes = invlists.codes[bids]             # (qtile,pc,B,nbytes)
+                vids = invlists.ids[bids]
+                cpm = unpack_pm(codes)                   # (qtile,pc,B,nbit)
+                ip = jnp.einsum("qpn,qpbn->qpb", qpm, cpm,
+                                preferred_element_type=jnp.float32)
+                dis = 0.5 * (nbit - ip)
+                valid = vids >= 0
+                if id_mask is not None:
+                    allowed = id_mask[jnp.where(valid, vids, 0)] != 0
+                    valid = valid & allowed
+                dis = jnp.where(valid, dis, jnp.inf)
+                nd2 = nd2 + jnp.sum(valid.astype(jnp.int32))
+                nbd, nbi = T.merge_topk(
+                    bd2, bi2, dis.reshape(qtile, pc * B),
+                    vids.reshape(qtile, pc * B), k, similarity=False)
+                return nbd, nbi, nd2
+
+            return lax.fori_loop(0, max_nblocks, block_body, (bd, bi, nd))
+
+        init = (
+            jnp.full((qtile, k), jnp.inf, jnp.float32),
+            jnp.full((qtile, k), -1, jnp.int32),
+            jnp.int32(0),
+        )
+        return lax.fori_loop(0, npc, probe_chunk, init)
+
+    bd, bi, nd = lax.map(scan_tile, (zq_t, probes_t))
+    bd = bd.reshape(nqt * qtile, k)[:nq]
+    bi = bi.reshape(nqt * qtile, k)[:nq]
+    return bd, bi, jnp.sum(nd)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "metric", "qtype", "max_nblocks", "chunk_blocks",
                      "qt"),
 )

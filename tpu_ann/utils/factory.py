@@ -75,6 +75,13 @@ def _make_ivf(nlist: int, hnsw_m: int, code: str, d: int,
         quant = IndexHNSWFlat(d, hnsw_m, metric)
     else:
         quant = IndexFlat(d, metric)
+    if m := re.fullmatch(r"PQ(\d+)\+(\d+)", code):
+        # "PQ8+16" = IVFPQR: base PQ8 + 16-subquantizer refinement PQ
+        # (faiss index_factory.cpp IVFPQR spelling)
+        from ..models.ivf_pq import IndexIVFPQR
+
+        return IndexIVFPQR(quant, d, nlist, int(m.group(1)),
+                           8, int(m.group(2)), 8, metric)
     if m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?)?", code):
         # "PQ32x4fs" = 4-bit packed fast-scan layout (our packed codes
         # are block-native already; the _bbs suffix is accepted/ignored)
