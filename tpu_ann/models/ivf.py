@@ -140,10 +140,20 @@ class IndexIVF(Index):
         if repack:
             self._repack()
 
+    def _check_mutable(self) -> None:
+        """Indexes loaded without a host vector store (e.g. coded
+        merge_ondisk outputs) are search-only: a repack from the partial
+        host store would silently drop the mmapped rows."""
+        if self.ntotal and sum(len(c) for c in self._xb_host) != self.ntotal:
+            raise RuntimeError(
+                "index is search-only (loaded without its host vector "
+                "store); add/remove/update are unavailable")
+
     def _append_chunk(self, x: np.ndarray, ids: np.ndarray,
                       assign: Optional[np.ndarray] = None) -> None:
         """Append one host chunk (+ optional precomputed assignment) and
         mark the device invlists stale."""
+        self._check_mutable()
         self._xb_host.append(x)
         self._ids_host.append(np.asarray(ids, np.int64))
         self._assign_host.append(
@@ -401,6 +411,7 @@ class IndexIVF(Index):
         (IndexIVF::remove_ids via DirectMap); invlists repacked.
         Membership is one vectorized member_array per chunk, not a
         Python loop."""
+        self._check_mutable()
         self._maybe_repack()
         removed = 0
         new_x, new_ids, new_assign = [], [], []
@@ -427,6 +438,7 @@ class IndexIVF(Index):
         """Replace vectors in place (IndexIVF::update_vectors): same ids,
         new data, reassigned to their new lists. Matching is a sorted
         searchsorted join per chunk (the DirectMap lookup, vectorized)."""
+        self._check_mutable()
         self._maybe_repack()
         x = self._check_input(x)
         ids = np.asarray(ids, np.int64)

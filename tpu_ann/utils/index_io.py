@@ -232,18 +232,21 @@ def _restore_ivf_common(idx, meta, arrays):
             )
         pil._max_nblocks = int(meta["max_nblocks"])
         idx.invlists = pil
-    if "xb_host" in arrays:
-        idx._xb_host = [np.asarray(arrays["xb_host"])]
+    if "ids_host" in arrays:
         ids = np.asarray(arrays["ids_host"])
-        idx._ids_host = [ids]
-        idx._assign_host = [None]
         # packed invlists store row indices; rebuild the row->id map
+        # (present even for search-only files without a host vector store,
+        # e.g. coded merge_ondisk outputs)
         idx._ids_flat = ids
         n = len(ids)
         idx._ids_trivial = bool(
             n == 0 or (ids[0] == 0 and ids[-1] == n - 1
                        and np.array_equal(ids, np.arange(n,
                                                          dtype=np.int64))))
+        if "xb_host" in arrays:
+            idx._xb_host = [np.asarray(arrays["xb_host"])]
+            idx._ids_host = [ids]
+            idx._assign_host = [None]
     return idx
 
 
