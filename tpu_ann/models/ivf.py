@@ -301,6 +301,18 @@ class IndexIVF(Index):
                                      id_mask=self._sel_mask(params))
         return np.asarray(Dv), self._map_ids(Iv)
 
+    def search_device(self, xq_dev, k: int):
+        """Device-in/device-out search with the index's current settings —
+        results stay un-materialized so callers can pipeline batches
+        (big_batch_search's prepare/compute/finalize overlap). Returned
+        Iv holds device row indices; map with `_map_ids` after
+        materializing."""
+        self._maybe_repack()
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        nprobe, mnb = self._effective_params(None)
+        return self._search_device(xq_dev, k, nprobe, mnb)
+
     def _use_grouped(self, nq: int, nprobe: int, id_mask) -> bool:
         if id_mask is not None or self.scan_mode in ("query", "auto"):
             # measured on v5e: the query-major compacted scan beats the

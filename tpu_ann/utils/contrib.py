@@ -92,13 +92,21 @@ def big_batch_search(
 
     from .interrupt import InterruptCallback
 
-    for b in range(nbatch):
-        InterruptCallback.check()
-        if done[b]:
-            continue
+    # Pipelined path (the reference's prepare/compute/finalize thread
+    # pipeline, contrib/big_batch_search.py:234-515, recast for an async
+    # device runtime): dispatching batch b's upload+compute is async, so
+    # while the device works on batch b the host finalizes batch b-1
+    # (device->host copy, id mapping, checkpoint pickle) — double
+    # buffering with no explicit threads.
+    search_device = getattr(index, "search_device", None)
+    map_ids = getattr(index, "_map_ids", None)
+
+    def finalize(entry):
+        b, Dv, Iv = entry
         i0, i1 = b * batch_size, min((b + 1) * batch_size, nq)
-        Dv, Iv = index.search(xq[i0:i1], k)
-        Dout[i0:i1], Iout[i0:i1] = Dv, Iv
+        Dh, Ih = np.asarray(Dv), np.asarray(Iv)
+        Dout[i0:i1] = Dh
+        Iout[i0:i1] = map_ids(Ih) if map_ids is not None else Ih
         done[b] = True
         if checkpoint_path and (b % checkpoint_freq == 0 or b == nbatch - 1):
             tmp = checkpoint_path + ".tmp"
@@ -107,6 +115,30 @@ def big_batch_search(
             os.replace(tmp, checkpoint_path)
         if verbose:
             print(f"big_batch_search: batch {b + 1}/{nbatch}")
+
+    inflight = None
+    for b in range(nbatch):
+        InterruptCallback.check()
+        if done[b]:
+            continue
+        i0, i1 = b * batch_size, min((b + 1) * batch_size, nq)
+        if search_device is not None:
+            import jax
+            import jax.numpy as jnp
+
+            xq_dev = jnp.asarray(
+                index._check_input(xq[i0:i1])
+                if hasattr(index, "_check_input") else
+                np.ascontiguousarray(xq[i0:i1], np.float32))
+            Dv, Iv = search_device(xq_dev, k)   # async dispatch
+            if inflight is not None:
+                finalize(inflight)              # overlaps with compute
+            inflight = (b, Dv, Iv)
+        else:
+            Dv, Iv = index.search(xq[i0:i1], k)
+            finalize((b, Dv, Iv))
+    if inflight is not None:
+        finalize(inflight)
     return Dout, Iout
 
 
