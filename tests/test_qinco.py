@@ -1,0 +1,121 @@
+"""QINCo neural codec (faiss/utils/NeuralNet.{h,cpp},
+faiss/IndexNeuralNetCodec.h) — inference semantics + index round trips."""
+
+import numpy as np
+import pytest
+
+from tpu_ann.models.qinco import IndexQINCo
+from tpu_ann.ops import qinco as Q
+
+
+def _np_decode(p, codes):
+    """Literal numpy transcription of QINCo::decode / QINCoStep::decode
+    (NeuralNet.cpp:190-202,300-307) as the oracle."""
+    cb0 = np.asarray(p.codebook0)
+    xhat = cb0[codes[:, 0]]
+    for i, st in enumerate(p.steps):
+        cb = np.asarray(st.codebook)
+        z = cb[codes[:, i + 1]]
+        z = z + z @ np.asarray(st.w_cb) + xhat @ np.asarray(st.w_xh) \
+            + np.asarray(st.b)
+        for l in range(st.ffn_w1.shape[0]):
+            h = np.maximum(z @ np.asarray(st.ffn_w1[l]), 0.0)
+            z = z + h @ np.asarray(st.ffn_w2[l])
+        xhat = xhat + z
+    return xhat
+
+
+@pytest.fixture(scope="module")
+def qp():
+    return Q.QINCoParams.random(d=16, K=32, L=2, M=4, h=24, seed=3)
+
+
+def test_decode_matches_oracle(qp, rng):
+    codes = rng.randint(0, 32, size=(50, 4)).astype(np.int32)
+    import jax.numpy as jnp
+
+    out = np.asarray(Q.qinco_decode(qp, jnp.asarray(codes)))
+    ref = _np_decode(qp, codes)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_encode_matches_greedy_oracle(qp, rng):
+    """qinco_encode must pick, per step, the argmin-error candidate over
+    all K codes (QINCoStep::encode semantics, NeuralNet.cpp:204-260) —
+    checked against a literal numpy transcription."""
+    import jax.numpy as jnp
+
+    x = rng.randn(64, 16).astype(np.float32)
+    codes = np.asarray(Q.qinco_encode(qp, jnp.asarray(x)))
+    assert codes.shape == (64, 4)
+
+    cb0 = np.asarray(qp.codebook0)
+    c0 = np.argmin(
+        ((x[:, None, :] - cb0[None]) ** 2).sum(-1), axis=1)
+    np.testing.assert_array_equal(codes[:, 0], c0)
+    xhat = cb0[c0]
+    for i, st in enumerate(qp.steps):
+        cb = np.asarray(st.codebook)
+        z = cb[None] + cb[None] @ np.asarray(st.w_cb) \
+            + (xhat @ np.asarray(st.w_xh))[:, None, :] + np.asarray(st.b)
+        for l in range(st.ffn_w1.shape[0]):
+            h = np.maximum(z @ np.asarray(st.ffn_w1[l]), 0.0)
+            z = z + h @ np.asarray(st.ffn_w2[l])
+        err = ((x[:, None, :] - (xhat[:, None, :] + z)) ** 2).sum(-1)
+        ci = np.argmin(err, axis=1)
+        # allow numerical near-ties between jax f32 and numpy f64 paths
+        picked = err[np.arange(len(x)), codes[:, i + 1]]
+        best = err[np.arange(len(x)), ci]
+        assert np.all(picked <= best + 1e-3 * (1 + np.abs(best)))
+        xhat = xhat + z[np.arange(len(x)), codes[:, i + 1]]
+    # full decode reconstructs exactly what encode tracked
+    np.testing.assert_allclose(_np_decode(qp, codes), xhat, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_pack_unpack_roundtrip(rng):
+    for nbits in (5, 8, 10):
+        codes = rng.randint(0, 2 ** nbits, size=(40, 7))
+        packed = Q.pack_codes(codes, nbits)
+        assert packed.shape[1] == -(-7 * nbits // 8)
+        back = Q.unpack_codes(packed, 7, nbits)
+        np.testing.assert_array_equal(back, codes)
+
+
+def test_index_qinco(rng):
+    d = 16
+    idx = IndexQINCo(d, K=32, L=1, M=3, h=24)
+    xb = rng.randn(300, d).astype(np.float32)
+    idx.add(xb)
+    assert idx.ntotal == 300
+    assert idx.sa_code_size() == -(-3 * 5 // 8)
+    # IndexFlatCodes::search contract: k-NN over the DECODED vectors
+    idx.decode_block = 128            # force the block-merge path
+    Dv, Iv = idx.search(xb[:20], 5)
+    dec = idx.sa_decode(idx._codes)
+    full = ((xb[:20, None, :] - dec[None]) ** 2).sum(-1)
+    oracle = np.argsort(full, axis=1)[:, :5]
+    od = np.take_along_axis(full, oracle, axis=1)
+    np.testing.assert_allclose(np.sort(Dv, 1), np.sort(od, 1),
+                               rtol=1e-3, atol=1e-3)
+    agree = (np.sort(Iv, 1) == np.sort(oracle, 1)).mean()
+    assert agree > 0.9                # ties may swap rows
+    r = idx.reconstruct(5)
+    np.testing.assert_allclose(r, idx.sa_decode(idx._codes[5:6])[0],
+                               rtol=1e-5)
+
+
+def test_qinco_io_roundtrip(rng, tmp_path):
+    from tpu_ann.utils import index_io
+
+    idx = IndexQINCo(16, K=16, L=1, M=3, h=20)
+    xb = rng.randn(100, 16).astype(np.float32)
+    idx.add(xb)
+    p = str(tmp_path / "q.tann")
+    index_io.write_index(idx, p)
+    back = index_io.read_index(p)
+    assert back.ntotal == 100 and back.K == 16 and back.M == 3
+    D0, I0 = idx.search(xb[:10], 3)
+    D1, I1 = back.search(xb[:10], 3)
+    np.testing.assert_array_equal(I0, I1)
+    np.testing.assert_allclose(D0, D1, rtol=1e-5)

@@ -70,6 +70,10 @@ from .models.extra import (  # noqa: F401
     IndexSplitVectors,
     MultiIndexQuantizer,
 )
+from .models.qinco import (  # noqa: F401
+    IndexNeuralNetCodec,
+    IndexQINCo,
+)
 from .models.idmap import (  # noqa: F401
     IndexIDMap,
     IndexIDMap2,

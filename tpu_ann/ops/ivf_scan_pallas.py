@@ -144,6 +144,15 @@ def _grouped_kernel(
         cd = jnp.concatenate([bd, dis], axis=1)
         ci = jnp.concatenate([bi, jnp.broadcast_to(vids, dis.shape)],
                              axis=1)
+        # pad the lane dim to a 128 multiple with +inf/-1 so reductions
+        # never see Mosaic's lane padding (W = k + CB*B is generally
+        # unaligned)
+        Wp = (-cd.shape[1]) % 128
+        if Wp:
+            cd = jnp.concatenate(
+                [cd, jnp.full((PT, Wp), jnp.inf, cd.dtype)], axis=1)
+            ci = jnp.concatenate(
+                [ci, jnp.full((PT, Wp), -1, ci.dtype)], axis=1)
         W = cd.shape[1]
         lanes = lax.broadcasted_iota(jnp.int32, (PT, W), 1)
         nd = []

@@ -539,6 +539,42 @@ def _load_refine(meta, arrays):
     return idx
 
 
+def _dump_qinco(index):
+    meta = {"tag": "IxQN", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "K": index.K, "L": index.L,
+            "M": index.M, "h": index.h, "nbits": index.nbits}
+    arrays = {"codes": index._codes,
+              "codebook0": np.asarray(index.qinco.codebook0)}
+    for i, st in enumerate(index.qinco.steps):
+        for name in ("codebook", "w_cb", "w_xh", "b", "ffn_w1", "ffn_w2"):
+            arrays[f"step{i}/{name}"] = np.asarray(getattr(st, name))
+    return meta, arrays
+
+
+def _load_qinco(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.qinco import IndexQINCo
+    from ..ops.qinco import QINCoParams, QINCoStepParams
+
+    steps = []
+    for i in range(int(meta["M"]) - 1):
+        steps.append(QINCoStepParams(*[
+            jnp.asarray(np.asarray(arrays[f"step{i}/{name}"]))
+            for name in ("codebook", "w_cb", "w_xh", "b", "ffn_w1",
+                         "ffn_w2")]))
+    params = QINCoParams(
+        codebook0=jnp.asarray(np.asarray(arrays["codebook0"])),
+        steps=steps)
+    idx = IndexQINCo(int(meta["d"]), K=int(meta["K"]), L=int(meta["L"]),
+                     M=int(meta["M"]), h=int(meta["h"]),
+                     metric=int(meta["metric"]), params=params)
+    idx._codes = np.asarray(arrays["codes"])
+    idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+_register("IndexQINCo", "IxQN", _dump_qinco, _load_qinco)
 _register("IndexPQ", "IxPQ", _dump_pq, _load_pq)
 _register("IndexScalarQuantizer", "IxSQ", _dump_sq, _load_sq)
 _register("IndexIVFPQ", "IwPQ", _dump_ivfpq, _load_ivfpq)
