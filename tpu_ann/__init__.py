@@ -74,6 +74,7 @@ from .models.qinco import (  # noqa: F401
     IndexNeuralNetCodec,
     IndexQINCo,
 )
+from .models.lattice import IndexLattice  # noqa: F401
 from .models.idmap import (  # noqa: F401
     IndexIDMap,
     IndexIDMap2,

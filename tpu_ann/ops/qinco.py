@@ -226,7 +226,9 @@ def pack_codes(codes: np.ndarray, nbits: int) -> np.ndarray:
     n, M = codes.shape
     total = M * nbits
     nbytes = -(-total // 8)
-    bits = ((codes[:, :, None] >> np.arange(nbits)) & 1).astype(np.uint8)
+    codes = np.asarray(codes, np.uint64)
+    shifts = np.arange(nbits, dtype=np.uint64)
+    bits = ((codes[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
     bits = bits.reshape(n, total)
     pad = nbytes * 8 - total
     if pad:
@@ -241,4 +243,6 @@ def unpack_codes(packed: np.ndarray, M: int, nbits: int) -> np.ndarray:
     bits = np.unpackbits(packed[:, :, None], axis=-1,
                          bitorder="little").reshape(n, -1)
     bits = bits[:, :M * nbits].reshape(n, M, nbits)
-    return (bits.astype(np.int32) << np.arange(nbits)).sum(-1)
+    shifts = np.arange(nbits, dtype=np.uint64)
+    wide = (bits.astype(np.uint64) << shifts).sum(-1, dtype=np.uint64)
+    return wide if nbits > 31 else wide.astype(np.int32)

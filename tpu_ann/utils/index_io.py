@@ -574,6 +574,32 @@ def _load_qinco(meta, arrays):
     return idx
 
 
+def _dump_lattice(index):
+    meta = {"tag": "IxLt", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "nsq": index.nsq,
+            "scale_nbit": index.scale_nbit, "r2": index.zn.r2,
+            "is_trained": index.is_trained}
+    arrays = {"codes": index._codes}
+    if index.trained is not None:
+        arrays["trained"] = index.trained
+    return meta, arrays
+
+
+def _load_lattice(meta, arrays):
+    from ..models.lattice import IndexLattice
+
+    idx = IndexLattice(int(meta["d"]), nsq=int(meta["nsq"]),
+                       scale_nbit=int(meta["scale_nbit"]),
+                       r2=int(meta["r2"]), metric=int(meta["metric"]))
+    if "trained" in arrays:
+        idx.trained = np.asarray(arrays["trained"])
+    idx.is_trained = bool(meta["is_trained"])
+    idx._codes = np.asarray(arrays["codes"])
+    idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+_register("IndexLattice", "IxLt", _dump_lattice, _load_lattice)
 _register("IndexQINCo", "IxQN", _dump_qinco, _load_qinco)
 _register("IndexPQ", "IxPQ", _dump_pq, _load_pq)
 _register("IndexScalarQuantizer", "IxSQ", _dump_sq, _load_sq)
