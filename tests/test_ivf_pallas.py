@@ -26,14 +26,25 @@ def test_fused_scan_matches_query_major(rng, nprobe):
 
     D0, I0, _ = scan_invlists(jnp.asarray(xq), probes, il, k,
                               max_nblocks=il.max_nblocks_per_list)
+    # kp=3k: per-pair extraction wide enough that the bf16 phase keeps
+    # every true top-k candidate for the exact f32 refine
     D1, I1, _ = scan_invlists_fused(jnp.asarray(xq), probes, il, k,
-                                    PT=32, CB=2, interpret=True)
-    np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
-                               rtol=1e-4, atol=1e-4)
-    # candidate sets match (ties may reorder)
+                                    PT=32, CB=2, refine=4, kp=3 * k,
+                                    interpret=True)
+    I0, I1 = np.asarray(I0), np.asarray(I1)
+    D0, D1 = np.asarray(D0), np.asarray(D1)
+    # candidate sets overlap near-perfectly; matching ids carry exact
+    # f32 distances (the scan itself is deliberately bf16 + f32 refine)
+    overlap = np.mean([
+        len(set(I1[q]) & set(I0[q])) / k for q in range(nq)])
+    assert overlap >= 0.98, overlap
     for q in range(nq):
-        assert set(np.asarray(I1)[q].tolist()) == \
-            set(np.asarray(I0)[q].tolist()), q
+        common = set(I1[q]) & set(I0[q])
+        m0 = {i: d for i, d in zip(I0[q], D0[q])}
+        m1 = {i: d for i, d in zip(I1[q], D1[q])}
+        for i in common:
+            np.testing.assert_allclose(m1[i], m0[i], rtol=1e-4,
+                                       atol=1e-4)
 
 
 def test_fused_scan_empty_lists(rng):
@@ -45,8 +56,10 @@ def test_fused_scan_empty_lists(rng):
     il = pack_invlists(xb, np.arange(n), assign, nlist, block_size=16)
     probes = jnp.asarray(
         np.stack([np.arange(4) for _ in range(nq)]), jnp.int32)
+    # kp covers the whole non-empty list -> exact equivalence
     D1, I1, _ = scan_invlists_fused(jnp.asarray(xq), probes, il, k,
-                                    PT=16, CB=2, interpret=True)
+                                    PT=16, CB=2, kp=32, refine=4,
+                                    interpret=True)
     D0, I0, _ = scan_invlists(jnp.asarray(xq), probes, il, k,
                               max_nblocks=il.max_nblocks_per_list)
     np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),

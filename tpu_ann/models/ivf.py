@@ -313,6 +313,27 @@ class IndexIVF(Index):
         nprobe, mnb = self._effective_params(None)
         return self._search_device(xq_dev, k, nprobe, mnb)
 
+    def _use_fused(self, nq: int, nprobe: int, mnb: int, id_mask) -> bool:
+        """Dispatch to the Pallas list-major fused scan
+        (ops/ivf_scan_pallas.py) when it applies: raw-vector invlists, L2,
+        no search-time selector, no max_codes cap, and a batch large
+        enough to amortize the pair sort. Measured on v5e (SIFT1M,
+        IVF4096): 2.4-3.1x the query-major scan at nprobe 16-64."""
+        if self.scan_mode == "fused":
+            return True
+        if self.scan_mode != "auto":
+            return False
+        import jax as _jax
+
+        return (
+            id_mask is None
+            and hasattr(self.invlists, "data")
+            and not D.is_similarity_metric(self.metric_type)
+            and mnb >= self.invlists.max_nblocks_per_list
+            and nq * nprobe >= 4096
+            and _jax.default_backend() not in ("cpu",)  # Mosaic target only
+        )
+
     def _use_grouped(self, nq: int, nprobe: int, id_mask) -> bool:
         if id_mask is not None or self.scan_mode in ("query", "auto"):
             # measured on v5e: the query-major compacted scan beats the
@@ -326,7 +347,13 @@ class IndexIVF(Index):
         """coarse quantization + invlist scan, all on device."""
         _, probes = self._coarse_search_device(xq_dev, nprobe)
         probes = probes.astype(jnp.int32)
-        if self._use_grouped(xq_dev.shape[0], nprobe, id_mask):
+        if self._use_fused(xq_dev.shape[0], nprobe, mnb, id_mask):
+            from ..ops.ivf_scan_pallas import scan_invlists_fused
+
+            Dv, Iv, _ = scan_invlists_fused(
+                xq_dev, probes, self.invlists, k, self.metric_type,
+            )
+        elif self._use_grouped(xq_dev.shape[0], nprobe, id_mask):
             Dv, Iv, _ = ivf_scan.scan_invlists_grouped(
                 xq_dev, probes, self.invlists, k, self.metric_type,
                 max_nblocks=mnb, group=self.group_size,

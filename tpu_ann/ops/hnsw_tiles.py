@@ -330,6 +330,178 @@ def _tile_beam(
     return bd, bi, {"nhops": hops, "ndis": ndis}
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FusedTileGraph:
+    """Tile layout for the Pallas fused scan path: tiles as packed
+    invlists (one list per tile, f32 storage for the exact refine),
+    centroids for hop-0 routing, and a position-space level-0 adjacency
+    for the graph hops."""
+
+    il: object               # PackedInvLists (lists = tiles)
+    cent: jnp.ndarray        # (T, d) f32 tile centroids
+    nbr_pos: jnp.ndarray     # (T*b, M0) int32 neighbor POSITIONS (-1 pad)
+    orig_ids: jnp.ndarray    # (T*b,) int32 position -> node id (-1 pad)
+    b: int = 32              # static: tile size
+    n: int = 0               # static: real vector count
+
+    def tree_flatten(self):
+        return ((self.il, self.cent, self.nbr_pos, self.orig_ids),
+                (self.b, self.n))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, b=aux[0], n=aux[1])
+
+
+def build_tiles_fused(
+    x: np.ndarray,
+    neighbors0: np.ndarray,
+    *,
+    order: Optional[np.ndarray] = None,
+    b: int = 32,
+) -> FusedTileGraph:
+    """FusedTileGraph from vectors (node-id order) + level-0 graph.
+    Same spatial layout as build_tiles; storage goes through
+    pack_invlists so the fused kernel's stream/refine machinery applies
+    unchanged (tile i == list i, position == packed row)."""
+    from .ivf_scan import pack_invlists
+
+    x = np.ascontiguousarray(np.asarray(x), np.float32)
+    n, d = x.shape
+    if order is None:
+        order = np.arange(n, dtype=np.int64)
+    order = np.asarray(order, np.int64)
+    pos_of = np.empty(n, np.int64)
+    pos_of[order] = np.arange(n)
+    T = max(-(-n // b), 1)
+
+    # tile of position p is p // b
+    assign = np.arange(n, dtype=np.int64) // b          # in position order
+    xs = x[order]
+    il = pack_invlists(xs, np.arange(n, dtype=np.int64), assign, T,
+                       block_size=b)
+
+    cnt = np.bincount(assign, minlength=T).astype(np.float32)
+    sums = np.zeros((T, d), np.float64)
+    np.add.at(sums, assign, xs)
+    cent = (sums / np.maximum(cnt, 1.0)[:, None]).astype(np.float32)
+
+    nb = np.asarray(neighbors0, np.int64)
+    m0 = nb.shape[1]
+    nbr = np.full((T * b, m0), -1, np.int32)
+    ok = nb >= 0
+    mapped = np.where(ok, pos_of[np.where(ok, nb, 0)], -1).astype(np.int32)
+    nbr[:n] = mapped[order]
+
+    orig_ids = np.full(T * b, -1, np.int32)
+    orig_ids[:n] = order.astype(np.int32)
+
+    return FusedTileGraph(
+        il=il,
+        cent=jnp.asarray(cent),
+        nbr_pos=jnp.asarray(nbr),
+        orig_ids=jnp.asarray(orig_ids),
+        b=b,
+        n=n,
+    )
+
+
+def _dedupe_first(tids, valid):
+    """first-occurrence mask within each row (sort-based, stable)."""
+    nq, c = tids.shape
+    safe = jnp.where(valid, tids, jnp.int32(2 ** 30))
+    order = jnp.argsort(safe, axis=1)
+    s = jnp.take_along_axis(safe, order, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((nq, 1), bool), s[:, 1:] == s[:, :-1]], axis=1)
+    dup = jnp.zeros((nq, c), bool).at[_row_iota((nq, c)), order].set(
+        dup_sorted)
+    return valid & ~dup
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe0", "hops", "expand", "F", "kp", "rk",
+                     "metric", "interpret"),
+)
+def tile_search_fused(
+    ftg: FusedTileGraph,
+    xq: jnp.ndarray,
+    k: int,
+    *,
+    nprobe0: int = 16,
+    hops: int = 2,
+    expand: int = 8,
+    F: int = 8,
+    kp: int = 8,
+    rk: int = 32,
+    metric: int = D.METRIC_L2,
+    interpret: bool = False,
+):
+    """Graph-accelerated tile search built on the fused list-major scan.
+
+    Hop 0 routes with one MXU GEMM over the T tile centroids (the role of
+    HNSW's upper levels — at T ~ n/b the full centroid score matrix costs
+    microseconds, so greedy descent is pointless on TPU) and scans the
+    top-nprobe0 tiles with the Pallas kernel. Each graph hop then expands
+    the current best `expand` VECTORS through the level-0 adjacency —
+    recovering true neighbors in tiles the centroid routing missed, which
+    is precisely what the graph adds over pure IVF — and fused-scans up
+    to F fresh tiles. All scans re-rank in exact f32 (refine inside the
+    kernel wrapper).
+
+    Returns (dists (nq, k), positions (nq, k) int32, ids (nq, k) int32).
+    """
+    from .ivf_scan_pallas import scan_invlists_fused
+    from . import topk as TK
+
+    if D.is_similarity_metric(metric):
+        raise NotImplementedError("tile_search_fused: L2 only")
+    nq, d = xq.shape
+    b = ftg.b
+    T = ftg.il.nlist
+    xq = xq.astype(jnp.float32)
+
+    _, seeds = D.knn(xq, ftg.cent, min(nprobe0, T), metric,
+                     compute_dtype="bfloat16", approx=T > 4096)
+    seeds = seeds.astype(jnp.int32)
+    bd, bpos, _ = scan_invlists_fused(
+        xq, seeds, ftg.il, min(rk, nprobe0 * kp), metric, kp=kp,
+        refine=4, interpret=interpret)
+    # positions come back through the ids channel (ids == positions)
+    hist = seeds
+    for _ in range(hops):
+        top_pos = bpos[:, :expand]                        # (nq, E)
+        okp = top_pos >= 0
+        nbrs = ftg.nbr_pos[jnp.where(okp, top_pos, 0)]    # (nq, E, m0)
+        cand = nbrs.reshape(nq, -1)
+        cvalid = (cand >= 0) & jnp.repeat(okp, nbrs.shape[2], axis=1)
+        ctiles = jnp.where(cvalid, cand // b, -1)
+        fresh = _dedupe_first(ctiles, cvalid)
+        # not already scanned (history membership)
+        seen = jnp.any(
+            ctiles[:, :, None] == hist[:, None, :], axis=2)
+        fresh = fresh & ~seen
+        # first F fresh in parent-rank order
+        forder = jnp.argsort(~fresh, axis=1, stable=True)[:, :F]
+        sel_t = jnp.take_along_axis(ctiles, forder, axis=1)
+        sel_f = jnp.take_along_axis(fresh, forder, axis=1)
+        probes_h = jnp.where(sel_f, sel_t, -1).astype(jnp.int32)
+        hist = jnp.concatenate([hist, probes_h], axis=1)
+        hd, hpos, _ = scan_invlists_fused(
+            xq, probes_h, ftg.il, min(rk, F * kp), metric, kp=kp,
+            refine=4, interpret=interpret)
+        bd, bpos = TK.merge_topk(bd, bpos, hd, hpos, rk,
+                                 similarity=False)
+    out_d = bd[:, :k]
+    out_p = bpos[:, :k]
+    out_i = jnp.where(
+        out_p >= 0,
+        ftg.orig_ids[jnp.clip(out_p, 0, ftg.orig_ids.shape[0] - 1)], -1)
+    return out_d, out_p, out_i
+
+
 def tile_search(
     tg: TileGraph,
     xq: jnp.ndarray,

@@ -23,9 +23,20 @@ Per chunk of CB blocks:
     mask rows outside each pair's [pstart, pend) block range
     running per-pair top-k via k-step min-extraction        (VPU)
 
-Output is exact per-pair top-k; the caller merges pairs per query with
-one lax.top_k. Equivalence to the query-major `scan_invlists` is tested
-in tests/test_ivf_pallas.py (interpret mode on CPU, compiled on TPU).
+Precision model (measured on v5e): Mosaic lowers an f32 matmul to a
+single-pass bf16 MXU product, which puts O(0.5%) noise on the inner
+product — enough to scramble a top-10 at SIFT1M scale (recall 0.99 ->
+0.91). So the kernel embraces bf16 on purpose — vectors stream as bf16
+(HALF the DMA bytes; norms stay exact f32) and the caller re-scores the
+merged top-(refine*k) candidate rows in exact f32 against the packed
+storage before the final top-k, exactly like the FlatL2 bf16+refine
+headline path. The kernel therefore returns stream POSITIONS
+(block*B + lane), which both the refine gather and the id lookup use.
+
+Output is per-pair top-k; the caller merges pairs per query, refines,
+and maps positions to ids. Equivalence to the query-major
+`scan_invlists` is tested in tests/test_ivf_pallas.py (interpret mode on
+CPU, compiled on TPU).
 
 Reference hot loop this replaces: faiss/IndexIVF.cpp:511-589
 (search_preassigned's per-probe scan_codes) and IndexIVFFlat.cpp:130-196.
@@ -51,20 +62,20 @@ def _grouped_kernel(
     tile_bs_ref,       # (ntiles,) int32: first stream block of tile
     tile_nb_ref,       # (ntiles,) int32: number of stream blocks of tile
     # tensor inputs
-    qv_ref,            # (PT, d) VMEM: tile's pair query vectors
-    qn_ref,            # (PT, 1) VMEM: tile's pair query norms
+    qv_ref,            # (PT, d) VMEM bf16: tile's pair query vectors
+    qn_ref,            # (PT, 1) VMEM f32: tile's pair query norms
     ps_ref,            # (PT, 1) VMEM int32: pair's list first stream block
     pe_ref,            # (PT, 1) VMEM int32: pair's list end stream block
-    data_hbm,          # (nblocks+1, B, d) HBM
-    ids_hbm,           # (nblocks+1, B) int32 HBM
-    norms_hbm,         # (nblocks+1, B) HBM
+    data_hbm,          # (nblocks+1+CB, B, d) bf16 HBM
+    ids_hbm,           # (nblocks+1+CB, B) int32 HBM (-1 = padding slot)
+    norms_hbm,         # (nblocks+1+CB, B) f32 HBM
     # outputs
-    outd_ref,          # (PT, k) VMEM
-    outi_ref,          # (PT, k) VMEM
+    outd_ref,          # (k, PT) VMEM f32
+    outp_ref,          # (k, PT) VMEM int32 stream positions
     # scratch
-    dbuf,              # (2, CB, B, d) VMEM
+    dbuf,              # (2, CB, B, d) bf16 VMEM
     ibuf,              # (2, CB, B) int32 VMEM
-    nbuf,              # (2, CB, B) VMEM
+    nbuf,              # (2, CB, B) f32 VMEM
     sems,              # DMA sems (2, 3)
     *,
     k: int,
@@ -107,13 +118,13 @@ def _grouped_kernel(
     def _():
         start_dma(0, 0)
 
-    qv = qv_ref[:]                                    # (PT, d)
-    qn = qn_ref[:]                                    # (PT, 1)
+    qv = qv_ref[:]                                    # (PT, d) bf16
+    qn = qn_ref[:]                                    # (PT, 1) f32
     pstart = ps_ref[:]                                # (PT, 1)
     pend = pe_ref[:]                                  # (PT, 1)
 
     def chunk_body(c, carry):
-        bd, bi = carry                                # (PT, k) each
+        bd, bp = carry                                # (PT, k) each
         slot = lax.rem(c, 2)
 
         @pl.when(c + 1 < nchunks)
@@ -128,25 +139,24 @@ def _grouped_kernel(
             qv, chunk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                             # (PT, CB*B)
+        )                                             # (PT, CB*B) f32
         dis = jnp.maximum(qn + vnorm - 2.0 * ip, 0.0)
 
-        # mask: slot's stream block must lie in the pair's list range and
-        # the slot must hold a real row (ids >= 0)
-        blk = bs + c * CB + lax.broadcasted_iota(
-            jnp.int32, (1, CB * B), 1) // B
+        # stream position of each lane; mask: the lane's block must lie
+        # in the pair's list range and hold a real row (ids >= 0)
+        lane = lax.broadcasted_iota(jnp.int32, (1, CB * B), 1)
+        blk = bs + c * CB + lane // B
         ok = (blk >= pstart) & (blk < pend) & (vids >= 0)
         dis = jnp.where(ok, dis, jnp.inf)
+        pos = jnp.broadcast_to((bs + c * CB) * B + lane, dis.shape)
 
         # merge chunk into the running per-pair top-k: k rounds of
         # min-extraction over (PT, k + CB*B) (WarpSelect's role; argmin ->
         # one-hot dot keeps everything on the VPU, no dynamic gathers)
         cd = jnp.concatenate([bd, dis], axis=1)
-        ci = jnp.concatenate([bi, jnp.broadcast_to(vids, dis.shape)],
-                             axis=1)
+        ci = jnp.concatenate([bp, pos], axis=1)
         # pad the lane dim to a 128 multiple with +inf/-1 so reductions
-        # never see Mosaic's lane padding (W = k + CB*B is generally
-        # unaligned)
+        # never see Mosaic's lane padding
         Wp = (-cd.shape[1]) % 128
         if Wp:
             cd = jnp.concatenate(
@@ -156,34 +166,35 @@ def _grouped_kernel(
         W = cd.shape[1]
         lanes = lax.broadcasted_iota(jnp.int32, (PT, W), 1)
         nd = []
-        ni = []
+        npos = []
         for _ in range(k):
             val = jnp.min(cd, axis=1, keepdims=True)          # (PT, 1)
-            pos = jnp.argmin(cd, axis=1)                      # (PT,)
-            onehot = lanes == pos[:, None]
-            idv = jnp.sum(jnp.where(onehot, ci, 0), axis=1)
+            sel = jnp.argmin(cd, axis=1)                      # (PT,)
+            onehot = lanes == sel[:, None]
+            pv = jnp.sum(jnp.where(onehot, ci, 0), axis=1)
             nd.append(val[:, 0])
-            ni.append(idv)
+            npos.append(pv)
             cd = jnp.where(onehot, jnp.inf, cd)
         bd = jnp.stack(nd, axis=1)
-        bi = jnp.stack(ni, axis=1)
-        bi = jnp.where(jnp.isinf(bd), -1, bi)
-        return bd, bi
+        bp = jnp.stack(npos, axis=1)
+        bp = jnp.where(jnp.isinf(bd), -1, bp)
+        return bd, bp
 
     init = (
         jnp.full((PT, k), jnp.inf, jnp.float32),
         jnp.full((PT, k), -1, jnp.int32),
     )
-    bd, bi = lax.fori_loop(0, nchunks, chunk_body, init)
+    bd, bp = lax.fori_loop(0, nchunks, chunk_body, init)
     # outputs are stored (k, PT): the lane dimension must stay 128-aligned
     # (Mosaic rejects k-wide lane slices); callers transpose back in XLA
     outd_ref[:] = bd.T
-    outi_ref[:] = bi.T
+    outp_ref[:] = bp.T
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "PT", "CB", "interpret"),
+    static_argnames=("k", "metric", "PT", "CB", "refine", "kp",
+                     "interpret"),
 )
 def scan_invlists_fused(
     xq: jnp.ndarray,
@@ -194,24 +205,34 @@ def scan_invlists_fused(
     *,
     PT: int = 128,
     CB: int = 4,
+    refine: int = 4,
+    kp: int = 0,
     interpret: bool = False,
 ):
     """List-major fused IVF scan (see module docstring).
 
     Args:
-      xq: (nq, d) queries. probes: (nq, nprobe) int32.
-      invlists: PackedInvLists (raw-vector storage).
-    Returns (D, I, ndis): exact per-query top-k over the probed lists.
+      xq: (nq, d) queries, d a multiple of 128. probes: (nq, nprobe)
+        int32 (-1 entries are skipped). invlists: PackedInvLists
+        (raw-vector storage). refine: exact-f32 re-rank width multiplier
+        (top refine*k merged bf16 candidates are re-scored; refine=0
+        trusts the bf16 distances).
+    Returns (D, I, ndis): per-query top-k over the probed lists with
+    exact f32 distances (refine > 0).
     """
     nq, d = xq.shape
+    # Mosaic requires 128-aligned minor-dim DMA slices: zero-pad d for
+    # the bf16 stream (zeros don't change inner products; the f32 refine
+    # uses the original d-dim storage)
+    dp = -(-d // 128) * 128
     nprobe = probes.shape[1]
     B = invlists.block_size
     NB = invlists.nblocks
     nlist = invlists.nlist
-    similarity = D.is_similarity_metric(metric)
-    if similarity:
+    if D.is_similarity_metric(metric):
         raise NotImplementedError("fused scan: L2 only (IP: negate trick)")
     xq = xq.astype(jnp.float32)
+    kp = int(kp) if kp else k
     npairs = nq * nprobe
 
     nblk = invlists.list_nblocks                     # (nlist,)
@@ -225,8 +246,10 @@ def scan_invlists_fused(
     order = jnp.argsort(l_flat)
     ls = l_flat[order]                               # sorted list ids
     pq_idx = order // nprobe                         # pair's query row
-    p_start = sstart[ls]                             # (npairs,)
-    p_nb = nblk[ls]
+    valid_pair = ls >= 0
+    ls_safe = jnp.where(valid_pair, ls, 0)
+    p_start = jnp.where(valid_pair, sstart[ls_safe], 0)
+    p_nb = jnp.where(valid_pair, nblk[ls_safe], 0)
     p_end = p_start + p_nb
 
     ntiles = -(-npairs // PT)
@@ -236,14 +259,15 @@ def scan_invlists_fused(
         p_start = jnp.pad(p_start, (0, pad))
         p_end = jnp.pad(p_end, (0, pad))
         pq_idx = jnp.pad(pq_idx, (0, pad))
-        ls = jnp.pad(ls, (0, pad), constant_values=nlist - 1)
 
     qv = xq[pq_idx]                                  # (npairs_pad, d)
     qn = jnp.sum(qv * qv, axis=1, keepdims=True)
 
     ps_t = p_start.reshape(ntiles, PT, 1).astype(jnp.int32)
     pe_t = p_end.reshape(ntiles, PT, 1).astype(jnp.int32)
-    qv_t = qv.reshape(ntiles, PT, d)
+    if dp != d:
+        qv = jnp.pad(qv, ((0, 0), (0, dp - d)))
+    qv_t = qv.astype(jnp.bfloat16).reshape(ntiles, PT, dp)
     qn_t = qn.reshape(ntiles, PT, 1)
 
     # tile block range: [min pstart, max pend) over real pairs
@@ -257,13 +281,14 @@ def scan_invlists_fused(
     max_chunks = int(-(-NB // CB)) + 1
 
     # ndis: rows scanned incl. block padding (IndexIVFStats.ndis analog)
-    ndis = jnp.sum(nblk[l_flat]) * B
+    ndis = jnp.sum(jnp.where(l_flat >= 0,
+                             nblk[jnp.maximum(l_flat, 0)], 0)) * B
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, PT, d), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, PT, dp), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, PT, 1), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, PT, 1), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, PT, 1), lambda t, *_: (t, 0, 0)),
@@ -272,11 +297,11 @@ def scan_invlists_fused(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, k, PT), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, k, PT), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, kp, PT), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, kp, PT), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CB, B, d), jnp.float32),
+            pltpu.VMEM((2, CB, B, dp), jnp.bfloat16),
             pltpu.VMEM((2, CB, B), jnp.int32),
             pltpu.VMEM((2, CB, B), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -284,45 +309,65 @@ def scan_invlists_fused(
     )
 
     def kern(tile_bs_ref, tile_nb_ref, qv_ref, qn_ref, ps_ref, pe_ref,
-             data_hbm, ids_hbm, norms_hbm, outd_ref, outi_ref,
+             data_hbm, ids_hbm, norms_hbm, outd_ref, outp_ref,
              dbuf, ibuf, nbuf, sems):
         _grouped_kernel(
             tile_bs_ref, tile_nb_ref,
             qv_ref[0], qn_ref[0], ps_ref[0], pe_ref[0],
             data_hbm, ids_hbm, norms_hbm,
-            outd_ref.at[0], outi_ref.at[0],
+            outd_ref.at[0], outp_ref.at[0],
             dbuf, ibuf, nbuf, sems,
-            k=k, CB=CB, B=B, max_chunks=max_chunks,
+            k=kp, CB=CB, B=B, max_chunks=max_chunks,
         )
 
     # pad the block stream so a full CB chunk past the end stays in bounds
-    data = invlists.data
-    ids = invlists.ids
-    norms = invlists.norms
-    data = jnp.pad(data, ((0, CB), (0, 0), (0, 0)))
-    ids = jnp.pad(ids, ((0, CB), (0, 0)), constant_values=-1)
-    norms = jnp.pad(norms, ((0, CB), (0, 0)))
+    data_f32 = invlists.data
+    data = jnp.pad(data_f32.astype(jnp.bfloat16),
+                   ((0, CB), (0, 0), (0, dp - d)))
+    ids = jnp.pad(invlists.ids, ((0, CB), (0, 0)), constant_values=-1)
+    norms = jnp.pad(invlists.norms, ((0, CB), (0, 0)))
 
-    outd, outi = pl.pallas_call(
+    outd, outp = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ntiles, k, PT), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, k, PT), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, kp, PT), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, kp, PT), jnp.int32),
         ],
         interpret=interpret,
     )(tile_bs.astype(jnp.int32), tile_nb.astype(jnp.int32),
       qv_t, qn_t, ps_t, pe_t, data, ids, norms)
 
     # ---- un-sort pairs, merge per query ----------------------------------
-    outd = outd.transpose(0, 2, 1).reshape(ntiles * PT, k)[:npairs]
-    outi = outi.transpose(0, 2, 1).reshape(ntiles * PT, k)[:npairs]
-    inv_d = jnp.full((npairs, k), jnp.inf, jnp.float32).at[order].set(outd)
-    inv_i = jnp.full((npairs, k), -1, jnp.int32).at[order].set(outi)
-    pair_d = inv_d.reshape(nq, nprobe * k)
-    pair_i = inv_i.reshape(nq, nprobe * k)
-    nv, pos = lax.top_k(-pair_d, k)
-    out_d = -nv
-    out_i = jnp.take_along_axis(pair_i, pos, axis=1)
-    out_i = jnp.where(jnp.isinf(out_d), -1, out_i)
+    outd = outd.transpose(0, 2, 1).reshape(ntiles * PT, kp)
+    outp = outp.transpose(0, 2, 1).reshape(ntiles * PT, kp)
+    # un-sort with an inverse-permutation GATHER (a scatter here costs
+    # more than the whole kernel on TPU)
+    inv = jnp.argsort(order)
+    pair_d = outd[inv].reshape(nq, nprobe * kp)
+    pair_p = outp[inv].reshape(nq, nprobe * kp)
+
+    ids_flat = invlists.ids.reshape(-1)              # (nblocks+1)*B
+    if refine and refine > 1:
+        R = min(refine * k, nprobe * kp)
+        nv, sel = lax.top_k(-pair_d, R)
+        cand_p = jnp.take_along_axis(pair_p, sel, axis=1)    # (nq, R)
+        safe_p = jnp.maximum(cand_p, 0)
+        # exact f32 re-score against the packed storage
+        rows = data_f32.reshape(-1, d)[safe_p]               # (nq, R, d)
+        ipx = jnp.einsum("qd,qrd->qr", xq, rows,
+                         preferred_element_type=jnp.float32)
+        rn = invlists.norms.reshape(-1)[safe_p]
+        qn2 = jnp.sum(xq * xq, axis=1, keepdims=True)
+        dis = jnp.maximum(qn2 + rn - 2.0 * ipx, 0.0)
+        dis = jnp.where(cand_p >= 0, dis, jnp.inf)
+        nv2, sel2 = lax.top_k(-dis, k)
+        out_d = -nv2
+        out_p = jnp.take_along_axis(cand_p, sel2, axis=1)
+    else:
+        nv, sel = lax.top_k(-pair_d, k)
+        out_d = -nv
+        out_p = jnp.take_along_axis(pair_p, sel, axis=1)
+    out_i = jnp.where(out_p >= 0, ids_flat[jnp.maximum(out_p, 0)], -1)
+    out_d = jnp.where(out_p >= 0, out_d, jnp.inf)
     return out_d, out_i, ndis
