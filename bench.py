@@ -131,7 +131,6 @@ def main():
         if rec >= 0.9:
             results.append((f"IVF{nlist},Flat nprobe={nprobe}", rec, qps,
                             t_train + t_add))
-            break
 
     if not results:
         results.append(("none-reached-0.9", rec, qps, t_train + t_add))
