@@ -81,3 +81,10 @@ def test_lattice_io_roundtrip(rng, tmp_path):
     D1, I1 = back.search(xt[:10], 3)
     np.testing.assert_array_equal(I0, I1)
     np.testing.assert_allclose(D0, D1, rtol=1e-5)
+
+
+def test_lattice_factory(rng):
+    from tpu_ann.utils.factory import index_factory
+
+    idx = index_factory(32, "ZnLattice4x10_6")
+    assert idx.nsq == 4 and idx.scale_nbit == 6 and idx.zn.r2 == 10

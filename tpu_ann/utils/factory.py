@@ -173,6 +173,13 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
         cls = (IndexResidualQuantizer if m.group(1) == "RQ"
                else IndexLocalSearchQuantizer)
         index = cls(cur_d, int(m.group(2)), int(m.group(3)), metric)
+    elif m := re.fullmatch(r"ZnLattice(\d+)x(\d+)_(\d+)", head):
+        # index_factory.cpp:554 "ZnLattice{nsq}x{r2}_{scale_nbit}"
+        from ..models.lattice import IndexLattice
+
+        index = IndexLattice(cur_d, nsq=int(m.group(1)),
+                             scale_nbit=int(m.group(3)),
+                             r2=int(m.group(2)), metric=metric)
     elif m := re.fullmatch(r"(PRQ|PLSQ)(\d+)x(\d+)x(\d+)", head):
         from ..models.rq import (
             IndexProductLocalSearchQuantizer,
