@@ -115,3 +115,19 @@ def test_torch_tensor_inputs(small_ds):
     D, I = flat.search(xq, 3)
     D2, I2 = flat.search(small_ds.get_queries()[:5], 3)
     assert (I == I2).all()
+
+
+def test_sift_surrogate_stats():
+    """The generated surrogate keeps SIFT's defining marginals
+    (nonnegative uint8-ranged, clipped+renormalized to ~512 norm)."""
+    import numpy as np
+
+    from tpu_ann.utils.datasets import SiftSurrogateDataset, sift_surrogate
+
+    x = sift_surrogate(2000, seed=3)
+    assert x.shape == (2000, 128) and (x >= 0).all() and (x <= 255).all()
+    norms = np.linalg.norm(x, axis=1)
+    assert 470 < norms.mean() < 520 and norms.std() < 15
+    ds = SiftSurrogateDataset(nt=500, nb=2000, nq=50)
+    gt = ds.get_groundtruth(5)
+    assert gt.shape == (50, 5)

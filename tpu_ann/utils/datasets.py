@@ -79,6 +79,63 @@ class SyntheticDataset(Dataset):
         return self._gt[:, :k]
 
 
+def sift_surrogate(n: int, seed: int = 0, chunk: int = 200_000
+                   ) -> np.ndarray:
+    """SIFT-like 128-d descriptors, generated (no dataset files ship in
+    this environment; the real recall gates should rerun on SIFT1M fvecs
+    via `load_sift1m` when available).
+
+    Reproduces the structural properties that set SIFT's ANN difficulty
+    rather than any particular file: 4x4 spatial cells x 8 orientation
+    bins, heavy-tailed non-negative gradient energies (gamma marginals),
+    spatially-smooth cell energy, a dominant patch orientation with
+    circular spread (gives a continuum of soft clusters instead of
+    SyntheticDataset's tight mixture), SIFT's 0.2 clipping + L2
+    renormalization to 512, and uint8 rounding. Intrinsic dimension and
+    norm concentration land near published SIFT1M statistics."""
+    rs = np.random.RandomState(seed)
+    out = np.empty((n, 128), np.float32)
+    for i0 in range(0, n, chunk):
+        m = min(chunk, n - i0)
+        # heavy-tailed per-(cell, orientation) gradient energy
+        g = rs.gamma(shape=0.65, scale=1.0, size=(m, 16, 8)).astype(
+            np.float32)
+        # dominant orientation per patch with von-Mises-ish circular bump
+        dom = rs.randint(8, size=(m, 1, 1))
+        ori = np.arange(8).reshape(1, 1, 8)
+        ang = np.minimum(np.abs(ori - dom), 8 - np.abs(ori - dom))
+        kappa = rs.gamma(2.0, 1.0, size=(m, 1, 1)).astype(np.float32)
+        g = g * np.exp(-kappa * (ang.astype(np.float32) ** 2) / 4.0)
+        # spatially smooth cell energy (images have coherent structure)
+        cell = rs.gamma(1.5, 1.0, size=(m, 4, 4)).astype(np.float32)
+        cell = (cell + np.roll(cell, 1, 1) + np.roll(cell, 1, 2)) / 3.0
+        g = g * cell.reshape(m, 16, 1)
+        v = g.reshape(m, 128)
+        # SIFT normalization: unit norm, clip at 0.2, renormalize, x512
+        v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-12
+        v = np.minimum(v, 0.2)
+        v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-12
+        # uint8 storage saturation (vecs files store SIFT as bytes)
+        out[i0:i0 + m] = np.minimum(np.floor(v * 512.0), 255.0)
+    return out
+
+
+class SiftSurrogateDataset(Dataset):
+    """Benchmark dataset with SIFT-like structure (see sift_surrogate)."""
+
+    def __init__(self, nt: int, nb: int, nq: int, seed: int = 7):
+        super().__init__(128, nt, nb, nq, "L2")
+        n = nt + nb + nq
+        x = sift_surrogate(n, seed=seed)
+        self.xt, self.xb, self.xq = x[:nt], x[nt:nt + nb], x[nt + nb:]
+        self._gt, self._gt_k = None, 0
+
+    get_train = SyntheticDataset.get_train
+    get_database = SyntheticDataset.get_database
+    get_queries = SyntheticDataset.get_queries
+    get_groundtruth = SyntheticDataset.get_groundtruth
+
+
 # ---------------------------------------------------------------------------
 # File formats: fvecs/ivecs/bvecs (contrib/vecs_io.py) and the fork's fbin
 # ([nvecs:i32][dim:i32][data]) used by every 19x harness.
