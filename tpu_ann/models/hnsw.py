@@ -60,6 +60,13 @@ class HNSWParams:
         self.tile_seeds = 0        # 0 = scaled from expand
         self.stop_frac = 0.15      # slack on the tile stop rule
         self.tile_refine = True    # exact f32 re-score of ef candidates
+        # tile traversal engine: "fused" = Pallas list-major scans with
+        # centroid hop-0 routing + graph hops (TPU), "beam" = lockstep
+        # XLA beam, "auto" = fused on Mosaic backends
+        self.tile_mode = "auto"
+        self.fused_hops = 2        # graph hops after the hop-0 route
+        self.fused_F = 8           # fresh tiles scanned per graph hop
+        self.fused_kp = 8          # per-(query, tile) extraction width
 
 
 class IndexHNSW(Index):
@@ -108,6 +115,7 @@ class IndexHNSW(Index):
         if n == self._built_n:
             return
         self._tiles = None
+        self._tiles_fused = None
         vectors = self.storage.vectors
         if self.storage.ntotal != int(vectors.shape[0]):
             vectors = vectors[: self.storage.ntotal]
@@ -185,6 +193,7 @@ class IndexHNSW(Index):
         self.ntotal = 0
         self._built_n = 0
         self._tiles = None
+        self._tiles_fused = None
         self._coarse_assign = None
 
     # --- search -----------------------------------------------------------
@@ -206,10 +215,70 @@ class IndexHNSW(Index):
     # (wave insertion); larger adds trigger a fresh batch-kNN build
     incremental_frac = 0.5
 
+    def _use_fused_tiles(self) -> bool:
+        if self.hnsw.tile_mode == "fused":
+            return True
+        if self.hnsw.tile_mode != "auto":
+            return False
+        import jax as _jax
+
+        return (_jax.default_backend() not in ("cpu",)
+                and not D.is_similarity_metric(self.metric_type))
+
+    def _ensure_tiles_fused(self):
+        if self._tiles_fused is not None:
+            return self._tiles_fused
+        from ..ops import hnsw_tiles as HT
+
+        n = self.ntotal
+        vectors = self.storage.vectors
+        if n != int(vectors.shape[0]):
+            vectors = vectors[:n]
+        assign = (self._coarse_assign
+                  if self._coarse_assign is not None
+                  and len(self._coarse_assign) == n else None)
+        order = HT.spatial_order(np.asarray(vectors), self.hnsw.tile_size,
+                                 assign=assign, seed=self._level_seed)
+        self._tiles_fused = HT.build_tiles_fused(
+            np.asarray(vectors),
+            np.asarray(self.graph.neighbors0),
+            order=order,
+            b=self.hnsw.tile_size,
+        )
+        return self._tiles_fused
+
+    _tiles_fused = None
+
+    def _fused_search_chunk(self, xq_dev, k: int, ef: int):
+        """Fused tile traversal (ops/hnsw_tiles.tile_search_fused):
+        efSearch maps onto the scanned-tile budget — hop-0 probes grow
+        with ef, graph hops refine (the role of the candidate beam)."""
+        from ..ops import hnsw_tiles as HT
+
+        ftg = self._ensure_tiles_fused()
+        hp = self.hnsw
+        nprobe0 = max(8, ef // 2)
+        rk = max(2 * k, min(ef, 64))
+        Dv, Pv, Iv = HT.tile_search_fused(
+            ftg, xq_dev, k,
+            nprobe0=nprobe0,
+            hops=hp.fused_hops,
+            expand=hp.expand_tiles * 2,
+            F=hp.fused_F,
+            kp=hp.fused_kp,
+            rk=rk,
+            metric=self.metric_type,
+        )
+        ndis = (nprobe0 + hp.fused_hops * hp.fused_F) * ftg.b
+        return Dv, Iv, {"nhops": hp.fused_hops,
+                        "ndis": xq_dev.shape[0] * ndis}
+
     def _tile_search_chunk(self, xq_dev, k: int, ef: int):
         """One tile-granular search call (ops/hnsw_tiles.tile_search)."""
         from ..ops import hnsw_tiles as HT
 
+        if self._use_fused_tiles():
+            return self._fused_search_chunk(xq_dev, k, ef)
         tg = self._ensure_tiles()
         hp = self.hnsw
         refine = None
