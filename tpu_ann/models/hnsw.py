@@ -65,8 +65,11 @@ class HNSWParams:
         # XLA beam, "auto" = fused on Mosaic backends
         self.tile_mode = "auto"
         self.fused_hops = 2        # graph hops after the hop-0 route
-        self.fused_F = 8           # fresh tiles scanned per graph hop
+        self.fused_F = 4           # fresh tiles scanned per graph hop
         self.fused_kp = 8          # per-(query, tile) extraction width
+        # Mosaic's DMA/reshape tiling wants 128-row blocks; the fused
+        # path therefore uses its own (coarser) tile size
+        self.fused_tile_size = 128
 
 
 class IndexHNSW(Index):
@@ -237,13 +240,14 @@ class IndexHNSW(Index):
         assign = (self._coarse_assign
                   if self._coarse_assign is not None
                   and len(self._coarse_assign) == n else None)
-        order = HT.spatial_order(np.asarray(vectors), self.hnsw.tile_size,
+        b = self.hnsw.fused_tile_size
+        order = HT.spatial_order(np.asarray(vectors), b,
                                  assign=assign, seed=self._level_seed)
         self._tiles_fused = HT.build_tiles_fused(
             np.asarray(vectors),
             np.asarray(self.graph.neighbors0),
             order=order,
-            b=self.hnsw.tile_size,
+            b=b,
         )
         return self._tiles_fused
 

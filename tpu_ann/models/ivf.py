@@ -262,13 +262,18 @@ class IndexIVF(Index):
         )
 
     # --- search -------------------------------------------------------------
+    # index-level scan budget (IndexIVF.h:79 max_codes; 0 = unlimited);
+    # per-call SearchParametersIVF.max_codes overrides
+    max_codes = 0
+
     def _effective_params(self, params):
         nprobe = self.nprobe
-        max_codes = 0
+        max_codes = self.max_codes
         if params is not None:
             if params.nprobe:
                 nprobe = params.nprobe
-            max_codes = params.max_codes
+            if params.max_codes:
+                max_codes = params.max_codes
         nprobe = min(max(int(nprobe), 1), self.nlist)
         mnb = self.invlists.max_nblocks_per_list
         if max_codes:

@@ -227,6 +227,11 @@ def scan_invlists_fused(
     dp = -(-d // 128) * 128
     nprobe = probes.shape[1]
     B = invlists.block_size
+    if B % 128 and not interpret:
+        # Mosaic can't lane-collapse a (CB, B<128) reshape; pack with
+        # block_size=128 (the default) for the fused path
+        raise ValueError(f"fused scan requires block_size % 128 == 0 "
+                         f"(got {B})")
     NB = invlists.nblocks
     nlist = invlists.nlist
     if D.is_similarity_metric(metric):

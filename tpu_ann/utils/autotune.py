@@ -121,6 +121,13 @@ def set_index_parameter(index, name: str, value) -> None:
     if name == "nprobe":
         index.nprobe = int(value)
         return
+    if name == "ht" and hasattr(index, "polysemous_ht"):
+        # polysemous Hamming threshold (AutoTune.cpp knows 'ht')
+        index.polysemous_ht = int(value)
+        return
+    if name == "max_codes" and hasattr(index, "max_codes"):
+        index.max_codes = int(value)
+        return
     if name == "efSearch":
         if hasattr(index, "quantizer") and hasattr(index.quantizer, "hnsw"):
             index.quantizer.hnsw.efSearch = int(value)
