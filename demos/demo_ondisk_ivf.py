@@ -12,7 +12,6 @@ def main():
     import numpy as np
 
     from tpu_ann import IndexIVFHNSW, read_index
-    from tpu_ann.utils.contrib import merge_indexes
     from tpu_ann.utils.datasets import SyntheticDataset
     from tpu_ann.utils.evaluation import recall_at_r
 
@@ -37,12 +36,17 @@ def main():
         shards.append(p)
         print(f"shard {s}: {sh.ntotal} vectors -> {p}")
 
-    # 2. merge shards into one index (contrib.ondisk.merge_ondisk role)
-    dst = read_index(shards[0])
-    merge_indexes(dst, [read_index(p) for p in shards[1:]])
+    # 2. stream-merge the shard FILES into one index file without loading
+    # them into RAM (OnDiskInvertedLists::merge_from_multiple +
+    # contrib/ondisk.py merge_ondisk; peak host RAM = one list)
+    from tpu_ann.utils.invlists_io import FileInvlistSource, merge_ondisk
+
     merged = os.path.join(tmp, "merged.tann")
-    dst.save_to_disk(merged)
-    print(f"merged: {dst.ntotal} vectors -> {merged}")
+    empty = IndexIVFHNSW(64, nlist=256, M=16)
+    empty.quantizer = master.quantizer
+    empty.is_trained = True
+    n = merge_ondisk(empty, [FileInvlistSource(p) for p in shards], merged)
+    print(f"merged: {n} vectors -> {merged}")
 
     # 3. reopen memory-mapped (IO_FLAG_MMAP role) and search
     index = read_index(merged, mmap=True)
