@@ -64,6 +64,9 @@ class BenchResult:
     p999_ms: float
     build_s: float
     train_s: float
+    imbalance: float = 0.0          # Clustering.cpp imbalance_factor
+    quantization_ms: float = 0.0    # fork QueryLatencyStats phase split
+    list_scan_ms: float = 0.0
 
 
 def latency_percentiles(times_s: Sequence[float]):
@@ -146,12 +149,23 @@ def run_grid(
                     index.search(xq[i0 : i0 + latency_batch], k, params=p)
                     lat.append(time.time() - t0)
                 mean, p50, p99, p999 = latency_percentiles(lat)
+                # phase split (fork's search_stats: quantization vs scan)
+                q_ms = s_ms = 0.0
+                if hasattr(index, "search_stats"):
+                    _, _, st = index.search_stats(
+                        xq[:latency_batch], k, params=p)
+                    q_ms = st.quantization_us / 1000.0
+                    s_ms = st.list_scan_us / 1000.0
+                imb = (float(index.imbalance_factor())
+                       if hasattr(index, "imbalance_factor") else 0.0)
                 r = BenchResult(
                     config=f"nlist={nlist},efc={efc}",
                     nlist=nlist, nprobe=nprobe, ef_search=efs,
                     recall_at_10=rec, qps=qps,
                     mean_latency_ms=mean, p50_ms=p50, p99_ms=p99,
                     p999_ms=p999, build_s=t_build, train_s=t_train,
+                    imbalance=imb, quantization_ms=q_ms,
+                    list_scan_ms=s_ms,
                 )
                 results.append(r)
                 if verbose:
