@@ -350,6 +350,8 @@ def hnsw_search(
 # (shrink_neighbor_list, HNSW.cpp:245-299), batched over a wave
 # ---------------------------------------------------------------------------
 
+@functools.partial(
+    jax.jit, static_argnames=("m", "metric", "return_dis"))
 def _select_neighbors_heuristic(q_vecs, cand_ids, cand_dis, vectors, m: int,
                                 metric: int = D.METRIC_L2,
                                 return_dis: bool = False):
@@ -754,7 +756,7 @@ def _drop_self(dis: np.ndarray, ids: np.ndarray, C: int,
 
 
 def _prune_all(vectors, cand_ids: np.ndarray, cand_dis: np.ndarray, m: int,
-               metric: int, chunk: int = 8192, verbose: bool = False,
+               metric: int, chunk: int = 16384, verbose: bool = False,
                tag: str = ""):
     """Batched shrink_neighbor_list over every node (chunked on rows).
     Returns (ids (n, m) int32, dis (n, m) f32 — inf for empty slots)."""
@@ -813,7 +815,7 @@ def _merge_prune(vectors, fwd, fwd_dis, rev_ids, rev_dis, m: int,
     np.put_along_axis(dup, sorder, dup_sorted, axis=1)
     cdis = np.where(dup | (cand < 0), np.inf, cdis)
     cand = np.where(dup, -1, cand)
-    return _prune_all(vectors, cand, cdis, m, metric, chunk=4096,
+    return _prune_all(vectors, cand, cdis, m, metric, chunk=8192,
                       verbose=verbose, tag=tag)[0]
 
 

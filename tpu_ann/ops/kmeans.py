@@ -59,6 +59,37 @@ def imbalance_factor(counts: np.ndarray) -> float:
     return float(len(counts) * (counts**2).sum() / (tot * tot))
 
 
+def segment_sums(x, assign, k: int, chunk: int = 16384):
+    """Per-segment (sums (k, d), counts (k,)) as a chunked one-hot GEMM
+    (compute_centroids, Clustering.cpp:151). A scatter-add here costs
+    ~44 s/iteration at 500k x 3906 on v5e (XLA serializes TPU scatters);
+    onehot^T @ x is one MXU contraction at assignment cost. One-hot
+    entries are exact in bf16; accumulation is f32."""
+    n, d = x.shape
+    nch = -(-n // chunk)
+    npad = nch * chunk
+    xp = jnp.pad(x, ((0, npad - n), (0, 0))).reshape(nch, chunk, d)
+    ap = jnp.pad(assign, (0, npad - n),
+                 constant_values=-1).reshape(nch, chunk)
+    kiota = lax.broadcasted_iota(jnp.int32, (chunk, k), 1)
+
+    def body(i, carry):
+        sums, counts = carry
+        # f32 one-hot: XLA's multi-pass f32 MXU path keeps the update
+        # exact enough for equivalence-to-serial oracles
+        oh = (ap[i][:, None] == kiota).astype(jnp.float32)    # (CH, k)
+        sums = sums + jax.lax.dot_general(
+            oh, xp[i],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (k, d)
+        counts = counts + jnp.sum(oh, axis=0, dtype=jnp.float32)
+        return sums, counts
+
+    return lax.fori_loop(
+        0, nch, body,
+        (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "spherical"))
 def _kmeans_iter(x, centroids, key, k: int, metric: int, spherical: bool):
     """One Lloyd iteration: assign, segment-sum update, split empties.
@@ -70,8 +101,7 @@ def _kmeans_iter(x, centroids, key, k: int, metric: int, spherical: bool):
     assign = assign[:, 0]
     obj = jnp.sum(dis[:, 0])
 
-    sums = jnp.zeros((k, d), jnp.float32).at[assign].add(x)
-    counts = jnp.zeros((k,), jnp.float32).at[assign].add(1.0)
+    sums, counts = segment_sums(x, assign, k)
     new_c = sums / jnp.maximum(counts, 1.0)[:, None]
 
     # split_clusters (Clustering.cpp:232): empty cluster <- biggest cluster's

@@ -143,8 +143,11 @@ def sharded_kmeans_iter(
         dis, assign = D.knn(x_l, cent, 1, metric,
                             precision=lax.Precision.DEFAULT)
         assign = assign[:, 0]
-        sums = jnp.zeros((k, d), jnp.float32).at[assign].add(x_l)
-        counts = jnp.zeros((k,), jnp.float32).at[assign].add(1.0)
+        # one-hot GEMM segment sums (TPU scatters serialize; see
+        # ops/kmeans.segment_sums)
+        from ..ops.kmeans import segment_sums
+
+        sums, counts = segment_sums(x_l, assign, k)
         obj = jnp.sum(dis[:, 0])
         sums = lax.psum(sums, ("shard", "replica"))
         counts = lax.psum(counts, ("shard", "replica"))
