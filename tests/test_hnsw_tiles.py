@@ -174,3 +174,92 @@ def test_tile_search_fused_interpret(rng):
         if Iv[q0, j] >= 0:
             true = np.sum((xq[q0] - xb[Iv[q0, j]]) ** 2)
             np.testing.assert_allclose(Dv[q0, j], true, rtol=1e-3)
+
+
+def test_index_hnsw_pq(rng):
+    """IndexHNSWPQ: PQ-coded storage, ADC search (small-n decode path +
+    coded tile path semantics on CPU)."""
+    import jax.numpy as jnp
+
+    from tpu_ann.models.hnsw import IndexHNSWPQ
+    from tpu_ann.ops import distances as D
+
+    n, d = 3000, 32
+    cents = rng.rand(16, d).astype(np.float32) * 6
+    xb = cents[rng.randint(16, size=n)] + rng.randn(n, d).astype(
+        np.float32) * 0.5
+    xq = cents[rng.randint(16, size=64)] + rng.randn(64, d).astype(
+        np.float32) * 0.5
+
+    idx = IndexHNSWPQ(d, pq_m=8, M=8)
+    idx.hnsw.tile_threshold = 10**9       # force small-n decode path
+    idx.train(xb)
+    idx.add(xb)
+    assert idx._codes.shape == (n, 8)
+    Dv, Iv = idx.search(xq, 10)
+    # oracle = ADC brute force (the codec bounds recall vs exact GT;
+    # the graph search should track the codec's own ranking)
+    from tpu_ann.ops import pq as PQ
+
+    dec = np.asarray(PQ.pq_decode(jnp.asarray(idx._codes),
+                                  jnp.asarray(idx.pq.centroids)))
+    full = ((xq[:, None, :] - dec[None]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+    rec = np.mean([len(set(Iv[q]) & set(gt[q])) / 10 for q in range(64)])
+    assert rec > 0.7, rec
+    r = idx.reconstruct(5)
+    assert r.shape == (d,)
+
+
+def test_tile_search_pq_interpret(rng):
+    """Coded tile traversal matches ADC brute force reasonably."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_ann.ops import distances as D
+    from tpu_ann.ops import pq as PQ
+    from tpu_ann.ops.hnsw import build_graph_knn
+    from tpu_ann.ops.hnsw_tiles import (build_tiles_pq, spatial_order,
+                                        tile_search_pq)
+
+    n, d, nq, k = 4000, 32, 48, 10
+    cents = rng.rand(24, d).astype(np.float32) * 6
+    xb = cents[rng.randint(24, size=n)] + rng.randn(n, d).astype(
+        np.float32) * 0.7
+    xq = cents[rng.randint(24, size=nq)] + rng.randn(nq, d).astype(
+        np.float32) * 0.7
+    pq = PQ.train_pq(xb, 8, 8, niter=8)
+    codes = np.asarray(PQ.pq_encode(jnp.asarray(xb),
+                                    jnp.asarray(pq.centroids)))
+    graph, _ = build_graph_knn(jnp.asarray(xb), 8, 40)
+    order = spatial_order(xb, 128)
+    ptg = build_tiles_pq(xb, codes, pq.centroids,
+                         np.asarray(graph.neighbors0), order=order, b=128)
+    Dv, Pv, Iv = tile_search_pq(ptg, jnp.asarray(xq), k, nprobe0=6,
+                                hops=2, expand=8, F=4, rk=32)
+    Iv = np.asarray(Iv)
+    # oracle: ADC over all codes
+    dec = np.asarray(PQ.pq_decode(jnp.asarray(codes),
+                                  jnp.asarray(pq.centroids)))
+    full = ((xq[:, None, :] - dec[None]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :k]
+    rec = np.mean([len(set(Iv[q]) & set(gt[q])) / k for q in range(nq)])
+    assert rec >= 0.7, rec
+
+
+def test_index_hnsw_2level(rng):
+    from tpu_ann.models.hnsw import IndexHNSW2Level
+
+    n, d = 2000, 32
+    xb = rng.rand(n, d).astype(np.float32)
+    idx = IndexHNSW2Level(d, nlist=32, pq_m=8, M=8)
+    idx.hnsw.tile_threshold = 10**9
+    idx.train(xb)
+    idx.add(xb)
+    codes = idx.sa_encode(xb[:10])
+    rec = idx.sa_decode(codes)
+    assert rec.shape == (10, d)
+    Dv, Iv = idx.search(xb[:20], 5)
+    # decoded-space self-search: stored reconstruction of row i is the
+    # nearest decoded point to x_i most of the time
+    assert (Iv[:, 0] == np.arange(20)).mean() > 0.6

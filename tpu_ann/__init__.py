@@ -20,7 +20,9 @@ from .models.flat import IndexFlat, IndexFlatIP, IndexFlatL2  # noqa: F401
 from .models.flat import IndexFlat1D  # noqa: F401
 from .models.hnsw import (  # noqa: F401
     IndexHNSW,
+    IndexHNSW2Level,
     IndexHNSWFlat,
+    IndexHNSWPQ,
     IndexHNSWSQ,
     SearchParametersHNSW,
 )

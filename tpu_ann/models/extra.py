@@ -254,6 +254,28 @@ class Index2Layer(Index):
     def sa_code_size(self) -> int:
         return 4 + self.M  # int32 list id + M bytes (reference packs tighter)
 
+    def sa_encode(self, x) -> np.ndarray:
+        """[list id: little-endian int32][M residual-PQ bytes]
+        (Index2Layer::sa_encode layout, code_size_1 + code_size_2)."""
+        x = self._check_input(x)
+        _, a = self.q1.search(x, 1)
+        a = np.asarray(a)[:, 0].astype(np.int32)
+        cents = np.asarray(self.q1.vectors)
+        codes = np.asarray(PQ.pq_encode(jnp.asarray(x - cents[a]),
+                                        self._cent))
+        out = np.empty((len(x), 4 + self.M), np.uint8)
+        out[:, :4] = a.astype("<i4").reshape(-1, 1).view(np.uint8)
+        out[:, 4:] = codes
+        return out
+
+    def sa_decode(self, codes) -> np.ndarray:
+        codes = np.asarray(codes, np.uint8)
+        a = codes[:, :4].copy().view("<i4")[:, 0]
+        sub = codes[:, 4:]
+        cents = np.asarray(self.q1.vectors)
+        resid = np.asarray(PQ.pq_decode(jnp.asarray(sub), self._cent))
+        return (cents[a] + resid).astype(np.float32)
+
     def reset(self) -> None:
         self._list_ids, self._codes = [], []
         self.ntotal = 0

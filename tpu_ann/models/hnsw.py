@@ -410,3 +410,135 @@ class IndexHNSWSQ(IndexHNSW):
         if qtype not in ("bfloat16", "float16"):
             raise ValueError("IndexHNSWSQ supports bfloat16/float16 storage")
         self.storage_dtype = qtype
+
+
+class IndexHNSW2Level(IndexHNSW):
+    """faiss IndexHNSW2Level(quantizer, nlist, pq_m, M): graph over
+    Index2Layer codes (coarse id + PQ residual). The 2-layer codec is the
+    persistent/IO representation (sa_encode/sa_decode, codes kept);
+    search runs the standard tile/beam paths over a decoded bf16 device
+    cache — on TPU a decoded bf16 tile costs the same HBM read as a
+    same-width code tile would cost in gather traffic, so the codec is a
+    storage format here, not a scan format (documented TPU deviation;
+    the reference scans codes directly)."""
+
+    def __init__(self, d: int, nlist: int, pq_m: int, M: int = 32,
+                 nbits: int = 8, metric: int = D.METRIC_L2):
+        super().__init__(d, M, metric)
+        from .extra import Index2Layer
+        from .flat import IndexFlat
+
+        self.codec = Index2Layer(IndexFlat(d, metric), nlist, pq_m, nbits)
+        self.storage_dtype = "bfloat16"
+        self.is_trained = False
+
+    def train(self, x) -> None:
+        self.codec.train(self._check_input(x))
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        if not self.is_trained:
+            raise RuntimeError("train first (IndexHNSW2Level)")
+        x = self._check_input(x)
+        self.codec.add(x)
+        # graph + search storage hold the codec's reconstruction, so
+        # search ranking matches the stored codes exactly
+        dec = self.codec.sa_decode(self.codec.sa_encode(x))
+        super().add(dec)
+
+    def sa_encode(self, x):
+        return self.codec.sa_encode(x)
+
+    def sa_decode(self, codes):
+        return self.codec.sa_decode(codes)
+
+
+class IndexHNSWPQ(IndexHNSW):
+    """faiss IndexHNSWPQ(d, pq_m, M): graph over PQ-coded storage
+    (IndexHNSW.h; storage = IndexPQ). Search-time distances are ADC on
+    the codes (the storage codec's distance, like the reference) — tile
+    scans run scan_invlists_pq over code tiles (ops/hnsw_tiles
+    PQTileGraph), so resident vector memory is pq_m bytes/vector.
+    The graph itself is built from the exact vectors passed to add()
+    (better links than code-space build; raw vectors are then dropped)."""
+
+    def __init__(self, d: int, pq_m: int, M: int = 32,
+                 nbits: int = 8, metric: int = D.METRIC_L2):
+        super().__init__(d, M, metric)
+        self.pq_m = int(pq_m)
+        self.nbits = int(nbits)
+        self.pq = None
+        self._codes = np.zeros((0, pq_m), np.uint8)
+        self._ptiles = None
+        self.is_trained = False
+        # PQ-coded path supports tile search only above this size;
+        # below it, search decodes everything (small n)
+        self.hnsw.tile_threshold = 4096
+
+    def train(self, x) -> None:
+        from ..ops import pq as PQ
+
+        x = self._check_input(x)
+        self.pq = PQ.train_pq(x, self.pq_m, self.nbits,
+                              verbose=self.verbose)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        from ..ops import pq as PQ
+
+        if not self.is_trained:
+            raise RuntimeError("train first (IndexHNSWPQ)")
+        x = self._check_input(x)
+        codes = np.asarray(
+            PQ.pq_encode(jnp.asarray(x), jnp.asarray(self.pq.centroids)))
+        self._codes = np.concatenate([self._codes, codes])
+        # graph build wants the exact vectors; storage keeps only codes
+        self.storage.add(x)
+        self.ntotal = self.storage.ntotal
+        self._build_pending()
+        self._ptiles = None
+        if self._use_tiles():
+            from ..ops import hnsw_tiles as HT
+
+            vectors = np.asarray(self.storage.vectors)[: self.ntotal]
+            order = HT.spatial_order(
+                vectors, self.hnsw.fused_tile_size,
+                assign=self._coarse_assign, seed=self._level_seed)
+            self._ptiles = HT.build_tiles_pq(
+                vectors, self._codes, self.pq.centroids,
+                np.asarray(self.graph.neighbors0), order=order,
+                b=self.hnsw.fused_tile_size)
+            # drop the raw storage: search runs on codes from here on
+            self.storage.reset()
+            self.storage.ntotal = self.ntotal
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        from ..ops import pq as PQ
+
+        return np.asarray(PQ.pq_decode(
+            jnp.asarray(self._codes[key:key + 1]),
+            jnp.asarray(self.pq.centroids)))[0]
+
+    def _search_device_stats(self, xq_dev, k: int, ef: int, expand: int):
+        from ..ops import hnsw_tiles as HT
+
+        if self._ptiles is not None:
+            nprobe0 = max(4, ef // 8)
+            Dv, Pv, Iv = HT.tile_search_pq(
+                self._ptiles, xq_dev, k,
+                nprobe0=nprobe0,
+                hops=self.hnsw.fused_hops,
+                expand=self.hnsw.expand_tiles * 2,
+                F=self.hnsw.fused_F,
+                rk=max(2 * k, min(ef, 64)),
+                metric=self.metric_type,
+            )
+            return Dv, Iv, {"nhops": self.hnsw.fused_hops, "ndis": 0}
+        # small index: decode everything, per-node beam on decoded vectors
+        from ..ops import pq as PQ
+
+        dec = PQ.pq_decode(jnp.asarray(self._codes),
+                           jnp.asarray(self.pq.centroids))
+        return H.hnsw_search(
+            dec, self.graph, xq_dev, ef=ef, k=k, expand=expand,
+            metric=self.metric_type)

@@ -502,6 +502,155 @@ def tile_search_fused(
     return out_d, out_p, out_i
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PQTileGraph:
+    """Tile layout with PQ-coded storage (IndexHNSWPQ's memory model:
+    M bytes/vector instead of 2d). Scans are ADC over code tiles."""
+
+    il: object               # PackedCodeInvLists (lists = tiles)
+    cent: jnp.ndarray        # (T, d) f32 tile centroids (from raw x)
+    nbr_pos: jnp.ndarray     # (T*b, M0) int32 neighbor POSITIONS
+    orig_ids: jnp.ndarray    # (T*b,) int32 position -> node id
+    pq_centroids: jnp.ndarray  # (M, ksub, dsub) f32
+    b: int = 128
+    n: int = 0
+
+    def tree_flatten(self):
+        return ((self.il, self.cent, self.nbr_pos, self.orig_ids,
+                 self.pq_centroids), (self.b, self.n))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, b=aux[0], n=aux[1])
+
+
+def build_tiles_pq(
+    x: np.ndarray,
+    codes: np.ndarray,
+    pq_centroids,
+    neighbors0: np.ndarray,
+    *,
+    order: Optional[np.ndarray] = None,
+    b: int = 128,
+) -> PQTileGraph:
+    """PQTileGraph from raw vectors (used only for routing centroids and
+    the spatial order — NOT stored), their PQ codes, and the level-0
+    graph."""
+    from .ivf_scan import pack_code_invlists
+
+    x = np.ascontiguousarray(np.asarray(x), np.float32)
+    codes = np.ascontiguousarray(np.asarray(codes))
+    n, d = x.shape
+    if order is None:
+        order = np.arange(n, dtype=np.int64)
+    order = np.asarray(order, np.int64)
+    pos_of = np.empty(n, np.int64)
+    pos_of[order] = np.arange(n)
+    T = max(-(-n // b), 1)
+
+    assign = np.arange(n, dtype=np.int64) // b
+    # one extra EMPTY list (id T) as the target for invalid hop probes
+    il = pack_code_invlists(codes[order], np.arange(n, dtype=np.int64),
+                            assign, T + 1, block_size=b)
+
+    xs = x[order]
+    cnt = np.bincount(assign, minlength=T).astype(np.float32)
+    sums = np.zeros((T, d), np.float64)
+    np.add.at(sums, assign, xs)
+    cent = (sums / np.maximum(cnt, 1.0)[:, None]).astype(np.float32)
+
+    nb = np.asarray(neighbors0, np.int64)
+    m0 = nb.shape[1]
+    nbr = np.full((T * b, m0), -1, np.int32)
+    ok = nb >= 0
+    mapped = np.where(ok, pos_of[np.where(ok, nb, 0)], -1).astype(np.int32)
+    nbr[:n] = mapped[order]
+    orig_ids = np.full(T * b, -1, np.int32)
+    orig_ids[:n] = order.astype(np.int32)
+
+    return PQTileGraph(
+        il=il,
+        cent=jnp.asarray(cent),
+        nbr_pos=jnp.asarray(nbr),
+        orig_ids=jnp.asarray(orig_ids),
+        pq_centroids=jnp.asarray(pq_centroids),
+        b=b,
+        n=n,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe0", "hops", "expand", "F", "rk", "metric"),
+)
+def tile_search_pq(
+    ptg: PQTileGraph,
+    xq: jnp.ndarray,
+    k: int,
+    *,
+    nprobe0: int = 16,
+    hops: int = 2,
+    expand: int = 8,
+    F: int = 4,
+    rk: int = 32,
+    metric: int = D.METRIC_L2,
+):
+    """tile_search_fused's control flow over PQ-coded tiles: hop-0
+    centroid route, ADC scans (scan_invlists_pq, by_residual=False),
+    graph-hop expansion through the level-0 adjacency. Distances are ADC
+    approximations, as in the reference's IndexHNSWPQ (storage distance
+    == PQ codec distance)."""
+    from .ivf_scan import scan_invlists_pq
+    from . import topk as TK
+
+    nq, d = xq.shape
+    b = ptg.b
+    T = ptg.il.nlist - 1          # last list is the empty invalid target
+    xq = xq.astype(jnp.float32)
+    mnb = ptg.il.max_nblocks_per_list
+
+    def scan(probes):
+        cd = jnp.zeros(probes.shape, jnp.float32)
+        return scan_invlists_pq(
+            xq, probes, cd, ptg.il, ptg.pq_centroids,
+            ptg.cent, min(rk, probes.shape[1] * b), metric,
+            by_residual=False, max_nblocks=mnb)
+
+    _, seeds = D.knn(xq, ptg.cent, min(nprobe0, T), metric,
+                     compute_dtype="bfloat16", approx=T > 4096)
+    seeds = seeds.astype(jnp.int32)
+    bd, bpos, _ = scan(seeds)
+    similarity = D.is_similarity_metric(metric)
+    hist = seeds
+    for _ in range(hops):
+        top_pos = bpos[:, :expand]
+        okp = top_pos >= 0
+        nbrs = ptg.nbr_pos[jnp.where(okp, top_pos, 0)]
+        cand = nbrs.reshape(nq, -1)
+        cvalid = (cand >= 0) & jnp.repeat(okp, nbrs.shape[2], axis=1)
+        ctiles = jnp.where(cvalid, cand // b, -1)
+        fresh = _dedupe_first(ctiles, cvalid)
+        seen = jnp.any(ctiles[:, :, None] == hist[:, None, :], axis=2)
+        fresh = fresh & ~seen
+        forder = jnp.argsort(~fresh, axis=1, stable=True)[:, :F]
+        sel_t = jnp.take_along_axis(ctiles, forder, axis=1)
+        sel_f = jnp.take_along_axis(fresh, forder, axis=1)
+        # invalid hop probes target the extra EMPTY list (id T)
+        probes_h = jnp.where(sel_f, sel_t, T).astype(jnp.int32)
+        hd, hpos, _ = scan(probes_h)
+        hist = jnp.concatenate(
+            [hist, jnp.where(sel_f, sel_t, -1).astype(jnp.int32)], axis=1)
+        bd, bpos = TK.merge_topk(bd, bpos, hd, hpos, rk,
+                                 similarity=similarity)
+    out_d = bd[:, :k]
+    out_p = bpos[:, :k]
+    out_i = jnp.where(
+        out_p >= 0,
+        ptg.orig_ids[jnp.clip(out_p, 0, ptg.orig_ids.shape[0] - 1)], -1)
+    return out_d, out_p, out_i
+
+
 def tile_search(
     tg: TileGraph,
     xq: jnp.ndarray,
