@@ -828,6 +828,7 @@ def build_graph_knn(
     seed: int = 1234,
     metric: int = D.METRIC_L2,
     verbose: bool = False,
+    prune_mode: str = "double",
 ) -> Tuple[HNSWGraph, Optional[np.ndarray]]:
     """Build an HNSW-compatible graph from a batch kNN table (see module
     section comment). Returns (graph, coarse_assign or None) — the coarse
@@ -836,7 +837,11 @@ def build_graph_knn(
 
     `ef_construction` plays its reference role as the candidate-pool size
     feeding the diversity heuristic (search_neighbors_to_add beam width,
-    HNSW.cpp:375)."""
+    HNSW.cpp:375). prune_mode 'double' runs the diversity heuristic on
+    the forward candidates AND on the forward∪reverse merge (closest to
+    sequential insertion); 'single' rank-truncates forward links and
+    applies the heuristic only at the merge — one prune pass instead of
+    two, for faster builds."""
     x = np.ascontiguousarray(np.asarray(vectors), np.float32)
     n, d = x.shape
     m0 = 2 * m
@@ -853,8 +858,11 @@ def build_graph_knn(
     dis, ids = _drop_self(dis, ids, C)
 
     vec_dev = jnp.asarray(x)
-    fwd, fwd_dis = _prune_all(vec_dev, ids, dis, m0, metric, verbose=verbose,
-                              tag="/fwd")
+    if prune_mode == "single":
+        fwd, fwd_dis = ids[:, :m0], dis[:, :m0]
+    else:
+        fwd, fwd_dis = _prune_all(vec_dev, ids, dis, m0, metric,
+                                  verbose=verbose, tag="/fwd")
     rev_ids, rev_dis = _reverse_candidates(fwd, fwd_dis, m0)
     neighbors0 = _merge_prune(vec_dev, fwd, fwd_dis, rev_ids, rev_dis, m0,
                               metric, verbose, "/lvl0")
