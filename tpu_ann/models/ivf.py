@@ -355,10 +355,17 @@ class IndexIVF(Index):
         if self._use_fused(xq_dev.shape[0], nprobe, mnb, id_mask):
             from ..ops.ivf_scan_pallas import scan_invlists_fused
 
-            Dv, Iv, _ = scan_invlists_fused(
-                xq_dev, probes, self.invlists, k, self.metric_type,
-            )
-        elif self._use_grouped(xq_dev.shape[0], nprobe, id_mask):
+            try:
+                Dv, Iv, _ = scan_invlists_fused(
+                    xq_dev, probes, self.invlists, k, self.metric_type,
+                )
+                return Dv, Iv
+            except Exception:
+                if self.scan_mode == "fused":
+                    raise     # explicit request: surface the error
+                # auto mode: fall back to the query-major scan (e.g.
+                # Mosaic constraint violations on exotic shapes)
+        if self._use_grouped(xq_dev.shape[0], nprobe, id_mask):
             Dv, Iv, _ = ivf_scan.scan_invlists_grouped(
                 xq_dev, probes, self.invlists, k, self.metric_type,
                 max_nblocks=mnb, group=self.group_size,
