@@ -284,7 +284,12 @@ class IndexHNSW(Index):
         from ..ops import hnsw_tiles as HT
 
         if self._use_fused_tiles():
-            return self._fused_search_chunk(xq_dev, k, ef)
+            try:
+                return self._fused_search_chunk(xq_dev, k, ef)
+            except Exception:
+                if self.hnsw.tile_mode == "fused":
+                    raise
+                # auto mode: fall back to the XLA beam traversal
         tg = self._ensure_tiles()
         hp = self.hnsw
         refine = None
