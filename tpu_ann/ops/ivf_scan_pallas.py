@@ -357,7 +357,7 @@ def scan_invlists_fused(
 
     ids_flat = invlists.ids.reshape(-1)              # (nblocks+1)*B
     if refine and refine > 1:
-        R = min(refine * k, nprobe * kp)
+        R = max(min(refine * k, nprobe * kp), min(k, nprobe * kp))
         nv, sel = lax.top_k(-pair_d, R)
         cand_p = jnp.take_along_axis(pair_p, sel, axis=1)    # (nq, R)
         safe_p = jnp.maximum(cand_p, 0)
@@ -369,13 +369,25 @@ def scan_invlists_fused(
         qn2 = jnp.sum(xq * xq, axis=1, keepdims=True)
         dis = jnp.maximum(qn2 + rn - 2.0 * ipx, 0.0)
         dis = jnp.where(cand_p >= 0, dis, jnp.inf)
-        nv2, sel2 = lax.top_k(-dis, k)
+        kk = min(k, dis.shape[1])
+        nv2, sel2 = lax.top_k(-dis, kk)
         out_d = -nv2
         out_p = jnp.take_along_axis(cand_p, sel2, axis=1)
+        if kk < k:
+            out_d = jnp.pad(out_d, ((0, 0), (0, k - kk)),
+                            constant_values=jnp.inf)
+            out_p = jnp.pad(out_p, ((0, 0), (0, k - kk)),
+                            constant_values=-1)
     else:
-        nv, sel = lax.top_k(-pair_d, k)
+        kk = min(k, pair_d.shape[1])
+        nv, sel = lax.top_k(-pair_d, kk)
         out_d = -nv
         out_p = jnp.take_along_axis(pair_p, sel, axis=1)
+        if kk < k:
+            out_d = jnp.pad(out_d, ((0, 0), (0, k - kk)),
+                            constant_values=jnp.inf)
+            out_p = jnp.pad(out_p, ((0, 0), (0, k - kk)),
+                            constant_values=-1)
     out_i = jnp.where(out_p >= 0, ids_flat[jnp.maximum(out_p, 0)], -1)
     out_d = jnp.where(out_p >= 0, out_d, jnp.inf)
     return out_d, out_i, ndis
