@@ -382,10 +382,16 @@ def build_tiles_fused(
     il = pack_invlists(xs, np.arange(n, dtype=np.int64), assign, T,
                        block_size=b)
 
-    cnt = np.bincount(assign, minlength=T).astype(np.float32)
-    sums = np.zeros((T, d), np.float64)
-    np.add.at(sums, assign, xs)
-    cent = (sums / np.maximum(cnt, 1.0)[:, None]).astype(np.float32)
+    # tiles are contiguous position ranges: centroid = padded reshape-sum
+    # (np.add.at is a serialized scatter — ~2 min at 1M)
+    pad_rows = T * b - n
+    xs_p = np.concatenate([xs, np.zeros((pad_rows, d), np.float32)]) \
+        if pad_rows else xs
+    cnt = np.full(T, b, np.float32)
+    if pad_rows:
+        cnt[-1] = b - pad_rows
+    cent = (xs_p.reshape(T, b, d).sum(axis=1, dtype=np.float64)
+            / np.maximum(cnt, 1.0)[:, None]).astype(np.float32)
 
     nb = np.asarray(neighbors0, np.int64)
     m0 = nb.shape[1]
@@ -555,10 +561,16 @@ def build_tiles_pq(
                             assign, T + 1, block_size=b)
 
     xs = x[order]
-    cnt = np.bincount(assign, minlength=T).astype(np.float32)
-    sums = np.zeros((T, d), np.float64)
-    np.add.at(sums, assign, xs)
-    cent = (sums / np.maximum(cnt, 1.0)[:, None]).astype(np.float32)
+    # tiles are contiguous position ranges: centroid = padded reshape-sum
+    # (np.add.at is a serialized scatter — ~2 min at 1M)
+    pad_rows = T * b - n
+    xs_p = np.concatenate([xs, np.zeros((pad_rows, d), np.float32)]) \
+        if pad_rows else xs
+    cnt = np.full(T, b, np.float32)
+    if pad_rows:
+        cnt[-1] = b - pad_rows
+    cent = (xs_p.reshape(T, b, d).sum(axis=1, dtype=np.float64)
+            / np.maximum(cnt, 1.0)[:, None]).astype(np.float32)
 
     nb = np.asarray(neighbors0, np.int64)
     m0 = nb.shape[1]
