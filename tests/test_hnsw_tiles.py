@@ -176,7 +176,7 @@ def test_tile_search_fused_interpret(rng):
             np.testing.assert_allclose(Dv[q0, j], true, rtol=1e-3)
 
 
-def test_index_hnsw_pq(rng):
+def test_index_hnsw_pq():
     """IndexHNSWPQ: PQ-coded storage, ADC search (small-n decode path +
     coded tile path semantics on CPU)."""
     import jax.numpy as jnp
@@ -184,6 +184,7 @@ def test_index_hnsw_pq(rng):
     from tpu_ann.models.hnsw import IndexHNSWPQ
     from tpu_ann.ops import distances as D
 
+    rng = np.random.RandomState(5)    # own stream: order-independent
     n, d = 3000, 32
     cents = rng.rand(16, d).astype(np.float32) * 6
     xb = cents[rng.randint(16, size=n)] + rng.randn(n, d).astype(
@@ -193,6 +194,7 @@ def test_index_hnsw_pq(rng):
 
     idx = IndexHNSWPQ(d, pq_m=8, M=8)
     idx.hnsw.tile_threshold = 10**9       # force small-n decode path
+    idx.hnsw.efSearch = 48
     idx.train(xb)
     idx.add(xb)
     assert idx._codes.shape == (n, 8)
