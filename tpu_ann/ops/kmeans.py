@@ -103,6 +103,10 @@ def _kmeans_iter(x, centroids, key, k: int, metric: int, spherical: bool):
 
     sums, counts = segment_sums(x, assign, k)
     new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+    # imbalance on device (Clustering.cpp imbalance_factor) so the host
+    # driver needs ONE small download per iteration, not three
+    tot = jnp.maximum(jnp.sum(counts), 1.0)
+    imb = k * jnp.sum(counts * counts) / (tot * tot)
 
     # split_clusters (Clustering.cpp:232): empty cluster <- biggest cluster's
     # centroid +- epsilon. Deterministic ranking stands in for the
@@ -120,7 +124,8 @@ def _kmeans_iter(x, centroids, key, k: int, metric: int, spherical: bool):
     if spherical:
         norms = jnp.linalg.norm(new_c, axis=1, keepdims=True)
         new_c = new_c / jnp.maximum(norms, 1e-12)
-    return new_c, assign, obj, nsplit
+    stats_vec = jnp.stack([obj, imb, nsplit.astype(jnp.float32)])
+    return new_c, stats_vec
 
 
 def subsample_training_set(
@@ -201,15 +206,15 @@ def kmeans(
 
             InterruptCallback.check()
             key, sub = jax.random.split(key)
-            cent, assign, obj_j, nsplit = _kmeans_iter(
+            cent, stats_vec = _kmeans_iter(
                 xt_dev, cent, sub, k, metric, cp.spherical
             )
-            counts = np.bincount(np.asarray(assign), minlength=k)
-            obj = float(obj_j)
+            sv = np.asarray(stats_vec)        # one sync per iteration
+            obj = float(sv[0])
             st = ClusteringIterationStats(
                 obj=obj,
-                imbalance_factor=imbalance_factor(counts),
-                nsplit=int(nsplit),
+                imbalance_factor=float(sv[1]),
+                nsplit=int(sv[2]),
             )
             stats.append(st)
             if checkpoint is not None and redo == 0:
