@@ -498,6 +498,18 @@ class IndexHNSWPQ(IndexHNSW):
         x = self._check_input(x)
         codes = np.asarray(
             PQ.pq_encode(jnp.asarray(x), jnp.asarray(self.pq.centroids)))
+        # if a previous add dropped the raw storage (coded-tiles mode),
+        # restore an ADC-accuracy reconstruction so the graph/centroid
+        # rebuild sees the old rows (a zeroed storage would silently
+        # poison routing for them)
+        if self.ntotal and self.storage.ntotal == self.ntotal and \
+                getattr(self.storage, "_xb", None) is None:
+            dec = np.asarray(PQ.pq_decode(
+                jnp.asarray(self._codes),
+                jnp.asarray(self.pq.centroids)))
+            self.storage.reset()
+            self.storage.add(dec)
+            self._built_n = 0        # rebuild over reconstructed rows
         self._codes = np.concatenate([self._codes, codes])
         # graph build wants the exact vectors; storage keeps only codes
         self.storage.add(x)

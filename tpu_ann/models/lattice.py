@@ -80,15 +80,6 @@ class IndexLattice(IndexNeuralNetCodec):
             out[:, j, :] = c * norm[:, None].astype(np.float32)
         return out.reshape(n, self.d)
 
-    # net codes are uint64 wide — override the bit packers of the base
-    def sa_encode(self, x) -> np.ndarray:
-        x = self._check_input(x)
-        from ..ops.qinco import pack_codes
-
-        return pack_codes(self.net_encode(x), self.nbits)
-
-    def sa_decode(self, codes) -> np.ndarray:
-        from ..ops.qinco import unpack_codes
-
-        c = unpack_codes(np.asarray(codes, np.uint8), self.M, self.nbits)
-        return self.net_decode(c.astype(np.uint64))
+    # sa_encode/sa_decode come from IndexNeuralNetCodec: pack_codes /
+    # unpack_codes already handle >31-bit-wide codes (uint64), and
+    # net_decode re-casts to uint64 itself.

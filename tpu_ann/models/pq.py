@@ -96,7 +96,7 @@ class IndexPQ(Index):
         self.search_type = self.ST_PQ
         # polysemous knobs (IndexPQ.h: polysemous_ht; PolysemousTraining)
         self.do_polysemous_training = False
-        self.polysemous_ht = 0          # 0 = M*nbits/2 + 1 like reference
+        self.polysemous_ht = 0          # 0 = filter off (M*nbits+1, IndexPQ.cpp:330)
         self.polysemous_iters = 20000
         self._sdc: Optional[jnp.ndarray] = None
 
@@ -109,6 +109,7 @@ class IndexPQ(Index):
             self.pq.centroids = optimize_pq_for_hamming(
                 self.pq.centroids, n_iter=self.polysemous_iters)
         self._centroids_dev = jnp.asarray(self.pq.centroids)
+        self._sdc = None          # SDC tables belong to the old codebook
         self.is_trained = True
 
     @property
@@ -145,7 +146,9 @@ class IndexPQ(Index):
         if self.search_type == self.ST_POLYSEMOUS:
             from ..ops.polysemous import polysemous_knn
 
-            ht = self.polysemous_ht or (self.M * self.nbits // 2 + 1)
+            # ht=0 disables the filter: IndexPQ.cpp:330 maps 0 to
+            # nbits*M + 1 (every code passes)
+            ht = self.polysemous_ht or (self.M * self.nbits + 1)
             Dv, Iv, npass = polysemous_knn(
                 jnp.asarray(x), self._codes, self._centroids_dev, k,
                 int(ht), jnp.int32(self.ntotal))
@@ -171,6 +174,7 @@ class IndexPQ(Index):
 
     def reset(self) -> None:
         self._codes, self._capacity, self.ntotal = None, 0, 0
+        self._sdc = None
 
     # --- codec API --------------------------------------------------------
     def sa_code_size(self) -> int:

@@ -118,9 +118,12 @@ def _visited_test_and_set(visited, ids, valid):
     row = lax.broadcasted_iota(jnp.int32, (nq, c), 0)
     cur = visited[row, word]
     seen = (cur & bit) != 0
-    # in-batch dedupe: order ids per row, mark later equal occurrences
-    order = jnp.argsort(safe, axis=1)
-    sorted_ids = jnp.take_along_axis(safe, order, axis=1)
+    # in-batch dedupe: order ids per row, mark later equal occurrences.
+    # Sentinel must be OUT of the id range: 0 would mark a genuine id-0
+    # candidate as a duplicate of masked slots.
+    dedup_key = jnp.where(valid, ids, jnp.int32(2 ** 30))
+    order = jnp.argsort(dedup_key, axis=1)
+    sorted_ids = jnp.take_along_axis(dedup_key, order, axis=1)
     dup_sorted = jnp.concatenate(
         [jnp.zeros((nq, 1), bool),
          sorted_ids[:, 1:] == sorted_ids[:, :-1]], axis=1
@@ -151,9 +154,10 @@ def _upper_row(graph: HNSWGraph, node):
 
 
 def _greedy_level(vectors, graph: HNSWGraph, xq, level: int, cur, cur_d,
-                  max_hops: int = 64):
+                  max_hops: int = 64, metric: int = D.METRIC_L2):
     """Batched greedy walk at `level` (>=1): move to the nearest neighbor
-    until no improvement. cur/cur_d: (nq,) current node and distance."""
+    until no improvement. cur/cur_d: (nq,) current node and CANONICAL
+    distance (must match the metric passed here — IP is negated)."""
     m = graph.m
 
     def cond(state):
@@ -166,7 +170,7 @@ def _greedy_level(vectors, graph: HNSWGraph, xq, level: int, cur, cur_d,
         nbrs = graph.upper_neighbors[rows, level - 1]      # (nq, m)
         valid = nbrs >= 0
         vecs = vectors[jnp.where(valid, nbrs, 0)]          # (nq, m, d)
-        dis = _batch_dists(xq, vecs)
+        dis = _batch_dists(xq, vecs, metric)
         dis = jnp.where(valid, dis, jnp.inf)
         best = jnp.min(dis, axis=1)
         arg = jnp.argmin(dis, axis=1)
@@ -338,7 +342,8 @@ def hnsw_search(
     cur = jnp.broadcast_to(graph.entry, (nq,)).astype(jnp.int32)
     cur_d = _batch_dists(xq, vectors[cur][:, None, :], metric)[:, 0]
     for level in range(graph.max_level, 0, -1):
-        cur, cur_d = _greedy_level(vectors, graph, xq, level, cur, cur_d)
+        cur, cur_d = _greedy_level(vectors, graph, xq, level, cur, cur_d,
+                                   metric=metric)
     return beam_search_level0(
         vectors, graph.neighbors0, xq, cur[:, None],
         ef=ef, k=k, expand=expand, metric=metric,
@@ -610,7 +615,7 @@ def build_graph(
             )
             for lev in range(max_level, pt_level, -1):
                 cur, cur_d = _greedy_level(vectors, tmp_graph, xw, lev,
-                                           cur, cur_d)
+                                           cur, cur_d, metric=metric)
             seeds = cur[:, None]
             # insert at levels pt_level..1 in upper row space
             for lev in range(min(pt_level, max_level), 0, -1):
@@ -990,7 +995,7 @@ def extend_graph(
         cur_d = _batch_dists(xw, vectors_dev[cur][:, None, :], metric)[:, 0]
         for lev in range(graph.max_level, 0, -1):
             cur, cur_d = _greedy_level(vectors_dev, graph, xw, lev,
-                                       cur, cur_d)
+                                       cur, cur_d, metric=metric)
         neighbors0, _ = _insert_wave_level(
             vectors_dev, neighbors0, xw, jnp.asarray(wave_pad),
             cur[:, None], jnp.int32(n),

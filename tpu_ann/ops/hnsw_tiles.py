@@ -186,8 +186,10 @@ def _visited_test(visited, ids, valid):
     bit = jnp.uint32(1) << (safe & 31).astype(jnp.uint32)
     cur = visited[_row_iota((nq, c)), word]
     seen = (cur & bit) != 0
-    order = jnp.argsort(safe, axis=1)
-    s = jnp.take_along_axis(safe, order, axis=1)
+    # dedupe sentinel OUT of the id range (0 collides with tile 0)
+    dedup_key = jnp.where(valid, ids, jnp.int32(2 ** 30))
+    order = jnp.argsort(dedup_key, axis=1)
+    s = jnp.take_along_axis(dedup_key, order, axis=1)
     dup_sorted = jnp.concatenate(
         [jnp.zeros((nq, 1), bool), s[:, 1:] == s[:, :-1]], axis=1)
     dup = jnp.zeros((nq, c), bool).at[_row_iota((nq, c)), order].set(
@@ -359,7 +361,7 @@ def build_tiles_fused(
     neighbors0: np.ndarray,
     *,
     order: Optional[np.ndarray] = None,
-    b: int = 32,
+    b: int = 128,
 ) -> FusedTileGraph:
     """FusedTileGraph from vectors (node-id order) + level-0 graph.
     Same spatial layout as build_tiles; storage goes through

@@ -79,37 +79,45 @@ class SyntheticDataset(Dataset):
         return self._gt[:, :k]
 
 
-def sift_surrogate(n: int, seed: int = 0, chunk: int = 200_000
-                   ) -> np.ndarray:
+def sift_surrogate(n: int, seed: int = 0, chunk: int = 200_000,
+                   nproto: int = 0, sigma: float = 0.35) -> np.ndarray:
     """SIFT-like 128-d descriptors, generated (no dataset files ship in
     this environment; the real recall gates should rerun on SIFT1M fvecs
     via `load_sift1m` when available).
 
     Reproduces the structural properties that set SIFT's ANN difficulty
-    rather than any particular file: 4x4 spatial cells x 8 orientation
-    bins, heavy-tailed non-negative gradient energies (gamma marginals),
-    spatially-smooth cell energy, a dominant patch orientation with
-    circular spread (gives a continuum of soft clusters instead of
-    SyntheticDataset's tight mixture), SIFT's 0.2 clipping + L2
-    renormalization to 512, and uint8 rounding. Intrinsic dimension and
-    norm concentration land near published SIFT1M statistics."""
+    rather than any particular file: a bank of prototype gradient
+    patterns (4x4 cells x 8 orientation bins, gamma marginals, dominant
+    patch orientation, spatially-smooth cell energy — the "image patch"
+    manifold real descriptors live on) with per-draw multiplicative
+    jitter, then SIFT's 0.2 clipping + L2 renormalization to 512 and
+    uint8 saturation. Calibrated so IVF recall-vs-probe-ratio curves sit
+    in real-SIFT territory (ivf256/nprobe=8 at 30k: recall@10 ~0.93)
+    instead of the tight-mixture synthetic's saturated curves.
+
+    Split ONE call into train/database/query slices — the prototype bank
+    is seeded per call, and slices of the same call share it (queries
+    drawn from a different bank are out-of-distribution and much
+    harder)."""
     rs = np.random.RandomState(seed)
+    if nproto <= 0:
+        nproto = int(np.clip(n // 64, 1024, 65536))
+    proto = rs.gamma(0.65, 1.0, size=(nproto, 16, 8)).astype(np.float32)
+    dom = rs.randint(8, size=(nproto, 1, 1))
+    ori = np.arange(8).reshape(1, 1, 8)
+    ang = np.minimum(np.abs(ori - dom), 8 - np.abs(ori - dom))
+    kappa = rs.gamma(2.0, 1.0, size=(nproto, 1, 1)).astype(np.float32)
+    proto *= np.exp(-kappa * (ang.astype(np.float32) ** 2) / 4.0)
+    cell = rs.gamma(1.5, 1.0, size=(nproto, 4, 4)).astype(np.float32)
+    cell = (cell + np.roll(cell, 1, 1) + np.roll(cell, 1, 2)) / 3.0
+    proto *= cell.reshape(nproto, 16, 1)
+
     out = np.empty((n, 128), np.float32)
     for i0 in range(0, n, chunk):
         m = min(chunk, n - i0)
-        # heavy-tailed per-(cell, orientation) gradient energy
-        g = rs.gamma(shape=0.65, scale=1.0, size=(m, 16, 8)).astype(
-            np.float32)
-        # dominant orientation per patch with von-Mises-ish circular bump
-        dom = rs.randint(8, size=(m, 1, 1))
-        ori = np.arange(8).reshape(1, 1, 8)
-        ang = np.minimum(np.abs(ori - dom), 8 - np.abs(ori - dom))
-        kappa = rs.gamma(2.0, 1.0, size=(m, 1, 1)).astype(np.float32)
-        g = g * np.exp(-kappa * (ang.astype(np.float32) ** 2) / 4.0)
-        # spatially smooth cell energy (images have coherent structure)
-        cell = rs.gamma(1.5, 1.0, size=(m, 4, 4)).astype(np.float32)
-        cell = (cell + np.roll(cell, 1, 1) + np.roll(cell, 1, 2)) / 3.0
-        g = g * cell.reshape(m, 16, 1)
+        which = rs.randint(nproto, size=m)
+        g = proto[which] * np.exp(
+            sigma * rs.randn(m, 16, 8)).astype(np.float32)
         v = g.reshape(m, 128)
         # SIFT normalization: unit norm, clip at 0.2, renormalize, x512
         v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-12

@@ -85,9 +85,13 @@ class IndexInvlistSource(InvlistSource):
     def __init__(self, index):
         index._maybe_repack()
         self.nlist = index.nlist
-        self.coded = not hasattr(index.invlists, "data") \
-            if index.invlists is not None else False
         if index._xb_host:
+            # backfill missing per-chunk assignments (indexes loaded from
+            # disk restore the host store with assign=None)
+            for j, a in enumerate(index._assign_host):
+                if a is None:
+                    index._assign_host[j] = np.asarray(
+                        index._assign(index._xb_host[j]), np.int64)
             x = np.concatenate(index._xb_host, axis=0)
             ids = np.concatenate(index._ids_host)
             assign = np.concatenate([
@@ -103,6 +107,8 @@ class IndexInvlistSource(InvlistSource):
         self._starts = np.zeros(self.nlist + 1, np.int64)
         np.cumsum(sizes, out=self._starts[1:])
         self.width = x.shape[1]
+        # payload is always the RAW host vectors, even for coded indexes
+        # (merge_ondisk re-encodes per list when the destination is coded)
         self.coded = False
 
     def list_size(self, i):
@@ -285,6 +291,27 @@ class StopWordsInvlists(InvlistSource):
         return self.src.get_list(i)
 
 
+class _OneListCache(InvlistSource):
+    """Memoize the single in-flight list: merge_ondisk's data/norms/xb
+    generators each walk the lists, so without this every list's payload
+    is read from the source up to three times."""
+
+    def __init__(self, src: InvlistSource):
+        self.src = src
+        self.nlist = src.nlist
+        self.coded, self.width = src.coded, src.width
+        self._i = -1
+        self._val = None
+
+    def list_size(self, i):
+        return self.src.list_size(i)
+
+    def get_list(self, i):
+        if i != self._i:
+            self._i, self._val = i, self.src.get_list(i)
+        return self._val
+
+
 # ---------------------------------------------------------------------------
 # streaming container writer
 # ---------------------------------------------------------------------------
@@ -365,6 +392,7 @@ def merge_ondisk(index, sources, dst_path: str,
         src = sources[0] if len(sources) == 1 else HStackInvlists(sources)
     else:
         src = sources
+    src = _OneListCache(src)   # data/norms/xb streams re-read each list
     B = int(block_size or getattr(index, "block_size", 128))
     nlist = src.nlist
     if nlist != index.nlist:
@@ -383,6 +411,21 @@ def merge_ondisk(index, sources, dst_path: str,
 
     coded = src.coded
     w = src.width
+
+    # codedness contract: the written payload must match what the
+    # destination type's scans expect. A coded destination (overridden
+    # _pack) needs coded sources with the SAME codec (e.g.
+    # FileInvlistSource over shards of that index type); a raw
+    # destination needs raw sources.
+    from ..models.ivf import IndexIVF
+
+    dst_coded = type(index)._pack is not IndexIVF._pack
+    if dst_coded != coded:
+        raise ValueError(
+            f"merge_ondisk: destination {type(index).__name__} expects "
+            f"{'coded' if dst_coded else 'raw'} invlist payloads but the "
+            f"source yields {'coded' if coded else 'raw'} ones; merge "
+            "matching shard files, or add raw data via add_preassigned")
 
     # meta from the index's own dumper (quantizer + codec params),
     # with the invlist fields overridden
