@@ -395,14 +395,22 @@ class IndexIVF(Index):
             cd, probes = self._coarse_search_device(xq_dev, nprobe)
             probes = jax.block_until_ready(probes.astype(jnp.int32))
         with Timer() as t_s:
-            Dv, Iv, ndis = ivf_scan.scan_invlists(
-                xq_dev,
-                probes,
-                self.invlists,
-                k,
-                self.metric_type,
-                max_nblocks=mnb,
-            )
+            # same dispatch as search() so the timing split reflects the
+            # production scan (fused kernel on Mosaic backends)
+            if self._use_fused(xq_dev.shape[0], nprobe, mnb, None):
+                from ..ops.ivf_scan_pallas import scan_invlists_fused
+
+                Dv, Iv, ndis = scan_invlists_fused(
+                    xq_dev, probes, self.invlists, k, self.metric_type)
+            else:
+                Dv, Iv, ndis = ivf_scan.scan_invlists(
+                    xq_dev,
+                    probes,
+                    self.invlists,
+                    k,
+                    self.metric_type,
+                    max_nblocks=mnb,
+                )
             Dv = np.asarray(Dv)
             Iv = self._map_ids(Iv)
         stats = SearchStats(
