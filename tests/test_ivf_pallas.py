@@ -64,3 +64,28 @@ def test_fused_scan_empty_lists(rng):
                               max_nblocks=il.max_nblocks_per_list)
     np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_scan_inner_product(rng):
+    """IP metric via the negate trick (canonical ascending in-kernel)."""
+    n, d, nlist, nq, k = 3000, 32, 24, 64, 10
+    xb = rng.rand(n, d).astype(np.float32)
+    xq = rng.rand(nq, d).astype(np.float32)
+    cent = xb[rng.choice(n, nlist, replace=False)]
+    _, assign = D.knn(jnp.asarray(xb), jnp.asarray(cent), 1)
+    assign = np.asarray(assign)[:, 0]
+    il = pack_invlists(xb, np.arange(n), assign, nlist, block_size=16)
+    _, probes = D.knn(jnp.asarray(xq), jnp.asarray(cent), 8)
+    probes = probes.astype(jnp.int32)
+    D0, I0, _ = scan_invlists(jnp.asarray(xq), probes, il, k,
+                              D.METRIC_INNER_PRODUCT,
+                              max_nblocks=il.max_nblocks_per_list)
+    D1, I1, _ = scan_invlists_fused(jnp.asarray(xq), probes, il, k,
+                                    D.METRIC_INNER_PRODUCT, PT=32, CB=2,
+                                    kp=3 * k, refine=4, interpret=True)
+    I0, I1 = np.asarray(I0), np.asarray(I1)
+    overlap = np.mean([len(set(I1[q]) & set(I0[q])) / k for q in range(nq)])
+    assert overlap >= 0.98, overlap
+    # descending user-facing scores
+    D1 = np.asarray(D1)
+    assert (np.diff(D1, axis=1) <= 1e-5).all()

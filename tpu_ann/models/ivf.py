@@ -333,7 +333,6 @@ class IndexIVF(Index):
         return (
             id_mask is None
             and hasattr(self.invlists, "data")
-            and not D.is_similarity_metric(self.metric_type)
             and mnb >= self.invlists.max_nblocks_per_list
             and nq * nprobe >= 4096
             and _jax.default_backend() not in ("cpu",)  # Mosaic target only

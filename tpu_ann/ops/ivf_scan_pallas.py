@@ -82,6 +82,7 @@ def _grouped_kernel(
     CB: int,
     B: int,
     max_chunks: int,
+    similarity: bool = False,
 ):
     t = pl.program_id(0)
     bs = tile_bs_ref[t]
@@ -140,7 +141,10 @@ def _grouped_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                             # (PT, CB*B) f32
-        dis = jnp.maximum(qn + vnorm - 2.0 * ip, 0.0)
+        if similarity:
+            dis = -ip                  # canonical ascending-best
+        else:
+            dis = jnp.maximum(qn + vnorm - 2.0 * ip, 0.0)
 
         # stream position of each lane; mask: the lane's block must lie
         # in the pair's list range and hold a real row (ids >= 0)
@@ -234,8 +238,7 @@ def scan_invlists_fused(
                          f"(got {B})")
     NB = invlists.nblocks
     nlist = invlists.nlist
-    if D.is_similarity_metric(metric):
-        raise NotImplementedError("fused scan: L2 only (IP: negate trick)")
+    similarity = D.is_similarity_metric(metric)
     xq = xq.astype(jnp.float32)
     # default per-pair width: a bit above k so the bf16 phase keeps every
     # true top-k candidate for the refine (measured on v5e, SIFT1M
@@ -326,6 +329,7 @@ def scan_invlists_fused(
             outd_ref.at[0], outp_ref.at[0],
             dbuf, ibuf, nbuf, sems,
             k=kp, CB=CB, B=B, max_chunks=max_chunks,
+            similarity=similarity,
         )
 
     # pad the block stream so a full CB chunk past the end stays in bounds
@@ -365,9 +369,12 @@ def scan_invlists_fused(
         rows = data_f32.reshape(-1, d)[safe_p]               # (nq, R, d)
         ipx = jnp.einsum("qd,qrd->qr", xq, rows,
                          preferred_element_type=jnp.float32)
-        rn = invlists.norms.reshape(-1)[safe_p]
-        qn2 = jnp.sum(xq * xq, axis=1, keepdims=True)
-        dis = jnp.maximum(qn2 + rn - 2.0 * ipx, 0.0)
+        if similarity:
+            dis = -ipx
+        else:
+            rn = invlists.norms.reshape(-1)[safe_p]
+            qn2 = jnp.sum(xq * xq, axis=1, keepdims=True)
+            dis = jnp.maximum(qn2 + rn - 2.0 * ipx, 0.0)
         dis = jnp.where(cand_p >= 0, dis, jnp.inf)
         kk = min(k, dis.shape[1])
         nv2, sel2 = lax.top_k(-dis, kk)
@@ -390,4 +397,6 @@ def scan_invlists_fused(
                             constant_values=-1)
     out_i = jnp.where(out_p >= 0, ids_flat[jnp.maximum(out_p, 0)], -1)
     out_d = jnp.where(out_p >= 0, out_d, jnp.inf)
+    if similarity:
+        out_d = -out_d                 # back to user-facing (descending)
     return out_d, out_i, ndis
