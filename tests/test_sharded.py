@@ -186,3 +186,51 @@ def test_sharded_ivf_scan_pq_matches_single(mesh, rng, nbits):
     for q in range(nq):
         assert set(np.asarray(Is)[q].tolist()) == \
             set(np.asarray(I1)[q].tolist())
+
+
+def test_sharded_fused_scan_matches_plain(mesh, rng):
+    """Per-shard Pallas fused scan under shard_map (interpret mode on the
+    CPU mesh) == the plain sharded scan."""
+    import jax.numpy as jnp
+
+    from tpu_ann.ops import distances as D
+    from tpu_ann.ops.ivf_scan import pack_invlists
+    from tpu_ann.parallel.sharded import sharded_ivf_scan
+
+    S, n_per, d, nlist, nq, k = 4, 1024, 32, 16, 32, 5
+    cent = rng.rand(nlist, d).astype(np.float32)
+    datas, idss, normss, lbss, lnbs = [], [], [], [], []
+    mnb = 0
+    pils = []
+    for s in range(S):
+        xb = rng.rand(n_per, d).astype(np.float32)
+        _, a = D.knn(jnp.asarray(xb), jnp.asarray(cent), 1)
+        a = np.asarray(a)[:, 0]
+        pil = pack_invlists(xb, np.arange(s * n_per, (s + 1) * n_per),
+                            a, nlist, block_size=16)
+        pils.append(pil)
+        mnb = max(mnb, pil.max_nblocks_per_list)
+    # pad all shards to a common block count
+    nbmax = max(p.data.shape[0] for p in pils)
+    for p in pils:
+        padb = nbmax - p.data.shape[0]
+        datas.append(jnp.pad(p.data, ((0, padb), (0, 0), (0, 0))))
+        idss.append(jnp.pad(p.ids, ((0, padb), (0, 0)),
+                            constant_values=-1))
+        normss.append(jnp.pad(p.norms, ((0, padb), (0, 0))))
+        lbss.append(p.list_block_start)
+        lnbs.append(p.list_nblocks)
+    args = (jnp.stack(datas), jnp.stack(idss), jnp.stack(normss),
+            jnp.stack(lbss), jnp.stack(lnbs))
+    xq = jnp.asarray(rng.rand(nq, d).astype(np.float32))
+    _, probes = D.knn(xq, jnp.asarray(cent), 4)
+    probes = probes.astype(jnp.int32)
+
+    D0, I0 = sharded_ivf_scan(xq, probes, *args, k, mesh=mesh,
+                              max_nblocks=mnb)
+    D1, I1 = sharded_ivf_scan(xq, probes, *args, k, mesh=mesh,
+                              max_nblocks=mnb, fused=True, interpret=True)
+    I0, I1 = np.asarray(I0), np.asarray(I1)
+    overlap = np.mean([len(set(I1[q]) & set(I0[q])) / k
+                       for q in range(nq)])
+    assert overlap >= 0.95, overlap

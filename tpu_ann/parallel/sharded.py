@@ -168,7 +168,8 @@ def sharded_kmeans_iter(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "max_nblocks", "mesh"),
+    static_argnames=("k", "metric", "max_nblocks", "mesh", "fused",
+                     "interpret"),
 )
 def sharded_ivf_scan(
     xq: jnp.ndarray,
@@ -183,6 +184,8 @@ def sharded_ivf_scan(
     *,
     max_nblocks: int,
     mesh: Mesh,
+    fused: bool = False,
+    interpret: bool = False,
 ):
     """Sharded IVF list scan: each device holds its own packed invlists
     (stacked on a leading `shard` axis) covering a row-partition of the
@@ -194,6 +197,9 @@ def sharded_ivf_scan(
       data (S, nblocks+1, B, d), ids (S, nblocks+1, B), norms alike,
       list_block_start/list_nblocks (S, nlist).
       xq (nq, d) replicated; probes (nq, nprobe) replicated.
+      fused: route the per-shard scan through the Pallas list-major
+        kernel (ops/ivf_scan_pallas; interpret=True for CPU-mesh
+        validation — the driver protocol exercises exactly that).
     Returns replicated (D, I) with global ids taken from `ids`.
     """
     from ..ops.ivf_scan import PackedInvLists, scan_invlists
@@ -205,9 +211,16 @@ def sharded_ivf_scan(
             data=data_l[0], ids=ids_l[0], norms=norms_l[0],
             list_block_start=lbs_l[0], list_nblocks=lnb_l[0],
         )
-        d_l, i_l, _ = scan_invlists(
-            xq_r, probes_r, pil, k, metric, max_nblocks=max_nblocks
-        )
+        if fused:
+            from ..ops.ivf_scan_pallas import scan_invlists_fused
+
+            pil._max_nblocks = max_nblocks
+            d_l, i_l, _ = scan_invlists_fused(
+                xq_r, probes_r, pil, k, metric, interpret=interpret)
+        else:
+            d_l, i_l, _ = scan_invlists(
+                xq_r, probes_r, pil, k, metric, max_nblocks=max_nblocks
+            )
         dg = lax.all_gather(d_l, "shard")
         ig = lax.all_gather(i_l, "shard")
         d_m, i_m = T.merge_topk_axis(dg, ig, k, similarity=similarity)
