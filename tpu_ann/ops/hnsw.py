@@ -837,6 +837,7 @@ def build_graph_knn(
     metric: int = D.METRIC_L2,
     verbose: bool = False,
     prune_mode: str = "single",
+    reverse_cap: int = 0,
 ) -> Tuple[HNSWGraph, Optional[np.ndarray]]:
     """Build an HNSW-compatible graph from a batch kNN table (see module
     section comment). Returns (graph, coarse_assign or None) — the coarse
@@ -873,7 +874,8 @@ def build_graph_knn(
     else:
         fwd, fwd_dis = _prune_all(vec_dev, ids, dis, m0, metric,
                                   verbose=verbose, tag="/fwd")
-    rev_ids, rev_dis = _reverse_candidates(fwd, fwd_dis, m0)
+    rcap = int(reverse_cap) if reverse_cap else m0
+    rev_ids, rev_dis = _reverse_candidates(fwd, fwd_dis, rcap)
     neighbors0 = _merge_prune(vec_dev, fwd, fwd_dis, rev_ids, rev_dis, m0,
                               metric, verbose, "/lvl0")
 
