@@ -874,7 +874,10 @@ def build_graph_knn(
     else:
         fwd, fwd_dis = _prune_all(vec_dev, ids, dis, m0, metric,
                                   verbose=verbose, tag="/fwd")
-    rcap = int(reverse_cap) if reverse_cap else m0
+    # reverse-edge cap m (not m0): measured at 1M/v5e, cap=m builds in
+    # 314 s vs 402 s at cap=m0 with recall@10 unchanged (0.9976 vs
+    # 0.9977) — the merge prune keeps the same diverse subset either way
+    rcap = int(reverse_cap) if reverse_cap else m
     rev_ids, rev_dis = _reverse_candidates(fwd, fwd_dis, rcap)
     neighbors0 = _merge_prune(vec_dev, fwd, fwd_dis, rev_ids, rev_dis, m0,
                               metric, verbose, "/lvl0")
