@@ -213,3 +213,21 @@ def test_kmeans_nredo_ip_keeps_best(rng):
     cp3 = ClusteringParameters(niter=6, nredo=3, seed=5, spherical=True)
     _, stats3 = kmeans(x, 8, cp3, metric=D.METRIC_INNER_PRODUCT)
     assert stats3[-1].obj >= stats1[-1].obj - 1e-4
+
+
+def test_search_preassigned_stats(small_ds):
+    import numpy as np
+
+    from tpu_ann.models.ivf import make_ivf_flat
+
+    idx = make_ivf_flat(small_ds.d, 32)
+    idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    xq = small_ds.get_queries()
+    _, probes = idx.quantizer.search(xq, 8)
+    D0, I0 = idx.search_preassigned(xq, 10, probes)
+    D1, I1, st = idx.search_preassigned_stats(xq, 10, probes)
+    np.testing.assert_array_equal(I0, I1)
+    assert st.list_scan_us > 0 and st.quantization_us == 0
+    assert st.nlist_visited == len(xq) * 8

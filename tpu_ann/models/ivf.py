@@ -464,6 +464,29 @@ class IndexIVF(Index):
                                           k, mnb)
         return np.asarray(Dv), self._map_ids(Iv)
 
+    def search_preassigned_stats(self, x, k: int, probes: np.ndarray):
+        """search_preassigned + QueryLatencyStats (the fork's
+        IndexIVF::search_preassigned_stats, faiss/IndexIVF.h:306-317,
+        IndexIVF.cpp:862-1110 — quantization phase is external, so the
+        split reports scan time only)."""
+        self._maybe_repack()
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        x = self._check_input(x)
+        mnb = self.invlists.max_nblocks_per_list
+        probes_dev = jnp.asarray(probes, dtype=jnp.int32)
+        cd = jnp.zeros(probes_dev.shape, jnp.float32)
+        with Timer() as t_s:
+            Dv, Iv = self._scan_probes_device(jnp.asarray(x), probes_dev,
+                                              cd, k, mnb)
+            Dv = np.asarray(Dv)
+            Iv = self._map_ids(Iv)
+        stats = SearchStats(
+            nq=len(x), total_us=t_s.us, quantization_us=0,
+            list_scan_us=t_s.us,
+            nlist_visited=len(x) * probes_dev.shape[1])
+        return Dv, Iv, stats
+
     def remove_ids(self, sel) -> int:
         """Remove stored ids matching an IDSelector
         (IndexIVF::remove_ids via DirectMap); invlists repacked.
