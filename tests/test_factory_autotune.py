@@ -157,3 +157,28 @@ def test_range_search_ivf(small_ds):
         s1 = set(i1[l1[i]:l1[i + 1]].tolist())
         s2 = set(i2[l2[i]:l2[i + 1]].tolist())
         assert s1 == s2
+
+
+def test_factory_hnsw_storage_variants():
+    from tpu_ann.models.hnsw import (IndexHNSW2Level, IndexHNSWPQ,
+                                     IndexHNSWSQ)
+    from tpu_ann.utils.factory import index_factory
+
+    idx = index_factory(64, "HNSW16,PQ8")
+    assert isinstance(idx, IndexHNSWPQ)
+    assert idx.pq_m == 8 and idx.hnsw.M == 16
+    idx = index_factory(64, "HNSW16,SQfp16")
+    assert isinstance(idx, IndexHNSWSQ) and idx.storage_dtype == "float16"
+    idx = index_factory(64, "HNSW16,32+PQ8")
+    assert isinstance(idx, IndexHNSW2Level)
+    assert idx.codec.nlist == 32 and idx.codec.M == 8
+
+
+def test_factory_lsh():
+    from tpu_ann.models.extra import IndexLSH
+    from tpu_ann.utils.factory import index_factory
+
+    idx = index_factory(64, "LSH")
+    assert isinstance(idx, IndexLSH) and idx.nbits == 64
+    idx = index_factory(64, "LSH128rt")
+    assert idx.nbits == 128 and idx.rotate_data and idx.train_thresholds

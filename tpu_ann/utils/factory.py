@@ -154,10 +154,33 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
         rest = rest[1:] if rest else rest
         index = _make_ivf(nlist, hnsw_m, code, cur_d, metric)
     elif m := re.fullmatch(r"HNSW(\d+)?", head):
+        # parse_IndexHNSW grammar (index_factory.cpp:443-490): storage
+        # code after the comma — Flat | PQ<M>[x<nbits>] | SQ* | <n>+PQ<m>
         hm = int(m.group(1) or 32)
-        if rest and rest[0] == "Flat":
+        code = rest[0] if rest else "Flat"
+        if rest:
             rest = rest[1:]
-        index = IndexHNSWFlat(cur_d, hm, metric)
+        if code == "Flat":
+            index = IndexHNSWFlat(cur_d, hm, metric)
+        elif mm := re.fullmatch(r"PQ(\d+)(?:x(\d+))?", code):
+            from ..models.hnsw import IndexHNSWPQ
+
+            index = IndexHNSWPQ(cur_d, int(mm.group(1)), hm,
+                                int(mm.group(2) or 8), metric)
+        elif code in ("SQ8", "SQfp16", "SQbf16"):
+            from ..models.hnsw import IndexHNSWSQ
+
+            qt = {"SQ8": "bfloat16", "SQfp16": "float16",
+                  "SQbf16": "bfloat16"}[code]
+            index = IndexHNSWSQ(cur_d, qt, hm, metric)
+        elif mm := re.fullmatch(r"(\d+)\+PQ(\d+)", code):
+            from ..models.hnsw import IndexHNSW2Level
+
+            index = IndexHNSW2Level(cur_d, int(mm.group(1)),
+                                    int(mm.group(2)), hm, metric=metric)
+        else:
+            raise ValueError(f"index_factory: unknown HNSW storage "
+                             f"{code!r}")
     elif head == "Flat":
         index = IndexFlat(cur_d, metric)
     elif m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?)?", head):
@@ -173,6 +196,14 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
         cls = (IndexResidualQuantizer if m.group(1) == "RQ"
                else IndexLocalSearchQuantizer)
         index = cls(cur_d, int(m.group(2)), int(m.group(3)), metric)
+    elif m := re.fullmatch(r"LSH(\d*)(r?)(t?)", head):
+        # index_factory.cpp:545 "LSH[nbits][r][t]"
+        from ..models.extra import IndexLSH
+
+        nbits = int(m.group(1) or cur_d)
+        nbits = -(-nbits // 8) * 8      # our LSH packs whole bytes
+        index = IndexLSH(cur_d, nbits, rotate_data=bool(m.group(2)),
+                         train_thresholds=bool(m.group(3)))
     elif m := re.fullmatch(r"ZnLattice(\d+)x(\d+)_(\d+)", head):
         # index_factory.cpp:554 "ZnLattice{nsq}x{r2}_{scale_nbit}"
         from ..models.lattice import IndexLattice
