@@ -265,3 +265,36 @@ def test_index_hnsw_2level(rng):
     # decoded-space self-search: stored reconstruction of row i is the
     # nearest decoded point to x_i most of the time
     assert (Iv[:, 0] == np.arange(20)).mean() > 0.6
+
+
+def test_tile_search_fused_bf16_storage(rng):
+    """FusedTileGraph with compressed (bf16) tile storage — the
+    IndexHNSWSQ memory contract through the fused path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_ann.ops import distances as D
+    from tpu_ann.ops.hnsw import build_graph_knn
+    from tpu_ann.ops.hnsw_tiles import (build_tiles_fused, spatial_order,
+                                        tile_search_fused)
+
+    rng2 = np.random.RandomState(11)
+    n, d, nq, k = 3000, 32, 48, 10
+    cents = rng2.rand(16, d).astype(np.float32) * 6
+    xb = cents[rng2.randint(16, size=n)] + rng2.randn(n, d).astype(
+        np.float32) * 0.6
+    xq = cents[rng2.randint(16, size=nq)] + rng2.randn(nq, d).astype(
+        np.float32) * 0.6
+    graph, _ = build_graph_knn(jnp.asarray(xb), 8, 40)
+    order = spatial_order(xb, 128)
+    ftg = build_tiles_fused(xb, np.asarray(graph.neighbors0),
+                            order=order, b=128)
+    ftg.il.data = ftg.il.data.astype(jnp.bfloat16)
+    Dv, Pv, Iv = tile_search_fused(ftg, jnp.asarray(xq), k, nprobe0=6,
+                                   hops=2, expand=8, F=4, rk=32,
+                                   interpret=True)
+    Iv = np.asarray(Iv)
+    _, gt = D.knn(jnp.asarray(xq), jnp.asarray(xb), k)
+    gt = np.asarray(gt)
+    rec = np.mean([len(set(Iv[q]) & set(gt[q])) / k for q in range(nq)])
+    assert rec >= 0.8, rec

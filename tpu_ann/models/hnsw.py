@@ -251,6 +251,13 @@ class IndexHNSW(Index):
             order=order,
             b=b,
         )
+        if self.storage_dtype is not None:
+            # honor the SQ storage contract in the fused path too: tiles
+            # live at the compressed dtype (half the HBM); the kernel's
+            # "exact" refine then re-ranks at storage precision, which
+            # is the HNSWSQ semantic (distances on compressed storage)
+            il = self._tiles_fused.il
+            il.data = il.data.astype(jnp.dtype(self.storage_dtype))
         return self._tiles_fused
 
     _tiles_fused = None
