@@ -265,6 +265,15 @@ class IndexIVF(Index):
     # index-level scan budget (IndexIVF.h:79 max_codes; 0 = unlimited);
     # per-call SearchParametersIVF.max_codes overrides
     max_codes = 0
+    # per-LIST scan budget as a multiple of the average list length
+    # (0 = unlimited). With a badly imbalanced quantizer (train set far
+    # below 39 points/centroid) the longest list can reach hundreds of
+    # blocks; the compacted scan then runs that many SEQUENTIAL chunk
+    # steps per probe, which on this environment outlives the TPU
+    # watchdog. 16x the average truncates only pathological lists
+    # (the reference handles the same pathology with max_codes budgets
+    # and ClusterManager splits).
+    max_list_scan_factor = 16
 
     def _effective_params(self, params):
         nprobe = self.nprobe
@@ -276,6 +285,10 @@ class IndexIVF(Index):
                 max_codes = params.max_codes
         nprobe = min(max(int(nprobe), 1), self.nlist)
         mnb = self.invlists.max_nblocks_per_list
+        if self.max_list_scan_factor:
+            avg_nb = max(1, -(-self.ntotal // (self.nlist
+                                               * self.block_size)))
+            mnb = min(mnb, max(64, self.max_list_scan_factor * avg_nb))
         if max_codes:
             mnb = min(mnb, max(1, -(-int(max_codes) // self.block_size)))
         return nprobe, mnb
@@ -330,10 +343,20 @@ class IndexIVF(Index):
             return False
         import jax as _jax
 
+        # the fused kernel streams whole lists (CB blocks at a time), so
+        # the watchdog-safety cap doesn't apply to it; only an EXPLICIT
+        # max_codes budget (mnb below the default-capped value) forces
+        # the truncating query-major scan
+        default_mnb = self.invlists.max_nblocks_per_list
+        if self.max_list_scan_factor:
+            avg_nb = max(1, -(-self.ntotal // (self.nlist
+                                               * self.block_size)))
+            default_mnb = min(default_mnb,
+                              max(64, self.max_list_scan_factor * avg_nb))
         return (
             id_mask is None
             and hasattr(self.invlists, "data")
-            and mnb >= self.invlists.max_nblocks_per_list
+            and mnb >= default_mnb
             and nq * nprobe >= 4096
             and _jax.default_backend() not in ("cpu",)  # Mosaic target only
         )
