@@ -298,3 +298,36 @@ def test_tile_search_fused_bf16_storage(rng):
     gt = np.asarray(gt)
     rec = np.mean([len(set(Iv[q]) & set(gt[q])) / k for q in range(nq)])
     assert rec >= 0.8, rec
+
+
+def test_hnswpq_hnswsq_io_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from tpu_ann.models.hnsw import IndexHNSWPQ, IndexHNSWSQ
+    from tpu_ann.utils import index_io
+
+    rng = np.random.RandomState(9)
+    xb = rng.rand(1200, 32).astype(np.float32)
+
+    sq = IndexHNSWSQ(32, "float16", M=8)
+    sq.add(xb)
+    p = str(tmp_path / "sq.tann")
+    index_io.write_index(sq, p)
+    back = index_io.read_index(p)
+    assert back.storage_dtype == "float16" and back.ntotal == 1200
+    D0, I0 = sq.search(xb[:10], 5)
+    D1, I1 = back.search(xb[:10], 5)
+    np.testing.assert_array_equal(I0, I1)
+
+    pq = IndexHNSWPQ(32, pq_m=8, M=8)
+    pq.hnsw.tile_threshold = 10**9
+    pq.train(xb)
+    pq.add(xb)
+    p = str(tmp_path / "pq.tann")
+    index_io.write_index(pq, p)
+    back = index_io.read_index(p)
+    assert back.ntotal == 1200 and back._codes.shape == (1200, 8)
+    back.hnsw.tile_threshold = 10**9
+    D0, I0 = pq.search(xb[:10], 5)
+    D1, I1 = back.search(xb[:10], 5)
+    np.testing.assert_array_equal(I0, I1)

@@ -548,6 +548,21 @@ class IndexHNSWPQ(IndexHNSW):
     def _search_device_stats(self, xq_dev, k: int, ef: int, expand: int):
         from ..ops import hnsw_tiles as HT
 
+        if (self._ptiles is None and self.graph is not None
+                and self.ntotal >= self.hnsw.tile_threshold):
+            # deserialized index: rebuild the coded tiles from decoded
+            # codes (ADC-accuracy centroids/order, codes stored as-is)
+            from ..ops import pq as PQ
+
+            dec = np.asarray(PQ.pq_decode(
+                jnp.asarray(self._codes),
+                jnp.asarray(self.pq.centroids)))
+            order = HT.spatial_order(dec, self.hnsw.fused_tile_size,
+                                     seed=self._level_seed)
+            self._ptiles = HT.build_tiles_pq(
+                dec, self._codes, self.pq.centroids,
+                np.asarray(self.graph.neighbors0), order=order,
+                b=self.hnsw.fused_tile_size)
         if self._ptiles is not None:
             nprobe0 = max(4, ef // 8)
             Dv, Pv, Iv = HT.tile_search_pq(

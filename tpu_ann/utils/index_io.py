@@ -170,6 +170,97 @@ def _load_hnsw(meta, arrays):
     return idx
 
 
+def _graph_meta_arrays(index, meta, arrays):
+    g = index.graph
+    meta["has_graph"] = g is not None
+    if g is not None:
+        meta["max_level"] = g.max_level
+        meta["entry"] = int(np.asarray(g.entry))
+        arrays.update(
+            neighbors0=np.asarray(g.neighbors0),
+            upper_ids=np.asarray(g.upper_ids),
+            upper_neighbors=np.asarray(g.upper_neighbors),
+            levels=np.asarray(g.levels),
+        )
+
+
+def _restore_graph(idx, meta, arrays):
+    import jax.numpy as jnp
+
+    from ..ops.hnsw import HNSWGraph
+
+    if meta.get("has_graph"):
+        idx.graph = HNSWGraph(
+            neighbors0=jnp.asarray(np.asarray(arrays["neighbors0"])),
+            upper_ids=jnp.asarray(np.asarray(arrays["upper_ids"])),
+            upper_neighbors=jnp.asarray(
+                np.asarray(arrays["upper_neighbors"])),
+            levels=jnp.asarray(np.asarray(arrays["levels"])),
+            entry=jnp.int32(meta["entry"]),
+            max_level=int(meta["max_level"]),
+        )
+        idx._built_n = idx.ntotal
+
+
+def _dump_hnswsq(index):
+    meta, arrays = _dump_hnsw(index)
+    meta["tag"] = "IHNs"
+    meta["qtype"] = index.storage_dtype
+    return meta, arrays
+
+
+def _load_hnswsq(meta, arrays):
+    from ..models.hnsw import IndexHNSWSQ
+
+    idx = IndexHNSWSQ(int(meta["d"]), meta["qtype"], int(meta["M"]),
+                      int(meta["metric"]))
+    idx.hnsw.efConstruction = int(meta["efConstruction"])
+    idx.hnsw.efSearch = int(meta["efSearch"])
+    if meta["ntotal"]:
+        idx.storage.add(np.asarray(arrays["xb"]))
+        idx.ntotal = idx.storage.ntotal
+    _restore_graph(idx, meta, arrays)
+    return idx
+
+
+def _dump_hnswpq(index):
+    meta = {
+        "tag": "IHNq", "d": index.d, "metric": index.metric_type,
+        "ntotal": index.ntotal, "M": index.hnsw.M,
+        "pq_m": index.pq_m, "nbits": index.nbits,
+        "efConstruction": index.hnsw.efConstruction,
+        "efSearch": index.hnsw.efSearch,
+        "is_trained": index.is_trained,
+    }
+    arrays = {"codes": index._codes}
+    if index.pq is not None:
+        arrays["pq_centroids"] = np.asarray(index.pq.centroids)
+    _graph_meta_arrays(index, meta, arrays)
+    return meta, arrays
+
+
+def _load_hnswpq(meta, arrays):
+    from ..models.hnsw import IndexHNSWPQ
+    from ..ops.pq import PQCodec
+
+    idx = IndexHNSWPQ(int(meta["d"]), int(meta["pq_m"]), int(meta["M"]),
+                      int(meta["nbits"]), int(meta["metric"]))
+    idx.hnsw.efConstruction = int(meta["efConstruction"])
+    idx.hnsw.efSearch = int(meta["efSearch"])
+    if "pq_centroids" in arrays:
+        idx.pq = PQCodec(
+            centroids=np.asarray(arrays["pq_centroids"]),
+            d=int(meta["d"]), M=int(meta["pq_m"]),
+            nbits=int(meta["nbits"]))
+    idx.is_trained = bool(meta["is_trained"])
+    idx._codes = np.asarray(arrays["codes"])
+    idx.ntotal = int(meta["ntotal"])
+    idx.storage.ntotal = idx.ntotal
+    _restore_graph(idx, meta, arrays)
+    # coded tiles are rebuilt lazily from decoded codes on first search
+    return idx
+
+
 def _dump_ivf_common(index) -> Tuple[dict, dict]:
     # flush any deferred (repack=False) adds so the serialized invlists
     # match ntotal — otherwise a loaded index would silently miss rows
@@ -296,6 +387,8 @@ _register("IndexFlatL2", "IxFl", _dump_flat, _load_flat)
 _register("IndexFlatIP", "IxFl", _dump_flat, _load_flat)
 _register("IndexHNSW", "IHNf", _dump_hnsw, _load_hnsw)
 _register("IndexHNSWFlat", "IHNf", _dump_hnsw, _load_hnsw)
+_register("IndexHNSWSQ", "IHNs", _dump_hnswsq, _load_hnswsq)
+_register("IndexHNSWPQ", "IHNq", _dump_hnswpq, _load_hnswpq)
 _register("IndexIVF", "IwFl", _dump_ivfflat, _load_ivfflat)
 _register("IndexIVFFlat", "IwFl", _dump_ivfflat, _load_ivfflat)
 _register("IndexIVFHNSW", "IwHn", _dump_ivfhnsw, _load_ivfhnsw)
