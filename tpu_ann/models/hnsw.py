@@ -255,9 +255,14 @@ class IndexHNSW(Index):
             # honor the SQ storage contract in the fused path too: tiles
             # live at the compressed dtype (half the HBM); the kernel's
             # "exact" refine then re-ranks at storage precision, which
-            # is the HNSWSQ semantic (distances on compressed storage)
+            # is the HNSWSQ semantic (distances on compressed storage).
+            # Norms must be recomputed FROM the compressed values or the
+            # refine would mix quantized inner products with unquantized
+            # norms.
             il = self._tiles_fused.il
             il.data = il.data.astype(jnp.dtype(self.storage_dtype))
+            il.norms = jnp.sum(
+                il.data.astype(jnp.float32) ** 2, axis=-1)
         return self._tiles_fused
 
     _tiles_fused = None

@@ -275,6 +275,17 @@ class IndexIVF(Index):
     # and ClusterManager splits).
     max_list_scan_factor = 16
 
+    def _default_capped_mnb(self) -> int:
+        """max blocks scanned per list under the watchdog-safety cap
+        (no explicit max_codes). Shared by _effective_params and the
+        fused-dispatch gate so they can never disagree."""
+        mnb = self.invlists.max_nblocks_per_list
+        if self.max_list_scan_factor:
+            avg_nb = max(1, -(-self.ntotal // (self.nlist
+                                               * self.block_size)))
+            mnb = min(mnb, max(64, self.max_list_scan_factor * avg_nb))
+        return mnb
+
     def _effective_params(self, params):
         nprobe = self.nprobe
         max_codes = self.max_codes
@@ -284,11 +295,7 @@ class IndexIVF(Index):
             if params.max_codes:
                 max_codes = params.max_codes
         nprobe = min(max(int(nprobe), 1), self.nlist)
-        mnb = self.invlists.max_nblocks_per_list
-        if self.max_list_scan_factor:
-            avg_nb = max(1, -(-self.ntotal // (self.nlist
-                                               * self.block_size)))
-            mnb = min(mnb, max(64, self.max_list_scan_factor * avg_nb))
+        mnb = self._default_capped_mnb()
         if max_codes:
             mnb = min(mnb, max(1, -(-int(max_codes) // self.block_size)))
         return nprobe, mnb
@@ -347,12 +354,7 @@ class IndexIVF(Index):
         # the watchdog-safety cap doesn't apply to it; only an EXPLICIT
         # max_codes budget (mnb below the default-capped value) forces
         # the truncating query-major scan
-        default_mnb = self.invlists.max_nblocks_per_list
-        if self.max_list_scan_factor:
-            avg_nb = max(1, -(-self.ntotal // (self.nlist
-                                               * self.block_size)))
-            default_mnb = min(default_mnb,
-                              max(64, self.max_list_scan_factor * avg_nb))
+        default_mnb = self._default_capped_mnb()
         return (
             id_mask is None
             and hasattr(self.invlists, "data")
@@ -419,12 +421,19 @@ class IndexIVF(Index):
         with Timer() as t_s:
             # same dispatch as search() so the timing split reflects the
             # production scan (fused kernel on Mosaic backends)
+            fused_done = False
             if self._use_fused(xq_dev.shape[0], nprobe, mnb, None):
                 from ..ops.ivf_scan_pallas import scan_invlists_fused
 
-                Dv, Iv, ndis = scan_invlists_fused(
-                    xq_dev, probes, self.invlists, k, self.metric_type)
-            else:
+                try:
+                    Dv, Iv, ndis = scan_invlists_fused(
+                        xq_dev, probes, self.invlists, k,
+                        self.metric_type)
+                    fused_done = True
+                except Exception:
+                    if self.scan_mode == "fused":
+                        raise
+            if not fused_done:
                 Dv, Iv, ndis = ivf_scan.scan_invlists(
                     xq_dev,
                     probes,
@@ -476,16 +485,8 @@ class IndexIVF(Index):
     def search_preassigned(self, x, k: int, probes: np.ndarray):
         """Scan given precomputed coarse assignment
         (faiss/IndexIVF.cpp:399, contrib/ivf_tools.search_preassigned)."""
-        self._maybe_repack()
-        if self.invlists is None:
-            raise RuntimeError("empty index")
-        x = self._check_input(x)
-        mnb = self.invlists.max_nblocks_per_list
-        probes_dev = jnp.asarray(probes, dtype=jnp.int32)
-        cd = jnp.zeros(probes_dev.shape, jnp.float32)
-        Dv, Iv = self._scan_probes_device(jnp.asarray(x), probes_dev, cd,
-                                          k, mnb)
-        return np.asarray(Dv), self._map_ids(Iv)
+        Dv, Iv, _ = self.search_preassigned_stats(x, k, probes)
+        return Dv, Iv
 
     def search_preassigned_stats(self, x, k: int, probes: np.ndarray):
         """search_preassigned + QueryLatencyStats (the fork's
@@ -496,7 +497,7 @@ class IndexIVF(Index):
         if self.invlists is None:
             raise RuntimeError("empty index")
         x = self._check_input(x)
-        mnb = self.invlists.max_nblocks_per_list
+        mnb = self._default_capped_mnb()
         probes_dev = jnp.asarray(probes, dtype=jnp.int32)
         cd = jnp.zeros(probes_dev.shape, jnp.float32)
         with Timer() as t_s:

@@ -214,7 +214,9 @@ def sharded_ivf_scan(
         if fused:
             from ..ops.ivf_scan_pallas import scan_invlists_fused
 
-            pil._max_nblocks = max_nblocks
+            # NOTE: the fused kernel streams every probed list in full
+            # (CB blocks at a time) — the max_nblocks cap applies only
+            # to the truncating query-major path
             d_l, i_l, _ = scan_invlists_fused(
                 xq_r, probes_r, pil, k, metric, interpret=interpret)
         else:

@@ -167,12 +167,18 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
 
             index = IndexHNSWPQ(cur_d, int(mm.group(1)), hm,
                                 int(mm.group(2) or 8), metric)
-        elif code in ("SQ8", "SQfp16", "SQbf16"):
+        elif code in ("SQfp16", "SQbf16"):
             from ..models.hnsw import IndexHNSWSQ
 
-            qt = {"SQ8": "bfloat16", "SQfp16": "float16",
-                  "SQbf16": "bfloat16"}[code]
+            qt = {"SQfp16": "float16", "SQbf16": "bfloat16"}[code]
             index = IndexHNSWSQ(cur_d, qt, hm, metric)
+        elif code == "SQ8":
+            # 'SQ8' means 8-bit storage everywhere else in this factory;
+            # IndexHNSWSQ only has 16-bit storage so far — refuse rather
+            # than silently doubling the requested footprint
+            raise ValueError(
+                "HNSW,SQ8: int8 graph storage is not implemented yet — "
+                "use HNSW<M>,SQfp16 / SQbf16 (16-bit) or HNSW<M>,PQ<m>")
         elif mm := re.fullmatch(r"(\d+)\+PQ(\d+)", code):
             from ..models.hnsw import IndexHNSW2Level
 

@@ -123,24 +123,14 @@ def _load_flat(meta, arrays):
 
 
 def _dump_hnsw(index) -> Tuple[dict, dict]:
-    g = index.graph
     meta = {
         "tag": "IHNf", "d": index.d, "metric": index.metric_type,
         "ntotal": index.ntotal, "M": index.hnsw.M,
         "efConstruction": index.hnsw.efConstruction,
         "efSearch": index.hnsw.efSearch,
-        "has_graph": g is not None,
     }
     arrays = {"xb": np.asarray(index.storage.vectors)}
-    if g is not None:
-        meta["max_level"] = g.max_level
-        meta["entry"] = int(np.asarray(g.entry))
-        arrays.update(
-            neighbors0=np.asarray(g.neighbors0),
-            upper_ids=np.asarray(g.upper_ids),
-            upper_neighbors=np.asarray(g.upper_neighbors),
-            levels=np.asarray(g.levels),
-        )
+    _graph_meta_arrays(index, meta, arrays)
     return meta, arrays
 
 
@@ -148,7 +138,6 @@ def _load_hnsw(meta, arrays):
     import jax.numpy as jnp
 
     from ..models.hnsw import IndexHNSWFlat
-    from ..ops.hnsw import HNSWGraph
 
     idx = IndexHNSWFlat(int(meta["d"]), int(meta["M"]), int(meta["metric"]))
     idx.hnsw.efConstruction = int(meta["efConstruction"])
@@ -157,16 +146,7 @@ def _load_hnsw(meta, arrays):
         # restore storage without triggering a rebuild
         idx.storage.add(np.asarray(arrays["xb"]))
         idx.ntotal = idx.storage.ntotal
-    if meta.get("has_graph"):
-        idx.graph = HNSWGraph(
-            neighbors0=jnp.asarray(np.asarray(arrays["neighbors0"])),
-            upper_ids=jnp.asarray(np.asarray(arrays["upper_ids"])),
-            upper_neighbors=jnp.asarray(np.asarray(arrays["upper_neighbors"])),
-            levels=jnp.asarray(np.asarray(arrays["levels"])),
-            entry=jnp.int32(meta["entry"]),
-            max_level=int(meta["max_level"]),
-        )
-        idx._built_n = idx.ntotal
+    _restore_graph(idx, meta, arrays)
     return idx
 
 
