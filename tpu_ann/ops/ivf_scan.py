@@ -440,7 +440,8 @@ def pack_code_invlists(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "by_residual", "max_nblocks",
-                     "chunk_probes", "qt", "packed4"),
+                     "chunk_probes", "chunk_blocks", "qt", "packed4",
+                     "approx"),
 )
 def scan_invlists_pq(
     xq: jnp.ndarray,
@@ -454,120 +455,78 @@ def scan_invlists_pq(
     *,
     by_residual: bool = True,
     max_nblocks: int,
-    chunk_probes: int = 4,
-    qt: int = 64,
+    chunk_probes: int = 4,        # accepted for API compat; unused
+    chunk_blocks: int = 8,
+    qt: int = 256,
     id_mask: Optional[jnp.ndarray] = None,
     packed4: bool = False,
+    approx: bool = False,
 ):
     """ADC scan over PQ-coded invlists (IndexIVFPQ::search_preassigned ->
     scan_list_with_table / pq4 kernels).
 
-    Probe-major: per (query-tile, probe-chunk) compute the residual ADC
-    table directly from r = q - c_list (the use_precomputed_table=0 path,
-    IndexIVFPQ.cpp) as one MXU contraction, then LUT-gather over the
-    chunk's code blocks. by_residual=False uses one per-query table.
+    Compacted-table driver (see _scan_compacted): work scales with REAL
+    list sizes — the earlier probe-major version padded every probe to
+    max_nblocks, an 18x waste at nlist=65536 where the average list is a
+    single block. Residual ADC tables are computed per (query, block)
+    from r = q - c(owning list) (the use_precomputed_table=0 path,
+    IndexIVFPQ.cpp); the block's owning list comes from the contiguous
+    stream property of the packed layout (block2list = repeat(arange,
+    nblocks)). by_residual=False uses one per-query table.
 
-    coarse_dis: (nq, nprobe) coarse distances (unused for by_residual=False
-    and IP).
+    coarse_dis: (nq, nprobe) coarse distances (kept for API parity;
+    the residual expansion folds the coarse term into the tables).
     """
     from . import pq as PQ
 
-    nq, d = xq.shape
-    nprobe = probes.shape[1]
-    B = invlists.block_size
-    NB = invlists.nblocks
-    M, ksub, dsub = pq_centroids.shape
     similarity = D.is_similarity_metric(metric)
     bad = D.worst_value(metric)
+    NB = invlists.nblocks
+    M, ksub, dsub = pq_centroids.shape
+    nlist = invlists.list_nblocks.shape[0]
     xq = xq.astype(jnp.float32)
 
-    pc = min(chunk_probes, nprobe)
-    npc = -(-nprobe // pc)
-    ppad = npc * pc - nprobe
-    if ppad:
-        # pad probes with the first probe; mask via dummy blocks below
-        probes = jnp.concatenate(
-            [probes, jnp.full((nq, ppad), -1, probes.dtype)], axis=1)
-        coarse_dis = jnp.concatenate(
-            [coarse_dis, jnp.zeros((nq, ppad), coarse_dis.dtype)], axis=1)
-    qtile = min(qt, nq)
-    nqt = -(-nq // qtile)
-    qpad = nqt * qtile - nq
-    if qpad:
-        xq = jnp.pad(xq, ((0, qpad), (0, 0)))
-        probes = jnp.pad(probes, ((0, qpad), (0, 0)), constant_values=-1)
-        coarse_dis = jnp.pad(coarse_dis, ((0, qpad), (0, 0)))
+    # block -> owning list; the dummy block (id NB) maps to list 0, whose
+    # LUT is computed but masked by the driver (ids are -1 there)
+    block2list = jnp.repeat(
+        jnp.arange(nlist, dtype=jnp.int32), invlists.list_nblocks,
+        total_repeat_length=NB)
+    block2list = jnp.concatenate(
+        [block2list, jnp.zeros((1,), jnp.int32)])
 
-    xq_t = xq.reshape(nqt, qtile, d)
-    probes_t = probes.reshape(nqt, qtile, npc, pc)
-    cdis_t = coarse_dis.reshape(nqt, qtile, npc, pc)
+    use_residual = by_residual and not similarity
+    moffs = (jnp.arange(M, dtype=jnp.int32) * ksub)[None, None, None, :]
 
-    def scan_tile(args):
-        q, qprobes, qcdis = args   # (qtile,d), (qtile,npc,pc), same
+    def score(q, qex, bids):
+        qtile, cb = bids.shape
+        codes = invlists.codes[bids]            # (qtile, cb, B, M[/2])
+        if packed4:
+            codes = PQ.unpack_codes_4bit(codes)
+        vids = invlists.ids[bids]               # (qtile, cb, B)
+        B = codes.shape[2]
+        if use_residual:
+            lists = block2list[jnp.clip(bids, 0, NB)]
+            cl = coarse_centroids[lists]        # (qtile, cb, d)
+            resid = q[:, None, :] - cl
+            lut = PQ.query_tables(
+                resid.reshape(qtile * cb, -1), pq_centroids, metric
+            ).reshape(qtile, cb, M, ksub)
+        else:
+            lut1 = PQ.query_tables(q, pq_centroids, metric)
+            lut = jnp.broadcast_to(
+                lut1[:, None], (qtile, cb, M, ksub))
+        lut_flat = lut.reshape(qtile, cb, M * ksub)
+        idx = codes.astype(jnp.int32) + moffs
+        g = jnp.take_along_axis(
+            lut_flat, idx.reshape(qtile, cb, B * M), axis=2)
+        dis = g.reshape(qtile, cb, B, M).sum(axis=3)
+        return dis, vids
 
-        def probe_chunk(c, carry):
-            bd, bi, nd = carry
-            pl = qprobes[:, c, :]                       # (qtile, pc) list ids
-            pvalid = pl >= 0
-            pl_s = jnp.where(pvalid, pl, 0)
-            if by_residual and not similarity:
-                cl = coarse_centroids[pl_s]             # (qtile, pc, d)
-                resid = q[:, None, :] - cl              # (qtile, pc, d)
-                lut = PQ.query_tables(
-                    resid.reshape(qtile * pc, d), pq_centroids, metric
-                ).reshape(qtile, pc, M, ksub)
-                base = qcdis[:, c, :] * 0.0             # coarse term inside lut
-            else:
-                lut1 = PQ.query_tables(q, pq_centroids, metric)
-                lut = jnp.broadcast_to(
-                    lut1[:, None], (qtile, pc, M, ksub))
-                base = jnp.zeros((qtile, pc), jnp.float32)
-            lut_flat = lut.reshape(qtile, pc, M * ksub)
-
-            starts = invlists.list_block_start[pl_s]    # (qtile, pc)
-            nblk = jnp.minimum(invlists.list_nblocks[pl_s], max_nblocks)
-            nblk = jnp.where(pvalid, nblk, 0)
-
-            def block_body(o, carry2):
-                bd2, bi2, nd2 = carry2
-                bids = jnp.where(o < nblk, starts + o, NB)  # (qtile, pc)
-                codes = invlists.codes[bids]            # (qtile, pc, B, M)
-                if packed4:
-                    from . import pq as _PQ
-
-                    codes = _PQ.unpack_codes_4bit(codes)
-                vids = invlists.ids[bids]               # (qtile, pc, B)
-                idx = (codes.astype(jnp.int32)
-                       + (jnp.arange(M, dtype=jnp.int32) * ksub)[
-                           None, None, None, :])
-                g = jnp.take_along_axis(
-                    lut_flat, idx.reshape(qtile, pc, B * M), axis=2)
-                dis = g.reshape(qtile, pc, B, M).sum(axis=3)
-                dis = dis + base[:, :, None]
-                valid = vids >= 0
-                if id_mask is not None:
-                    allowed = id_mask[jnp.where(valid, vids, 0)] != 0
-                    valid = valid & allowed
-                dis = jnp.where(valid, dis, bad)
-                nd2 = nd2 + jnp.sum(valid.astype(jnp.int32))
-                nbd, nbi = T.merge_topk(
-                    bd2, bi2, dis.reshape(qtile, pc * B),
-                    vids.reshape(qtile, pc * B), k, similarity=similarity)
-                return nbd, nbi, nd2
-
-            return lax.fori_loop(0, max_nblocks, block_body, (bd, bi, nd))
-
-        init = (
-            jnp.full((qtile, k), bad, jnp.float32),
-            jnp.full((qtile, k), -1, jnp.int32),
-            jnp.int32(0),
-        )
-        return lax.fori_loop(0, npc, probe_chunk, init)
-
-    bd, bi, nd = lax.map(scan_tile, (xq_t, probes_t, cdis_t))
-    bd = bd.reshape(nqt * qtile, k)[:nq]
-    bi = bi.reshape(nqt * qtile, k)[:nq]
-    return bd, bi, jnp.sum(nd)
+    return _scan_compacted(
+        xq, probes, invlists.list_block_start, invlists.list_nblocks,
+        NB, score, k, similarity, bad, max_nblocks, chunk_blocks, qt,
+        id_mask=id_mask, approx=approx,
+    )
 
 
 @functools.partial(
