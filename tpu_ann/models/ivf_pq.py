@@ -87,6 +87,7 @@ class IndexIVFPQ(IndexIVF):
             max_nblocks=mnb,
             id_mask=id_mask,
             packed4=self.nbits == 4,
+            approx=self.approx_topk,
         )
 
     def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
