@@ -515,11 +515,28 @@ def scan_invlists_pq(
             lut1 = PQ.query_tables(q, pq_centroids, metric)
             lut = jnp.broadcast_to(
                 lut1[:, None], (qtile, cb, M, ksub))
-        lut_flat = lut.reshape(qtile, cb, M * ksub)
-        idx = codes.astype(jnp.int32) + moffs
-        g = jnp.take_along_axis(
-            lut_flat, idx.reshape(qtile, cb, B * M), axis=2)
-        dis = g.reshape(qtile, cb, B, M).sum(axis=3)
+        if ksub <= 16:
+            # pq4 fast-scan analog: the LUT lookup as a one-hot
+            # contraction per subquantizer — the MXU/VPU counterpart of
+            # pq4_fast_scan's in-register shuffle (impl/pq4_fast_scan).
+            # XLA gathers cost ~50M elem/s here; the contraction runs at
+            # memory speed. One-hot entries are exact in bf16; the bf16
+            # rounding of the table is far below the 4-bit codec error.
+            kiota = jnp.arange(ksub, dtype=jnp.int32)
+            dis = jnp.zeros(codes.shape[:3], jnp.float32)
+            lut_b = lut.astype(jnp.bfloat16)
+            for m in range(M):
+                oh = (codes[..., m][..., None] == kiota).astype(
+                    jnp.bfloat16)                      # (qt, cb, B, ksub)
+                dis = dis + jnp.einsum(
+                    "qcbk,qck->qcb", oh, lut_b[:, :, m],
+                    preferred_element_type=jnp.float32)
+        else:
+            lut_flat = lut.reshape(qtile, cb, M * ksub)
+            idx = codes.astype(jnp.int32) + moffs
+            g = jnp.take_along_axis(
+                lut_flat, idx.reshape(qtile, cb, B * M), axis=2)
+            dis = g.reshape(qtile, cb, B, M).sum(axis=3)
         return dis, vids
 
     return _scan_compacted(
