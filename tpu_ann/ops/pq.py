@@ -91,27 +91,41 @@ def train_pq(
 
 
 @functools.partial(jax.jit, static_argnames=())
+def _block_diag_codebook(centroids: jnp.ndarray) -> jnp.ndarray:
+    """(M, ksub, dsub) -> block-diagonal (d, M*ksub) so per-subspace
+    inner products are ONE dense GEMM. A (n, M, dsub) intermediate pads
+    its tiny trailing dim to 128 lanes on TPU — 42x memory inflation at
+    dsub=3 (a 1.5M-point OPQ train OOM'd a 16 GiB chip on exactly
+    that)."""
+    import jax.scipy.linalg as jsl
+
+    M = centroids.shape[0]
+    return jsl.block_diag(*[centroids[m].T for m in range(M)])
+
+
 def pq_encode(x: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     """(n, d) -> (n, M) uint8 sub-indices (compute_codes)."""
     n, d = x.shape
     M, ksub, dsub = centroids.shape
-    xs = x.astype(jnp.float32).reshape(n, M, dsub)
-    # per subspace distances: (M, n, ksub)
-    ip = jnp.einsum("nmd,mkd->nmk", xs, centroids,
-                    precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+    W = _block_diag_codebook(centroids)                  # (d, M*ksub)
+    ip = jnp.dot(x.astype(jnp.float32), W,
+                 precision=lax.Precision.HIGHEST)        # (n, M*ksub)
     cn = jnp.sum(centroids * centroids, axis=2)          # (M, ksub)
-    dis = cn[None, :, :] - 2.0 * ip                      # + ||x||^2 const
-    return jnp.argmin(dis, axis=2).astype(jnp.uint8)
+    dis = cn.reshape(1, M * ksub) - 2.0 * ip             # + ||x||^2 const
+    return jnp.argmin(dis.reshape(n, M, ksub), axis=2).astype(jnp.uint8)
 
 
 @jax.jit
 def pq_decode(codes: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
-    """(n, M) uint8 -> (n, d) reconstruction (decode)."""
+    """(n, M) uint8 -> (n, d) reconstruction (decode). One-hot GEMM for
+    the same tiny-trailing-dim reason as pq_encode."""
     M, ksub, dsub = centroids.shape
     n = codes.shape[0]
-    sub = centroids[jnp.arange(M)[None, :], codes.astype(jnp.int32)]
-    return sub.reshape(n, M * dsub)
+    kiota = jnp.arange(ksub, dtype=jnp.int32)
+    oh = (codes.astype(jnp.int32)[..., None] == kiota).astype(
+        jnp.float32).reshape(n, M * ksub)
+    W = _block_diag_codebook(centroids)                  # (d, M*ksub)
+    return jnp.dot(oh, W.T, precision=lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
