@@ -208,6 +208,12 @@ class OPQMatrix(LinearTransform):
         x = np.ascontiguousarray(x, np.float32)
         n, d = x.shape
         rs = np.random.RandomState(self.seed)
+        # OPQMatrix caps its training set (faiss max_train_points =
+        # 256*256); beyond the statistical argument, the rotation loop's
+        # (n, M*256) encode matrix is ~50 GB at n=1.5M
+        if n > 65536:
+            x = x[rs.choice(n, 65536, replace=False)]
+            n = 65536
         # init: random orthonormal (d_out, d_in)
         g = rs.randn(self.d_out, self.d_in)
         u, _, vt = np.linalg.svd(g, full_matrices=False)
