@@ -57,14 +57,21 @@ class IndexIVFPQ(IndexIVF):
         return jnp.asarray(vecs)
 
     def _encode(self, x: np.ndarray, assign: np.ndarray) -> np.ndarray:
-        xj = jnp.asarray(x)
-        if self.by_residual and self.metric_type == D.METRIC_L2:
-            cent = self._coarse_centroids()
-            xj = xj - cent[jnp.asarray(assign)]
-        codes = PQ.pq_encode(xj, self._pq_cent_dev)
-        if self.nbits == 4:
-            codes = PQ.pack_codes_4bit(codes)
-        return np.asarray(codes)
+        # chunked: residual + encode of a 10M add would otherwise
+        # materialize a ~20 GB (n, M*ksub) matrix on a 16 GB chip
+        outs = []
+        CH = 1_000_000
+        for i in range(0, len(x), CH):
+            xj = jnp.asarray(x[i:i + CH])
+            if self.by_residual and self.metric_type == D.METRIC_L2:
+                cent = self._coarse_centroids()
+                xj = xj - cent[jnp.asarray(assign[i:i + CH])]
+            codes = PQ.pq_encode(xj, self._pq_cent_dev)
+            if self.nbits == 4:
+                codes = PQ.pack_codes_4bit(codes)
+            outs.append(np.asarray(codes))
+        return (np.concatenate(outs) if outs
+                else np.zeros((0, 0), np.uint8))
 
     def _pack(self, x, ids, assign):
         codes = self._encode(x, assign)

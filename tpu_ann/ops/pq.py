@@ -116,6 +116,21 @@ def pq_encode(x: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def pq_encode_chunked(x, centroids, chunk: int = 1_000_000) -> np.ndarray:
+    """Host driver bounding pq_encode's (chunk, M*ksub) ip matrix
+    (20 GB at 10M rows x 32x4-bit)."""
+    import numpy as _np
+
+    x = _np.asarray(x)
+    if len(x) <= chunk:
+        return _np.asarray(pq_encode(jnp.asarray(x), centroids))
+    outs = []
+    for i in range(0, len(x), chunk):
+        outs.append(_np.asarray(
+            pq_encode(jnp.asarray(x[i:i + chunk]), centroids)))
+    return _np.concatenate(outs)
+
+
 def pq_decode(codes: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     """(n, M) uint8 -> (n, d) reconstruction (decode). One-hot GEMM for
     the same tiny-trailing-dim reason as pq_encode."""
