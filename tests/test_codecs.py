@@ -103,6 +103,60 @@ def test_ivfpq_recall(small_ds):
     assert st.ndis > 0
 
 
+def test_ivfpq_decoded_cache_matches_gather_adc(small_ds):
+    """The decoded cache (ops.ivf_scan.decode_code_invlists — the fast
+    8-bit ADC) must return the same neighbors/distances as the LUT-gather
+    ADC scan: ||q - c_l - dec(code)||^2 == sum_m lut[m][code_m] exactly
+    (orthogonal subspaces), so the two paths may differ only by fp
+    reduction order."""
+    for br in (True, False):
+        idx = make_ivf_pq(small_ds.d, nlist=16, M=8)
+        idx.by_residual = br
+        idx.cp.niter = 6
+        idx.train(small_ds.get_train())
+        idx.add(small_ds.get_database())
+        idx.nprobe = 8
+
+        idx.use_decoded_cache = False
+        Dg, Ig = idx.search(small_ds.get_queries(), 10)
+        idx.use_decoded_cache = True
+        idx.decoded_cache_dtype = "float32"
+        assert idx._decoded_cache() is not None
+        Dd, Id = idx.search(small_ds.get_queries(), 10)
+
+        # distances agree to fp tolerance; id rows agree except where
+        # near-ties reorder
+        np.testing.assert_allclose(Dd, Dg, rtol=2e-4, atol=2e-4)
+        agree = (Id == Ig).mean()
+        assert agree > 0.97, f"by_residual={br}: id agreement {agree}"
+
+        # default bf16 cache: same neighbors to bf16 noise (the codec
+        # error dominates; bf16 storage costs half the HBM)
+        idx.decoded_cache_dtype = "bfloat16"
+        idx._decoded = None
+        Db, Ib = idx.search(small_ds.get_queries(), 10)
+        np.testing.assert_allclose(Db, Dg, rtol=2e-2, atol=2e-2)
+        assert (Ib == Ig).mean() > 0.9
+
+
+def test_ivfpq_decoded_cache_rebuilds_after_add(small_ds):
+    idx = make_ivf_pq(small_ds.d, nlist=16, M=8)
+    idx.use_decoded_cache = True
+    idx.cp.niter = 6
+    xb = small_ds.get_database()
+    idx.train(small_ds.get_train())
+    idx.add(xb[:2000])
+    c1 = idx._decoded_cache()
+    assert c1 is not None and c1.ids is idx.invlists.ids
+    idx.add(xb[2000:])
+    c2 = idx._decoded_cache()
+    assert c2 is not c1 and idx.ntotal == len(xb)
+    idx.nprobe = 16
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    assert recall_at_r(I, gt, 10) > 0.65
+
+
 def test_ivfpqr_beats_base_ivfpq(small_ds):
     """IndexIVFPQR (faiss IndexIVFPQR.cpp): the refinement PQ re-rank must
     improve recall over the base IVFPQ at the same base code budget."""

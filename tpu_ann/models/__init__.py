@@ -5,7 +5,9 @@ from .flat import IndexFlat, IndexFlatIP, IndexFlatL2  # noqa: F401
 from .flat import IndexFlat1D  # noqa: F401
 from .hnsw import (  # noqa: F401
     IndexHNSW,
+    IndexHNSW2Level,
     IndexHNSWFlat,
+    IndexHNSWPQ,
     IndexHNSWSQ,
     SearchParametersHNSW,
 )
@@ -19,6 +21,7 @@ from .ivf import (  # noqa: F401
 from .ivf_hnsw import IndexIVFHNSW  # noqa: F401
 from .ivf_pq import (  # noqa: F401
     IndexIVFPQ,
+    IndexIVFPQR,
     IndexIVFScalarQuantizer,
     make_ivf_pq,
 )
@@ -26,7 +29,13 @@ from .pq import IndexPQ, IndexScalarQuantizer  # noqa: F401
 from .refine import IndexRefine, IndexRefineFlat  # noqa: F401
 from .rq import (  # noqa: F401
     IndexAdditiveQuantizer,
+    IndexIVFLocalSearchQuantizer,
+    IndexIVFProductLocalSearchQuantizer,
+    IndexIVFProductResidualQuantizer,
     IndexIVFResidualQuantizer,
+    IndexLocalSearchQuantizer,
+    IndexProductLocalSearchQuantizer,
+    IndexProductResidualQuantizer,
     IndexResidualQuantizer,
 )
 from .binary import (  # noqa: F401

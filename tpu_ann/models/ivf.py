@@ -338,18 +338,24 @@ class IndexIVF(Index):
         nprobe, mnb = self._effective_params(None)
         return self._search_device(xq_dev, k, nprobe, mnb)
 
-    def _use_fused(self, nq: int, nprobe: int, mnb: int, id_mask) -> bool:
+    def _use_fused(self, nq: int, nprobe: int, mnb: int, id_mask,
+                   invlists=None) -> bool:
         """Dispatch to the Pallas list-major fused scan
         (ops/ivf_scan_pallas.py) when it applies: raw-vector invlists, L2,
         no search-time selector, no max_codes cap, and a batch large
         enough to amortize the pair sort. Measured on v5e (SIFT1M,
-        IVF4096): 2.4-3.1x the query-major scan at nprobe 16-64."""
+        IVF4096): 2.4-3.1x the query-major scan at nprobe 16-64.
+
+        `invlists` defaults to the index's own; coded subclasses pass
+        their decoded cache instead."""
         if self.scan_mode == "fused":
             return True
         if self.scan_mode != "auto":
             return False
         import jax as _jax
 
+        if invlists is None:
+            invlists = self.invlists
         # the fused kernel streams whole lists (CB blocks at a time), so
         # the watchdog-safety cap doesn't apply to it; only an EXPLICIT
         # max_codes budget (mnb below the default-capped value) forces
@@ -357,7 +363,7 @@ class IndexIVF(Index):
         default_mnb = self._default_capped_mnb()
         return (
             id_mask is None
-            and hasattr(self.invlists, "data")
+            and hasattr(invlists, "data")
             and mnb >= default_mnb
             and nq * nprobe >= 4096
             and _jax.default_backend() not in ("cpu",)  # Mosaic target only

@@ -35,6 +35,19 @@ class IndexIVFPQ(IndexIVF):
         self.nbits = int(nbits)
         self.pq: Optional[PQ.PQCodec] = None
         self.by_residual = True
+        # Decoded cache — the fast 8-bit ADC (see
+        # ops.ivf_scan.decode_code_invlists): reconstructions of the codes
+        # kept as a parallel raw-vector invlist so scans run at IVFFlat /
+        # fused-kernel speed while computing exactly the ADC distance.
+        # None = auto (on for ksub > 16, where the one-hot MXU contraction
+        # stops being competitive, when the cache fits the size budget);
+        # True/False force it. The cache is derived state: rebuilt lazily
+        # after add/load/merge, never serialized.
+        self.use_decoded_cache: Optional[bool] = None
+        self.decoded_cache_max_bytes: int = 8 << 30
+        self.decoded_cache_dtype = "bfloat16"
+        self._decoded = None
+        self._decoded_for = None
 
     # --- training ---------------------------------------------------------
     def train_encoder(self, x: np.ndarray) -> None:
@@ -74,13 +87,58 @@ class IndexIVFPQ(IndexIVF):
                 else np.zeros((0, 0), np.uint8))
 
     def _pack(self, x, ids, assign):
+        self._decoded = self._decoded_for = None   # free stale cache now
         codes = self._encode(x, assign)
         return ivf_scan.pack_code_invlists(codes, ids, assign, self.nlist,
                                            self.block_size)
 
+    # --- decoded cache ----------------------------------------------------
+    def _cache_enabled(self) -> bool:
+        if self.use_decoded_cache is not None:
+            return bool(self.use_decoded_cache)
+        if self.invlists is None or (1 << self.nbits) <= 16:
+            return False
+        isize = jnp.dtype(self.decoded_cache_dtype).itemsize
+        nbytes = ((self.invlists.nblocks + 1) * self.block_size
+                  * self.d * isize)
+        return nbytes <= self.decoded_cache_max_bytes
+
+    def _decoded_cache(self):
+        """Lazily (re)build the decoded cache for the current invlists."""
+        if not self._cache_enabled():
+            return None
+        if self._decoded is not None and self._decoded_for is self.invlists:
+            return self._decoded
+        cent = (self._coarse_centroids()
+                if self.by_residual and self.metric_type == D.METRIC_L2
+                else None)
+        self._decoded = ivf_scan.decode_code_invlists(
+            self.invlists, self._pq_cent_dev, cent,
+            packed4=self.nbits == 4,
+            dtype=jnp.dtype(self.decoded_cache_dtype))
+        self._decoded_for = self.invlists
+        return self._decoded
+
     # --- search -----------------------------------------------------------
     def _scan_device(self, xq_dev, probes, cd, k: int, mnb: int,
                      id_mask=None):
+        dl = self._decoded_cache()
+        if dl is not None:
+            # fast 8-bit ADC: scan the decoded cache with the flat-path
+            # kernels (fused Pallas stream when it applies)
+            if self._use_fused(xq_dev.shape[0], probes.shape[1], mnb,
+                               id_mask, invlists=dl):
+                from ..ops.ivf_scan_pallas import scan_invlists_fused
+
+                try:
+                    return scan_invlists_fused(
+                        xq_dev, probes, dl, k, self.metric_type)
+                except Exception:
+                    if self.scan_mode == "fused":
+                        raise
+            return ivf_scan.scan_invlists(
+                xq_dev, probes, dl, k, self.metric_type,
+                max_nblocks=mnb, id_mask=id_mask, approx=self.approx_topk)
         return ivf_scan.scan_invlists_pq(
             xq_dev,
             probes,
@@ -180,6 +238,7 @@ class IndexIVFPQR(IndexIVFPQ):
         self._refine_cent_dev = jnp.asarray(self.refine_pq.centroids)
 
     def _pack(self, x, ids, assign):
+        self._decoded = self._decoded_for = None
         xj = jnp.asarray(x)
         aj = jnp.asarray(np.asarray(assign, np.int64))
         if self.by_residual and self.metric_type == D.METRIC_L2:

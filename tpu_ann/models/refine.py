@@ -116,3 +116,15 @@ class IndexRefineFlat(IndexRefine):
             self.refine_index.vectors, k, self.metric_type,
         )
         return np.asarray(Dv), np.asarray(Iv, np.int64)
+
+    def search_device(self, xq_dev, k: int):
+        """Device-in/device-out refine search (see IndexIVF.search_device):
+        base candidates and the exact re-rank both stay un-materialized so
+        callers can pipeline batches. Requires a base index exposing
+        search_device; base rows and refine-storage rows coincide because
+        IndexRefine.add appends to both sides in the same order."""
+        kk = max(int(k * self.k_factor), k)
+        kk = min(kk, max(self.ntotal, 1))
+        _, Ib = self.base_index.search_device(xq_dev, kk)
+        return _rerank(xq_dev, Ib.astype(jnp.int32),
+                       self.refine_index.vectors, k, self.metric_type)

@@ -437,6 +437,102 @@ def pack_code_invlists(
     return pil
 
 
+def decode_code_invlists(
+    invlists: PackedCodeInvLists,
+    pq_centroids: jnp.ndarray,
+    coarse_centroids: Optional[jnp.ndarray] = None,
+    *,
+    packed4: bool = False,
+    chunk_blocks: int = 128,
+    dtype=jnp.float32,
+) -> PackedInvLists:
+    """Decode PQ-coded invlists into a parallel raw-vector PackedInvLists
+    with the SAME block structure (the "decoded cache").
+
+    Purpose: a fast 8-bit ADC. For ksub=256 the per-pair one-hot
+    contraction costs m*256 MACs (42x the d MACs of a plain distance
+    GEMM) and the XLA gather fallback runs at ~50M elem/s — both
+    pathological. Decoding once at add time and streaming the
+    reconstructions through the flat scan kernels computes EXACTLY the
+    ADC distance (||q - c_l - dec(code)||^2 == the summed residual LUT,
+    subspaces being orthogonal) at IVFFlat speed. This is the
+    decode-then-GEMM counterpart of the reference's per-ISA 8-bit ADC
+    inner loops (impl/code_distance/code_distance.h:34,
+    IndexIVFPQ.cpp scan_list_with_table) — trading d*4 bytes/vector of
+    HBM capacity for MXU-speed scans, the TPU-native balance.
+
+    The cache is derived state: it can be rebuilt from (codes, codebooks)
+    after deserialization or an on-disk merge, and is never serialized.
+
+    Args:
+      coarse_centroids: (nlist, d) — added per owning list when the codec
+        is residual (by_residual); None for plain PQ.
+      packed4: codes hold two 4-bit sub-indices per byte.
+      dtype: cache storage dtype. bfloat16 halves the HBM capacity cost;
+        norms are computed from the f32 decode either way, and the scan
+        kernels stream bf16 regardless, so only the exact-refine phase
+        sees the storage precision — noise far below the codec error.
+    """
+    from . import pq as PQ
+
+    M, ksub, dsub = pq_centroids.shape
+    d = M * dsub
+    NB = invlists.nblocks
+    B = invlists.block_size
+    total = NB + 1
+    nlist = invlists.list_nblocks.shape[0]
+
+    if coarse_centroids is not None:
+        block2list = jnp.repeat(
+            jnp.arange(nlist, dtype=jnp.int32), invlists.list_nblocks,
+            total_repeat_length=NB)
+        block2list = jnp.concatenate(
+            [block2list, jnp.zeros((1,), jnp.int32)])
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _put(data, norms, chunk, cnorm, off):
+        data = lax.dynamic_update_slice(data, chunk, (off, 0, 0))
+        norms = lax.dynamic_update_slice(norms, cnorm, (off, 0))
+        return data, norms
+
+    @jax.jit
+    def _decode_chunk(codes_blk, cent_blk):
+        nb, Bl = codes_blk.shape[:2]
+        c = PQ.unpack_codes_4bit(codes_blk) if packed4 else codes_blk
+        x = PQ.pq_decode(c.reshape(nb * Bl, M), pq_centroids)
+        x = x.reshape(nb, Bl, d)
+        if cent_blk is not None:
+            x = x + cent_blk[:, None, :]
+        # padding rows (ids == -1) keep whatever the dummy sub-indices
+        # decode to; scans mask them by id, so no zeroing needed
+        n = jnp.sum(x * x, axis=2)
+        return x.astype(dtype), n
+
+    CH = min(chunk_blocks, total)
+    data = jnp.zeros((total, B, d), dtype)
+    norms = jnp.zeros((total, B), jnp.float32)
+    starts = list(range(0, total, CH))
+    if starts and starts[-1] + CH > total:
+        starts[-1] = total - CH          # overlap re-decode, shapes static
+    for s in starts:
+        cb = lax.dynamic_slice_in_dim(invlists.codes, s, CH, axis=0)
+        cent = (coarse_centroids[
+            lax.dynamic_slice_in_dim(block2list, s, CH)]
+            if coarse_centroids is not None else None)
+        chunk, cnorm = _decode_chunk(cb, cent)
+        data, norms = _put(data, norms, chunk, cnorm, s)
+
+    pil = PackedInvLists(
+        data=data,
+        ids=invlists.ids,
+        norms=norms,
+        list_block_start=invlists.list_block_start,
+        list_nblocks=invlists.list_nblocks,
+    )
+    pil._max_nblocks = invlists._max_nblocks
+    return pil
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "by_residual", "max_nblocks",

@@ -672,6 +672,698 @@ def _load_lattice(meta, arrays):
     return idx
 
 
+# ---------------------------------------------------------------------------
+# round-3 breadth: every remaining index class registers
+# (the reference's index_write.cpp:391 dispatches ALL types; the
+# parametrized sweep in tests/test_io_sweep.py enforces the same here)
+# ---------------------------------------------------------------------------
+
+def _aq_subtype_meta(index) -> dict:
+    """Shared scalar state of the additive-quantizer family."""
+    m = {"M": index.M, "nbits": index.nbits, "beam_size": index.beam_size}
+    for f in ("train_iters", "icm_iters", "nperts", "lambd",
+              "nsplits", "Msub"):
+        if hasattr(index, f):
+            m[f] = getattr(index, f)
+    return m
+
+
+def _aq_restore_scalars(idx, meta):
+    for f in ("beam_size", "train_iters", "icm_iters", "nperts", "lambd"):
+        if f in meta:
+            setattr(idx, f, meta[f])
+
+
+def _make_aq_flat(meta):
+    from ..models import rq as RQM
+
+    cls = {
+        "IndexResidualQuantizer": RQM.IndexResidualQuantizer,
+        "IndexLocalSearchQuantizer": RQM.IndexLocalSearchQuantizer,
+        "IndexProductResidualQuantizer": RQM.IndexProductResidualQuantizer,
+        "IndexProductLocalSearchQuantizer":
+            RQM.IndexProductLocalSearchQuantizer,
+    }[meta["cls"]]
+    if "nsplits" in meta:
+        idx = cls(int(meta["d"]), int(meta["nsplits"]), int(meta["Msub"]),
+                  int(meta["nbits"]), int(meta["metric"]))
+    else:
+        idx = cls(int(meta["d"]), int(meta["M"]), int(meta["nbits"]),
+                  int(meta["metric"]))
+    return idx
+
+
+def _dump_rq(index):
+    meta = {"tag": "IxRQ", "cls": type(index).__name__, "d": index.d,
+            "metric": index.metric_type, "ntotal": index.ntotal,
+            "is_trained": index.is_trained}
+    meta.update(_aq_subtype_meta(index))
+    arrays = {}
+    if index.rq is not None:
+        arrays["codebooks"] = np.asarray(index.rq.codebooks)
+    if index.ntotal:
+        arrays["codes"] = np.asarray(index._codes)
+        arrays["norms"] = np.asarray(index._norms)
+    return meta, arrays
+
+
+def _load_rq(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..ops.rq import RQCodec
+
+    idx = _make_aq_flat(meta)
+    _aq_restore_scalars(idx, meta)
+    if "codebooks" in arrays:
+        books = np.asarray(arrays["codebooks"])
+        idx.rq = RQCodec(codebooks=books, d=idx.d, M=int(meta["M"]),
+                         nbits=int(meta["nbits"]))
+        idx.M = idx.rq.M
+        idx._books = jnp.asarray(books)
+        idx.is_trained = True
+    if "codes" in arrays:
+        idx._codes = jnp.asarray(np.asarray(arrays["codes"]))
+        idx._norms = jnp.asarray(np.asarray(arrays["norms"]))
+        idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+def _dump_ivfrq(index):
+    meta, arrays = _dump_ivf_common(index)
+    meta["tag"] = "IwRQ"
+    meta["cls"] = type(index).__name__
+    meta.update(_aq_subtype_meta(index))
+    if index.rq is not None:
+        arrays["codebooks"] = np.asarray(index.rq.codebooks)
+    return meta, arrays
+
+
+def _load_ivfrq(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models import rq as RQM
+    from ..models.flat import IndexFlat
+    from ..ops.rq import RQCodec
+
+    cls = {
+        "IndexIVFResidualQuantizer": RQM.IndexIVFResidualQuantizer,
+        "IndexIVFLocalSearchQuantizer": RQM.IndexIVFLocalSearchQuantizer,
+        "IndexIVFProductResidualQuantizer":
+            RQM.IndexIVFProductResidualQuantizer,
+        "IndexIVFProductLocalSearchQuantizer":
+            RQM.IndexIVFProductLocalSearchQuantizer,
+    }[meta["cls"]]
+    q = IndexFlat(int(meta["d"]), int(meta["metric"]))
+    if "nsplits" in meta:
+        idx = cls(q, int(meta["d"]), int(meta["nlist"]),
+                  int(meta["nsplits"]), int(meta["Msub"]),
+                  int(meta["nbits"]), int(meta["metric"]),
+                  int(meta["block_size"]))
+    else:
+        idx = cls(q, int(meta["d"]), int(meta["nlist"]), int(meta["M"]),
+                  int(meta["nbits"]), int(meta["metric"]),
+                  int(meta["block_size"]))
+    _aq_restore_scalars(idx, meta)
+    if "codebooks" in arrays:
+        books = np.asarray(arrays["codebooks"])
+        idx.rq = RQCodec(codebooks=books, d=idx.d, M=int(meta["M"]),
+                         nbits=int(meta["nbits"]))
+        idx.M = idx.rq.M
+        idx._books = jnp.asarray(books)
+    return _restore_ivf_common(idx, meta, arrays)
+
+
+def _dump_ivfpqr(index):
+    meta, arrays = _dump_ivfpq(index)
+    meta["tag"] = "IwPR"
+    meta.update(M_refine=index.M_refine, nbits_refine=index.nbits_refine,
+                k_factor=index.k_factor)
+    arrays["refine_centroids"] = np.asarray(index.refine_pq.centroids)
+    # row-indexed side tables the re-rank pass gathers from
+    if index._row_codes is not None:
+        arrays["row_codes"] = np.asarray(index._row_codes)
+        arrays["row_refine"] = np.asarray(index._row_refine)
+        arrays["row_assign"] = np.asarray(index._row_assign)
+    return meta, arrays
+
+
+def _load_ivfpqr(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.flat import IndexFlat
+    from ..models.ivf_pq import IndexIVFPQR
+    from ..ops.pq import PQCodec
+
+    idx = IndexIVFPQR(IndexFlat(int(meta["d"]), int(meta["metric"])),
+                      int(meta["d"]), int(meta["nlist"]), int(meta["M"]),
+                      int(meta["nbits"]), int(meta["M_refine"]),
+                      int(meta["nbits_refine"]), int(meta["metric"]),
+                      int(meta["block_size"]))
+    idx.by_residual = bool(meta["by_residual"])
+    idx.k_factor = int(meta["k_factor"])
+    cents = np.asarray(arrays["pq_centroids"])
+    idx.pq = PQCodec(centroids=cents, d=idx.d, M=idx.M, nbits=idx.nbits)
+    idx._pq_cent_dev = jnp.asarray(cents)
+    rcents = np.asarray(arrays["refine_centroids"])
+    idx.refine_pq = PQCodec(centroids=rcents, d=idx.d, M=idx.M_refine,
+                            nbits=idx.nbits_refine)
+    idx._refine_cent_dev = jnp.asarray(rcents)
+    if "row_codes" in arrays:
+        idx._row_codes = jnp.asarray(np.asarray(arrays["row_codes"]))
+        idx._row_refine = jnp.asarray(np.asarray(arrays["row_refine"]))
+        idx._row_assign = jnp.asarray(np.asarray(arrays["row_assign"]))
+    return _restore_ivf_common(idx, meta, arrays)
+
+
+# --- binary family ---------------------------------------------------------
+
+def _dump_binflat(index):
+    meta = {"tag": "BxFl", "d": index.d, "ntotal": index.ntotal}
+    arrays = {}
+    if index.ntotal:
+        arrays["codes"] = np.asarray(index._codes)
+    return meta, arrays
+
+
+def _load_binflat(meta, arrays):
+    from ..models.binary import IndexBinaryFlat
+
+    idx = IndexBinaryFlat(int(meta["d"]))
+    if "codes" in arrays:
+        idx.add(np.asarray(arrays["codes"]))
+    return idx
+
+
+def _dump_binivf(index):
+    meta = {"tag": "BwFl", "d": index.d, "ntotal": index.ntotal,
+            "nlist": index.nlist, "nprobe": index.nprobe,
+            "is_trained": index.is_trained}
+    arrays = {}
+    qm, qa = dump_index(index.quantizer)
+    _flatten("quantizer", qm, qa, meta, arrays)
+    if index.ntotal:
+        arrays["codes"] = np.concatenate(index._codes_host, axis=0)
+        arrays["ids"] = np.concatenate(index._ids_host, axis=0)
+    return meta, arrays
+
+
+def _load_binivf(meta, arrays):
+    from ..models.binary import IndexBinaryIVF
+
+    qm, qa = _sub("quantizer", meta, arrays)
+    idx = IndexBinaryIVF(load_index(qm, qa), int(meta["d"]),
+                         int(meta["nlist"]))
+    idx.nprobe = int(meta["nprobe"])
+    idx.is_trained = bool(meta["is_trained"])
+    if "codes" in arrays:
+        # re-assignment through the restored quantizer reproduces the
+        # original packing deterministically
+        idx._codes_host = [np.asarray(arrays["codes"])]
+        idx._ids_host = [np.asarray(arrays["ids"])]
+        idx.ntotal = int(meta["ntotal"])
+        idx._repack()
+    return idx
+
+
+def _dump_binhnsw(index):
+    meta = {"tag": "BxHN", "d": index.d, "ntotal": index.ntotal}
+    arrays = {}
+    if index._codes:
+        arrays["codes"] = np.concatenate(index._codes, axis=0)
+    sm, sa = dump_index(index.index)
+    _flatten("sub", sm, sa, meta, arrays)
+    return meta, arrays
+
+
+def _load_binhnsw(meta, arrays):
+    from ..models.binary import IndexBinaryHNSW
+
+    idx = IndexBinaryHNSW(int(meta["d"]))
+    sm, sa = _sub("sub", meta, arrays)
+    idx.index = load_index(sm, sa)
+    if "codes" in arrays:
+        idx._codes = [np.asarray(arrays["codes"])]
+    idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+def _dump_binhash(index):
+    meta = {"tag": "BxHs", "d": index.d, "ntotal": index.ntotal,
+            "b": index.b, "nflip": index.nflip}
+    arrays = {}
+    if index._codes is not None:
+        arrays["codes"] = np.asarray(index._codes)
+    return meta, arrays
+
+
+def _load_binhash(meta, arrays):
+    from ..models.binary import IndexBinaryHash
+
+    idx = IndexBinaryHash(int(meta["d"]), int(meta["b"]))
+    idx.nflip = int(meta["nflip"])
+    if "codes" in arrays:
+        idx.add(np.asarray(arrays["codes"]))  # rebuilds the buckets
+    return idx
+
+
+def _dump_binfromfloat(index):
+    meta = {"tag": "BxFF", "d": index.d, "ntotal": index.ntotal}
+    arrays = {}
+    sm, sa = dump_index(index.index)
+    _flatten("sub", sm, sa, meta, arrays)
+    return meta, arrays
+
+
+def _load_binfromfloat(meta, arrays):
+    from ..models.binary import IndexBinaryFromFloat
+
+    sm, sa = _sub("sub", meta, arrays)
+    idx = IndexBinaryFromFloat(load_index(sm, sa))
+    idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+# --- long-tail float types -------------------------------------------------
+
+def _dump_lsh(index):
+    meta = {"tag": "IxLs", "d": index.d, "ntotal": index.ntotal,
+            "nbits": index.nbits, "rotate_data": bool(index.rotate_data),
+            "train_thresholds": bool(index.train_thresholds),
+            "is_trained": index.is_trained}
+    arrays = {"P": index.P, "thresholds": index.thresholds}
+    if index.ntotal:
+        arrays["codes"] = np.asarray(index._bin._codes)
+    return meta, arrays
+
+
+def _load_lsh(meta, arrays):
+    from ..models.extra import IndexLSH
+
+    idx = IndexLSH(int(meta["d"]), int(meta["nbits"]),
+                   bool(meta["rotate_data"]),
+                   bool(meta["train_thresholds"]))
+    idx.P = np.asarray(arrays["P"])
+    idx.thresholds = np.asarray(arrays["thresholds"])
+    idx.is_trained = bool(meta["is_trained"])
+    if "codes" in arrays:
+        idx._bin.add(np.asarray(arrays["codes"]))
+        idx.ntotal = idx._bin.ntotal
+    return idx
+
+
+def _dump_minmax(index):
+    meta = {"tag": "IxMM", "d": index.d, "ntotal": index.ntotal}
+    arrays = {}
+    if index._mins:
+        arrays["mins"] = np.concatenate(index._mins)
+        arrays["scales"] = np.concatenate(index._scales)
+    sm, sa = dump_index(index.index)
+    _flatten("sub", sm, sa, meta, arrays)
+    return meta, arrays
+
+
+def _load_minmax(meta, arrays):
+    from ..models.extra import IndexRowwiseMinMax
+
+    sm, sa = _sub("sub", meta, arrays)
+    idx = IndexRowwiseMinMax(load_index(sm, sa))
+    if "mins" in arrays:
+        idx._mins = [np.asarray(arrays["mins"])]
+        idx._scales = [np.asarray(arrays["scales"])]
+    idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+def _dump_imi(index):
+    meta = {"tag": "IxMI", "d": index.d, "ntotal": index.ntotal,
+            "M": index.M, "nbits": index.nbits,
+            "is_trained": index.is_trained}
+    arrays = {}
+    if index.pq is not None:
+        arrays["centroids"] = np.asarray(index.pq.centroids)
+    return meta, arrays
+
+
+def _load_imi(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.extra import MultiIndexQuantizer
+    from ..ops.pq import PQCodec
+
+    idx = MultiIndexQuantizer(int(meta["d"]), int(meta["M"]),
+                              int(meta["nbits"]))
+    if "centroids" in arrays:
+        cents = np.asarray(arrays["centroids"])
+        idx.pq = PQCodec(centroids=cents, d=idx.d, M=idx.M,
+                         nbits=idx.nbits)
+        idx._cent = jnp.asarray(cents)
+        idx.ntotal = int(meta["ntotal"])
+        idx.is_trained = True
+    return idx
+
+
+def _dump_2layer(index):
+    meta = {"tag": "Ix2L", "d": index.d, "ntotal": index.ntotal,
+            "nlist": index.nlist, "M": index.M, "nbits": index.nbits,
+            "is_trained": index.is_trained}
+    arrays = {}
+    qm, qa = dump_index(index.q1)
+    _flatten("q1", qm, qa, meta, arrays)
+    if index.pq is not None:
+        arrays["pq_centroids"] = np.asarray(index.pq.centroids)
+    if index.ntotal:
+        arrays["list_ids"] = np.concatenate(index._list_ids)
+        arrays["codes"] = np.concatenate(index._codes)
+    return meta, arrays
+
+
+def _load_2layer(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.extra import Index2Layer
+    from ..ops.pq import PQCodec
+
+    qm, qa = _sub("q1", meta, arrays)
+    idx = Index2Layer(load_index(qm, qa), int(meta["nlist"]),
+                      int(meta["M"]), int(meta["nbits"]))
+    if "pq_centroids" in arrays:
+        cents = np.asarray(arrays["pq_centroids"])
+        idx.pq = PQCodec(centroids=cents, d=idx.d, M=idx.M,
+                         nbits=idx.nbits)
+        idx._cent = jnp.asarray(cents)
+    idx.is_trained = bool(meta["is_trained"])
+    if "codes" in arrays:
+        idx._list_ids = [np.asarray(arrays["list_ids"])]
+        idx._codes = [np.asarray(arrays["codes"])]
+        idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+def _dump_split(index):
+    meta = {"tag": "IxSV", "d": index.d, "ntotal": index.ntotal,
+            "nsub": len(index.sub_indexes)}
+    arrays = {}
+    for i, sub in enumerate(index.sub_indexes):
+        sm, sa = dump_index(sub)
+        _flatten(f"sub{i}", sm, sa, meta, arrays)
+    return meta, arrays
+
+
+def _load_split(meta, arrays):
+    from ..models.extra import IndexSplitVectors
+
+    idx = IndexSplitVectors(int(meta["d"]))
+    for i in range(int(meta["nsub"])):
+        sm, sa = _sub(f"sub{i}", meta, arrays)
+        idx.add_sub_index(load_index(sm, sa))
+    idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+def _dump_random(index):
+    return ({"tag": "IxRn", "d": index.d, "ntotal": index.ntotal,
+             "seed": index.seed}, {})
+
+
+def _load_random(meta, arrays):
+    from ..models.extra import IndexRandom
+
+    return IndexRandom(int(meta["d"]), int(meta["ntotal"]),
+                       int(meta["seed"]))
+
+
+def _dump_flat1d(index):
+    return ({"tag": "IxF1", "d": 1, "ntotal": index.ntotal},
+            {"xb": np.asarray(index.vectors)} if index.ntotal else {})
+
+
+def _load_flat1d(meta, arrays):
+    from ..models.flat import IndexFlat1D
+
+    idx = IndexFlat1D()
+    if "xb" in arrays:
+        idx.add(np.asarray(arrays["xb"]))
+    return idx
+
+
+# --- graph types -----------------------------------------------------------
+
+def _dump_nsg(index):
+    meta = {"tag": "IxNS", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "R": index.R, "GK": index.GK,
+            "efSearch": index.efSearch, "medoid": index.medoid}
+    arrays = {}
+    if index.ntotal:
+        arrays["xb"] = np.asarray(index.storage.vectors)
+    if index.graph is not None:
+        arrays["graph"] = np.asarray(index.graph)
+    return meta, arrays
+
+
+def _load_nsg(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.nsg import IndexNSGFlat
+
+    idx = IndexNSGFlat(int(meta["d"]), int(meta["R"]),
+                       int(meta["metric"]))
+    idx.GK = int(meta["GK"])
+    idx.efSearch = int(meta["efSearch"])
+    idx.medoid = int(meta["medoid"])
+    if "xb" in arrays:
+        idx.storage.add(np.asarray(arrays["xb"]))
+        idx.ntotal = idx.storage.ntotal
+    if "graph" in arrays:
+        idx.graph = jnp.asarray(np.asarray(arrays["graph"]))
+    return idx
+
+
+def _dump_nnd(index):
+    meta = {"tag": "IxND", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "K": index.K,
+            "efSearch": index.efSearch}
+    arrays = {}
+    if index.ntotal:
+        arrays["xb"] = np.asarray(index.storage.vectors)
+    if index.graph is not None:
+        arrays["graph"] = np.asarray(index.graph)
+    return meta, arrays
+
+
+def _load_nnd(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.nsg import IndexNNDescentFlat
+
+    idx = IndexNNDescentFlat(int(meta["d"]), int(meta["K"]),
+                             int(meta["metric"]))
+    idx.efSearch = int(meta["efSearch"])
+    if "xb" in arrays:
+        idx.storage.add(np.asarray(arrays["xb"]))
+        idx.ntotal = idx.storage.ntotal
+    if "graph" in arrays:
+        idx.graph = jnp.asarray(np.asarray(arrays["graph"]))
+    return idx
+
+
+def _dump_hnsw2level(index):
+    meta = {
+        "tag": "IHN2", "d": index.d, "metric": index.metric_type,
+        "ntotal": index.ntotal, "M": index.hnsw.M,
+        "efConstruction": index.hnsw.efConstruction,
+        "efSearch": index.hnsw.efSearch, "is_trained": index.is_trained,
+    }
+    arrays = {}
+    cm, ca = dump_index(index.codec)
+    _flatten("codec", cm, ca, meta, arrays)
+    if index.ntotal:
+        arrays["xb"] = np.asarray(index.storage.vectors)
+    _graph_meta_arrays(index, meta, arrays)
+    return meta, arrays
+
+
+def _load_hnsw2level(meta, arrays):
+    from ..models.hnsw import IndexHNSW2Level
+
+    cm, ca = _sub("codec", meta, arrays)
+    codec = load_index(cm, ca)
+    idx = IndexHNSW2Level(int(meta["d"]), codec.nlist, codec.M,
+                          int(meta["M"]), codec.nbits,
+                          int(meta["metric"]))
+    idx.codec = codec
+    idx.hnsw.efConstruction = int(meta["efConstruction"])
+    idx.hnsw.efSearch = int(meta["efSearch"])
+    idx.is_trained = bool(meta["is_trained"])
+    if "xb" in arrays:
+        idx.storage.add(np.asarray(arrays["xb"]))
+        idx.ntotal = idx.storage.ntotal
+    _restore_graph(idx, meta, arrays)
+    return idx
+
+
+# --- IVF couplings ---------------------------------------------------------
+
+def _dump_vt(vt, prefix, meta, arrays):
+    """LinearTransform state under a prefix (spectral-hash /
+    independent-quantizer vt)."""
+    meta[f"{prefix}_cls"] = type(vt).__name__
+    meta[f"{prefix}_din"] = vt.d_in
+    meta[f"{prefix}_dout"] = vt.d_out
+    meta[f"{prefix}_ortho"] = bool(getattr(vt, "is_orthonormal", False))
+    arrays[f"{prefix}_A"] = np.asarray(vt.A)
+    if getattr(vt, "b", None) is not None:
+        arrays[f"{prefix}_b"] = np.asarray(vt.b)
+
+
+def _load_vt(prefix, meta, arrays):
+    from ..models.transforms import LinearTransform
+
+    vt = LinearTransform(int(meta[f"{prefix}_din"]),
+                         int(meta[f"{prefix}_dout"]))
+    vt.A = np.asarray(arrays[f"{prefix}_A"])
+    if f"{prefix}_b" in arrays:
+        vt.b = np.asarray(arrays[f"{prefix}_b"])
+    vt.is_orthonormal = bool(meta[f"{prefix}_ortho"])
+    vt.is_trained = True
+    return vt
+
+
+def _dump_spectralhash(index):
+    meta, arrays = _dump_ivf_common(index)
+    meta["tag"] = "IwSH"
+    meta.update(nbit=index.nbit, period=index.period,
+                threshold_type=index.threshold_type)
+    _dump_vt(index.vt, "vt", meta, arrays)
+    if index.trained is not None:
+        arrays["trained"] = np.asarray(index.trained)
+    return meta, arrays
+
+
+def _load_spectralhash(meta, arrays):
+    from ..models.flat import IndexFlat
+    from ..models.ivf_extra import IndexIVFSpectralHash
+
+    idx = IndexIVFSpectralHash(
+        IndexFlat(int(meta["d"]), int(meta["metric"])), int(meta["d"]),
+        int(meta["nlist"]), int(meta["nbit"]), float(meta["period"]),
+        int(meta["metric"]), int(meta["block_size"]))
+    idx.threshold_type = meta["threshold_type"]
+    idx.vt = _load_vt("vt", meta, arrays)
+    if "trained" in arrays:
+        idx.trained = np.asarray(arrays["trained"])
+    return _restore_ivf_common(idx, meta, arrays)
+
+
+def _dump_independent(index):
+    meta = {"tag": "IwIQ", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "is_trained": index.is_trained,
+            "has_vt": index.vt is not None}
+    arrays = {}
+    qm, qa = dump_index(index.quantizer)
+    _flatten("quantizer", qm, qa, meta, arrays)
+    im, ia = dump_index(index.index_ivf)
+    _flatten("payload", im, ia, meta, arrays)
+    if index.vt is not None:
+        _dump_vt(index.vt, "vt", meta, arrays)
+    return meta, arrays
+
+
+def _load_independent(meta, arrays):
+    from ..models.ivf_extra import IndexIVFIndependentQuantizer
+
+    qm, qa = _sub("quantizer", meta, arrays)
+    im, ia = _sub("payload", meta, arrays)
+    vt = _load_vt("vt", meta, arrays) if meta.get("has_vt") else None
+    idx = IndexIVFIndependentQuantizer(load_index(qm, qa),
+                                       load_index(im, ia), vt)
+    idx.is_trained = bool(meta["is_trained"])
+    idx.ntotal = int(meta["ntotal"])
+    return idx
+
+
+# --- composites ------------------------------------------------------------
+
+def _dump_shards(index):
+    meta = {"tag": "IxSh", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "nshard": index.count,
+            "successive_ids": bool(index.successive_ids),
+            "id_bases": [int(b) for b in index._id_bases]}
+    arrays = {}
+    for i, sub in enumerate(index.shard_indexes):
+        sm, sa = dump_index(sub)
+        _flatten(f"shard{i}", sm, sa, meta, arrays)
+    return meta, arrays
+
+
+def _load_shards(meta, arrays):
+    from ..models.idmap import IndexShards
+
+    idx = IndexShards(int(meta["d"]), int(meta["metric"]),
+                      successive_ids=bool(meta["successive_ids"]))
+    for i in range(int(meta["nshard"])):
+        sm, sa = _sub(f"shard{i}", meta, arrays)
+        idx.add_shard(load_index(sm, sa))
+    idx._id_bases = [int(b) for b in meta["id_bases"]]
+    idx.ntotal = int(meta["ntotal"])
+    idx.is_trained = True
+    return idx
+
+
+def _dump_replicas(index):
+    meta = {"tag": "IxRp", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "nrep": len(index.replicas)}
+    arrays = {}
+    for i, sub in enumerate(index.replicas):
+        sm, sa = dump_index(sub)
+        _flatten(f"rep{i}", sm, sa, meta, arrays)
+    return meta, arrays
+
+
+def _load_replicas(meta, arrays):
+    from ..models.idmap import IndexReplicas
+
+    idx = IndexReplicas(int(meta["d"]), int(meta["metric"]))
+    for i in range(int(meta["nrep"])):
+        sm, sa = _sub(f"rep{i}", meta, arrays)
+        idx.add_replica(load_index(sm, sa))
+    idx.ntotal = int(meta["ntotal"])
+    idx.is_trained = True
+    return idx
+
+
+for _cls in ("IndexResidualQuantizer", "IndexAdditiveQuantizer",
+             "IndexLocalSearchQuantizer", "IndexProductResidualQuantizer",
+             "IndexProductLocalSearchQuantizer"):
+    _register(_cls, "IxRQ", _dump_rq, _load_rq)
+for _cls in ("IndexIVFResidualQuantizer", "IndexIVFLocalSearchQuantizer",
+             "IndexIVFProductResidualQuantizer",
+             "IndexIVFProductLocalSearchQuantizer"):
+    _register(_cls, "IwRQ", _dump_ivfrq, _load_ivfrq)
+_register("IndexIVFPQR", "IwPR", _dump_ivfpqr, _load_ivfpqr)
+_register("IndexBinaryFlat", "BxFl", _dump_binflat, _load_binflat)
+_register("IndexBinaryIVF", "BwFl", _dump_binivf, _load_binivf)
+_register("IndexBinaryHNSW", "BxHN", _dump_binhnsw, _load_binhnsw)
+_register("IndexBinaryHash", "BxHs", _dump_binhash, _load_binhash)
+_register("IndexBinaryFromFloat", "BxFF", _dump_binfromfloat,
+          _load_binfromfloat)
+_register("IndexLSH", "IxLs", _dump_lsh, _load_lsh)
+_register("IndexRowwiseMinMax", "IxMM", _dump_minmax, _load_minmax)
+_register("MultiIndexQuantizer", "IxMI", _dump_imi, _load_imi)
+_register("Index2Layer", "Ix2L", _dump_2layer, _load_2layer)
+_register("IndexSplitVectors", "IxSV", _dump_split, _load_split)
+_register("IndexRandom", "IxRn", _dump_random, _load_random)
+_register("IndexFlat1D", "IxF1", _dump_flat1d, _load_flat1d)
+_register("IndexNSGFlat", "IxNS", _dump_nsg, _load_nsg)
+_register("IndexNNDescentFlat", "IxND", _dump_nnd, _load_nnd)
+_register("IndexHNSW2Level", "IHN2", _dump_hnsw2level, _load_hnsw2level)
+_register("IndexIVFSpectralHash", "IwSH", _dump_spectralhash,
+          _load_spectralhash)
+_register("IndexIVFIndependentQuantizer", "IwIQ", _dump_independent,
+          _load_independent)
+_register("IndexShards", "IxSh", _dump_shards, _load_shards)
+_register("IndexReplicas", "IxRp", _dump_replicas, _load_replicas)
+
+
 _register("IndexLattice", "IxLt", _dump_lattice, _load_lattice)
 _register("IndexQINCo", "IxQN", _dump_qinco, _load_qinco)
 _register("IndexPQ", "IxPQ", _dump_pq, _load_pq)
