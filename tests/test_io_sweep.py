@@ -58,6 +58,12 @@ def _build(name, xt, xb):
         idx = M.IndexIVFFlat(IndexFlat(D_), D_, 8)
         idx.cp.niter = 4
         return _trained_added(idx, xt, xb)
+    if name == "IndexIVFFlatDedup":
+        idx = M.IndexIVFFlatDedup(IndexFlat(D_), D_, 8)
+        idx.cp.niter = 4
+        idx.train(xt)
+        idx.add(np.concatenate([xb, xb[:50]]))   # 50 exact duplicates
+        return idx
     if name == "IndexIVFHNSW":
         from tpu_ann.models.ivf_hnsw import IndexIVFHNSW
 
@@ -236,7 +242,6 @@ def test_every_model_class_is_registered():
     skip = {
         "Index", "IndexBinary",            # abstract bases
         "IndexNeuralNetCodec",             # abstract codec base
-        "IndexIVFFlatDedup",               # registered via its own test
     }
     missing = []
     for name in dir(M):

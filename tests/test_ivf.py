@@ -231,3 +231,46 @@ def test_search_preassigned_stats(small_ds):
     np.testing.assert_array_equal(I0, I1)
     assert st.list_scan_us > 0 and st.quantization_us == 0
     assert st.nlist_visited == len(xq) * 8
+
+
+def test_ivfflat_dedup(small_ds):
+    """IndexIVFFlatDedup (IndexIVFFlat.h:57): duplicates stored once,
+    expanded back into search results, promoted on remove."""
+    from tpu_ann.models.flat import IndexFlat
+    from tpu_ann.models.ivf import IndexIVFFlatDedup
+    from tpu_ann.models.selectors import IDSelectorBatch
+
+    d = small_ds.d
+    xb = small_ds.get_database()[:1000]
+    idx = IndexIVFFlatDedup(IndexFlat(d), d, 16)
+    idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    # rows 0..99 duplicated three times under distinct ids
+    x_all = np.concatenate([xb, xb[:100], xb[:100]])
+    ids = np.arange(len(x_all), dtype=np.int64)
+    idx.add_with_ids(x_all, ids)
+    assert idx.ntotal == 1000                  # dups not re-stored
+    assert sum(len(v) for v in idx.instances.values()) == 200
+
+    # searching AT a duplicated vector returns all its ids
+    idx.nprobe = 8
+    Dv, Iv = idx.search(xb[:5], 10)
+    for q in range(5):
+        hits = set(int(v) for v in Iv[q])
+        assert {q, 1000 + q, 1100 + q} <= hits, (q, hits)
+        assert Dv[q, 0] < 1e-4
+
+    # removing the stored representative promotes a duplicate
+    before = idx.ntotal
+    removed = idx.remove_ids(IDSelectorBatch([0]))
+    assert removed == 1
+    assert idx.ntotal == before                # row survives under 1000
+    _, Iv2 = idx.search(xb[:1], 5)
+    hits = set(int(v) for v in Iv2[0])
+    assert 0 not in hits and {1000, 1100} <= hits
+
+    # factory + io
+    from tpu_ann.utils.factory import index_factory
+
+    f = index_factory(d, "IVF16,FlatDedup")
+    assert isinstance(f, IndexIVFFlatDedup)

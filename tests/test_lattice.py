@@ -88,3 +88,39 @@ def test_lattice_factory(rng):
 
     idx = index_factory(32, "ZnLattice4x10_6")
     assert idx.nsq == 4 and idx.scale_nbit == 6 and idx.zn.r2 == 10
+
+
+def test_codec_rec_matches_counts_and_roundtrips(rng):
+    """ZnSphereCodecRec (lattice_Zn.h:116): same nv as the permutation
+    codec (the sphere cardinality is combinatorially fixed), bijective
+    codes, exact roundtrip on nearest-point projections."""
+    from tpu_ann.ops.lattice import ZnSphereCodec, ZnSphereCodecRec
+
+    for dim, r2 in ((4, 4), (8, 10), (16, 8)):
+        zn = ZnSphereCodec(dim, r2)
+        rec = ZnSphereCodecRec(dim, r2)
+        assert rec.nv == zn.nv, (dim, r2)
+
+        x = rng.randn(64, dim).astype("float32")
+        c = zn.search(x)                       # exact sphere points
+        codes = rec.encode_centroid(c)
+        assert int(codes.max()) < rec.nv
+        np.testing.assert_array_equal(rec.decode(codes), c)
+
+    # small enough to enumerate: codes are a bijection
+    rec = ZnSphereCodecRec(4, 4)
+    allc = rec.decode(np.arange(rec.nv, dtype=np.uint64))
+    assert len(np.unique(allc, axis=0)) == rec.nv
+    assert (allc.astype(np.int64) ** 2).sum(1).max() == 4
+    assert (allc.astype(np.int64) ** 2).sum(1).min() == 4
+
+
+def test_codec_alt_dispatch(rng):
+    from tpu_ann.ops.lattice import ZnSphereCodecAlt
+
+    alt = ZnSphereCodecAlt(8, 10)       # power of 2 -> recursive codes
+    assert alt.use_rec
+    x = rng.randn(32, 8).astype("float32")
+    c = alt.search(x)
+    codes = alt.encode(x)
+    np.testing.assert_array_equal(alt.decode(codes), c)

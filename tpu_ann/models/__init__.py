@@ -15,6 +15,7 @@ from .nsg import IndexNNDescentFlat, IndexNSGFlat  # noqa: F401
 from .ivf import (  # noqa: F401
     IndexIVF,
     IndexIVFFlat,
+    IndexIVFFlatDedup,
     SearchParametersIVF,
     make_ivf_flat,
 )

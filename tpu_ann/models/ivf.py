@@ -614,6 +614,145 @@ class IndexIVFFlat(IndexIVF):
         super().__init__(quantizer, d, nlist, metric, block_size)
 
 
+class IndexIVFFlatDedup(IndexIVFFlat):
+    """IVF-Flat that stores each distinct vector once
+    (faiss IndexIVFFlatDedup, IndexIVFFlat.h:57): exact duplicates of a
+    stored vector are recorded in `instances` (stored id -> duplicate
+    ids) instead of re-stored; search expands duplicates back into the
+    result lists (IndexIVFFlat.cpp:346-400); remove_ids promotes a
+    surviving duplicate when a stored representative is removed.
+
+    Duplicate detection keys on (coarse list, exact vector bytes) — the
+    reference likewise only dedups within the assigned list."""
+
+    def __init__(self, quantizer: Index, d: int, nlist: int,
+                 metric: int = D.METRIC_L2, block_size: int = 128):
+        super().__init__(quantizer, d, nlist, metric, block_size)
+        self.instances: dict[int, list[int]] = {}
+        self._keys: Optional[dict] = None
+
+    # --- dup bookkeeping --------------------------------------------------
+    def _ensure_keys(self) -> dict:
+        """(list, vector-bytes) -> stored id, rebuilt from the host store
+        (derived state; survives load/merge)."""
+        if self._keys is None:
+            keys: dict = {}
+            while len(self._assign_host) < len(self._xb_host):
+                self._assign_host.append(None)
+            for j, (xs, ids) in enumerate(
+                    zip(self._xb_host, self._ids_host)):
+                a = self._assign_host[j]
+                if a is None:
+                    a = np.asarray(self._assign(xs), np.int64)
+                    self._assign_host[j] = a
+                for i in range(len(xs)):
+                    keys[(int(a[i]), xs[i].tobytes())] = int(ids[i])
+            self._keys = keys
+        return self._keys
+
+    def train(self, x) -> None:
+        # the reference also dedups the training set
+        x = self._check_input(x)
+        x = np.unique(x, axis=0)
+        super().train(x)
+
+    def add_with_ids(self, x, ids, *, repack: bool = True) -> None:
+        if not self.is_trained:
+            raise RuntimeError("train() before add()")
+        x = self._check_input(x)
+        ids = np.asarray(ids, np.int64)
+        if len(ids) != len(x):
+            raise ValueError("ids / x length mismatch")
+        keys = self._ensure_keys()
+        assign = np.asarray(self._assign(x), np.int64)
+        keep = np.ones(len(x), bool)
+        for i in range(len(x)):
+            key = (int(assign[i]), x[i].tobytes())
+            rep = keys.get(key)
+            if rep is None:
+                keys[key] = int(ids[i])
+            else:
+                self.instances.setdefault(rep, []).append(int(ids[i]))
+                keep[i] = False
+        if keep.any():
+            self._append_chunk(x[keep].copy(), ids[keep].copy(),
+                               assign[keep])
+        if repack:
+            self._repack()
+
+    def search(self, x, k: int, *,
+               params: Optional[SearchParametersIVF] = None):
+        Dv, Iv = super().search(x, k, params=params)
+        if not self.instances:
+            return Dv, Iv
+        # expand duplicates into the ranked lists (same distance as their
+        # representative), truncating at k — IndexIVFFlat.cpp:360-400
+        Dv = np.array(Dv)
+        Iv = np.array(Iv)
+        for q in range(len(Iv)):
+            if not any(int(i) in self.instances for i in Iv[q] if i >= 0):
+                continue
+            dd, ii = [], []
+            for dist, i in zip(Dv[q], Iv[q]):
+                dd.append(dist)
+                ii.append(i)
+                for dup in self.instances.get(int(i), ()):
+                    dd.append(dist)
+                    ii.append(dup)
+                if len(ii) >= k:
+                    break
+            Dv[q] = dd[:k]
+            Iv[q] = ii[:k]
+        return Dv, Iv
+
+    def remove_ids(self, sel) -> int:
+        self._check_mutable()
+        self._maybe_repack()
+        removed = 0
+        new_instances: dict[int, list[int]] = {}
+        promote: dict[int, int] = {}
+        for rep, dups in self.instances.items():
+            da = np.asarray(dups, np.int64)
+            gone = sel.member_array(da)
+            keep_dups = [int(v) for v in da[~gone]]
+            removed += int(gone.sum())
+            if bool(sel.member_array(np.asarray([rep], np.int64))[0]):
+                removed += 1
+                if keep_dups:
+                    # promote: the stored ROW survives under a dup's id
+                    promote[int(rep)] = keep_dups[0]
+                    if keep_dups[1:]:
+                        new_instances[keep_dups[0]] = keep_dups[1:]
+                # else the base pass below removes the row itself
+            elif keep_dups:
+                new_instances[int(rep)] = keep_dups
+        self.instances = new_instances
+        if promote:
+            pk = np.asarray(list(promote.keys()), np.int64)
+            for ids in self._ids_host:
+                m = np.isin(ids, pk)
+                if m.any():
+                    ids[m] = [promote[int(v)] for v in ids[m]]
+        removed += super().remove_ids(sel)
+        self._keys = None
+        return removed
+
+    def update_vectors(self, ids, x) -> None:
+        raise RuntimeError(
+            "update_vectors not implemented for IndexIVFFlatDedup "
+            "(faiss parity, IndexIVFFlat.cpp:484)")
+
+    def range_search(self, x, radius: float):
+        raise RuntimeError(
+            "range_search not implemented for IndexIVFFlatDedup "
+            "(faiss parity)")
+
+    def reset(self) -> None:
+        super().reset()
+        self.instances = {}
+        self._keys = None
+
+
 def make_ivf_flat(d: int, nlist: int, metric: int = D.METRIC_L2
                   ) -> IndexIVFFlat:
     """Convenience: IVF with a flat coarse quantizer (= factory "IVFx,Flat")."""

@@ -201,6 +201,127 @@ class ZnSphereCodec:
         return out
 
 
+class ZnSphereCodecRec:
+    """Recursive sphere codec for power-of-2 dims
+    (faiss ZnSphereCodecRec, lattice_Zn.h:116-143): enumerates the
+    Z^dim sphere by splitting the coordinates in halves — a point c
+    factors as (r2 split, left half code, right half code) with
+    nv(ld, r2) = sum_s nv(ld-1, s) * nv(ld-1, r2-s). Codes are the same
+    SIZE as ZnSphereCodec's (nv is combinatorially fixed) but not
+    bit-compatible with it — true of the reference too ("The codes are
+    *not* compatible with the ones of ZnSphereCodec").
+
+    Unlike ZnSphereCodec, decode cost is O(dim) table lookups per level
+    with no multiset unranking — the point of the recursive scheme."""
+
+    def __init__(self, dim: int, r2: int):
+        if dim & (dim - 1) or dim <= 0:
+            raise ValueError("ZnSphereCodecRec requires a power-of-2 dim")
+        self.dim = int(dim)
+        self.r2 = int(r2)
+        self.log2_dim = dim.bit_length() - 1
+        # all_nv[ld][s] = #points of Z^(2^ld) with squared norm exactly s
+        L = self.log2_dim
+        nv = [[0] * (r2 + 1) for _ in range(L + 1)]
+        for s in range(r2 + 1):
+            r = int(np.sqrt(s))
+            nv[0][s] = 1 if s == 0 else (2 if r * r == s else 0)
+        for ld in range(1, L + 1):
+            for s in range(r2 + 1):
+                nv[ld][s] = sum(nv[ld - 1][a] * nv[ld - 1][s - a]
+                                for a in range(s + 1))
+        self.all_nv = nv
+        self.nv = int(nv[L][r2])
+        if self.nv == 0:
+            raise ValueError(f"no Z^{dim} points with squared norm {r2}")
+        self.nbits = max(int(self.nv - 1).bit_length(), 1)
+        self.code_size = -(-self.nbits // 8)
+
+    def get_nv(self, ld: int, r2a: int) -> int:
+        if r2a < 0 or r2a > self.r2:
+            return 0
+        return self.all_nv[ld][r2a]
+
+    # --- encode ----------------------------------------------------------
+    def _encode_rec(self, c: np.ndarray, ld: int, r2a: int) -> int:
+        if ld == 0:
+            v = int(c[0])
+            if v * v != r2a:
+                raise ValueError("not a sphere point at this radius")
+            return 0 if v >= 0 else 1
+        half = 1 << (ld - 1)
+        a, b = c[:half], c[half:]
+        ra = int((a.astype(np.int64) ** 2).sum())
+        rb = r2a - ra
+        off = sum(self.get_nv(ld - 1, s) * self.get_nv(ld - 1, r2a - s)
+                  for s in range(ra))
+        ca = self._encode_rec(a, ld - 1, ra)
+        cb = self._encode_rec(b, ld - 1, rb)
+        return off + ca * self.get_nv(ld - 1, rb) + cb
+
+    def encode_centroid(self, c: np.ndarray) -> np.ndarray:
+        """(n, dim) exact sphere points -> uint64 ids < nv."""
+        c = np.atleast_2d(np.asarray(c, np.int64))
+        return np.array(
+            [self._encode_rec(row, self.log2_dim, self.r2) for row in c],
+            np.uint64)
+
+    encode = encode_centroid
+
+    # --- decode ----------------------------------------------------------
+    def _decode_rec(self, code: int, ld: int, r2a: int,
+                    out: np.ndarray) -> None:
+        if ld == 0:
+            r = int(np.sqrt(r2a))
+            out[0] = -r if code else r
+            return
+        half = 1 << (ld - 1)
+        ra = 0
+        while True:
+            blk = self.get_nv(ld - 1, ra) * self.get_nv(ld - 1, r2a - ra)
+            if code < blk:
+                break
+            code -= blk
+            ra += 1
+        rb = r2a - ra
+        nb = self.get_nv(ld - 1, rb)
+        self._decode_rec(code // nb, ld - 1, ra, out[:half])
+        self._decode_rec(code % nb, ld - 1, rb, out[half:])
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        codes = np.atleast_1d(np.asarray(codes, np.uint64))
+        out = np.zeros((len(codes), self.dim), np.int64)
+        for i, cd in enumerate(codes):
+            self._decode_rec(int(cd), self.log2_dim, self.r2, out[i])
+        return out
+
+
+class ZnSphereCodecAlt(ZnSphereCodec):
+    """faiss ZnSphereCodecAlt (lattice_Zn.h:145+): uses the recursive
+    codec when dim is a power of 2, the permutation codec otherwise.
+    encode() accepts arbitrary vectors (nearest sphere point first)."""
+
+    def __init__(self, dim: int, r2: int):
+        super().__init__(dim, r2)
+        self.use_rec = dim & (dim - 1) == 0
+        self.znc_rec = ZnSphereCodecRec(dim, r2) if self.use_rec else None
+
+    def encode(self, x: np.ndarray) -> np.ndarray:
+        x = np.atleast_2d(np.asarray(x))
+        if np.issubdtype(x.dtype, np.floating):
+            c = self.search(x)
+        else:
+            c = x.astype(np.int64)
+        if self.use_rec:
+            return self.znc_rec.encode_centroid(c)
+        return super().encode(c)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        if self.use_rec:
+            return self.znc_rec.decode(codes)
+        return super().decode(codes)
+
+
 _PERM_CACHE: Dict[Tuple[Tuple[int, ...], int], int] = {}
 
 

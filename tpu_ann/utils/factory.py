@@ -70,6 +70,10 @@ def _make_ivf(nlist: int, hnsw_m: int, code: str, d: int,
         else:
             idx = IndexIVFFlat(IndexFlat(d, metric), d, nlist, metric)
         return idx
+    if code == "FlatDedup":
+        from ..models.ivf import IndexIVFFlatDedup
+
+        return IndexIVFFlatDedup(IndexFlat(d, metric), d, nlist, metric)
     quant: Index
     if hnsw_m:
         quant = IndexHNSWFlat(d, hnsw_m, metric)

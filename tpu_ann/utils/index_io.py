@@ -337,6 +337,34 @@ def _load_ivfflat(meta, arrays):
     return _restore_ivf_common(idx, meta, arrays)
 
 
+def _dump_ivfdedup(index):
+    meta, arrays = _dump_ivf_common(index)
+    meta["tag"] = "IwFD"
+    if index.instances:
+        reps, dups = [], []
+        for rep, ds in index.instances.items():
+            for dd in ds:
+                reps.append(rep)
+                dups.append(dd)
+        arrays["dedup_reps"] = np.asarray(reps, np.int64)
+        arrays["dedup_dups"] = np.asarray(dups, np.int64)
+    return meta, arrays
+
+
+def _load_ivfdedup(meta, arrays):
+    from ..models.flat import IndexFlat
+    from ..models.ivf import IndexIVFFlatDedup
+
+    idx = IndexIVFFlatDedup(IndexFlat(int(meta["d"]), int(meta["metric"])),
+                            int(meta["d"]), int(meta["nlist"]),
+                            int(meta["metric"]), int(meta["block_size"]))
+    if "dedup_reps" in arrays:
+        for rep, dup in zip(np.asarray(arrays["dedup_reps"]),
+                            np.asarray(arrays["dedup_dups"])):
+            idx.instances.setdefault(int(rep), []).append(int(dup))
+    return _restore_ivf_common(idx, meta, arrays)
+
+
 def _dump_ivfhnsw(index):
     meta, arrays = _dump_ivf_common(index)
     meta["tag"] = "IwHn"
@@ -371,6 +399,7 @@ _register("IndexHNSWSQ", "IHNs", _dump_hnswsq, _load_hnswsq)
 _register("IndexHNSWPQ", "IHNq", _dump_hnswpq, _load_hnswpq)
 _register("IndexIVF", "IwFl", _dump_ivfflat, _load_ivfflat)
 _register("IndexIVFFlat", "IwFl", _dump_ivfflat, _load_ivfflat)
+_register("IndexIVFFlatDedup", "IwFD", _dump_ivfdedup, _load_ivfdedup)
 _register("IndexIVFHNSW", "IwHn", _dump_ivfhnsw, _load_ivfhnsw)
 
 
