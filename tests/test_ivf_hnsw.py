@@ -134,3 +134,30 @@ def test_save_load_idmap(small_ds, tmp_path):
     _, I1 = idx.search(small_ds.get_database()[:5], 1)
     _, I2 = loaded.search(small_ds.get_database()[:5], 1)
     assert (I1 == I2).all()
+
+
+def test_quantizer_mode_ef_couples_to_nprobe(small_ds):
+    """coarse_mode='quantizer' must scale the HNSW beam with nprobe
+    (IndexIVF.coarse_ef_factor): a beam of efSearch<nprobe candidates
+    cannot rank nprobe lists, so high-nprobe recall would silently starve
+    (the reference sweeps quantizer efSearch alongside nprobe,
+    tutorial/python/190 harness)."""
+    from tpu_ann.models.ivf_hnsw import IndexIVFHNSW
+    from tpu_ann.utils.evaluation import recall_at_r
+
+    idx = IndexIVFHNSW(small_ds.d, 64)
+    idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.coarse_mode = "quantizer"
+    idx.set_hnsw_parameters(efSearch=8)      # deliberately starved default
+    idx.nprobe = 48
+    _, I = idx.search(small_ds.get_queries(), 10)
+    gt = small_ds.get_groundtruth(10)
+    r_coupled = recall_at_r(I, gt, 10)
+
+    idx.coarse_mode = "flat"
+    _, If = idx.search(small_ds.get_queries(), 10)
+    r_exact = recall_at_r(If, gt, 10)
+    # with the coupling, the faithful mode keeps pace with exact coarse
+    assert r_coupled >= r_exact - 0.02, (r_coupled, r_exact)

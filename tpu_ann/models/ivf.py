@@ -197,11 +197,26 @@ class IndexIVF(Index):
         return (self._centroid_table() is not None
                 and self.nlist <= self._COARSE_EXACT_MAX_NLIST)
 
+    # graph-quantizer beam coupling: a beam of ef candidates can rank at
+    # most ~ef lists, so asking an HNSW quantizer for nprobe lists with
+    # efSearch < nprobe silently starves recall. The reference couples
+    # them the same way (tutorial/python/190-…test.py:1404-1427 sweeps
+    # quantizer efSearch alongside nprobe); factor 2 recovers >=0.99
+    # coarse fidelity on the surrogate without manual tuning.
+    coarse_ef_factor = 2
+
     def _coarse_search_device(self, xq_dev, nprobe: int):
         if self._use_exact_coarse():
             return D.knn(xq_dev, self._centroid_table(), nprobe,
                          self.metric_type)
-        return self.quantizer.search_device(xq_dev, nprobe)
+        q = self.quantizer
+        if hasattr(q, "hnsw"):
+            from .hnsw import SearchParametersHNSW
+
+            ef = max(q.hnsw.efSearch, self.coarse_ef_factor * nprobe)
+            return q.search_device(xq_dev, nprobe,
+                                   params=SearchParametersHNSW(efSearch=ef))
+        return q.search_device(xq_dev, nprobe)
 
     def _assign(self, x: np.ndarray) -> np.ndarray:
         if self._use_exact_coarse():

@@ -44,7 +44,10 @@ from jax import lax
 
 from . import distances as D
 
-INVALID = jnp.int32(-1)
+# numpy scalar, not jnp: a module-scope jnp constant would
+# initialize the JAX backend at import time, which breaks
+# jax.distributed.initialize for multi-host bring-up
+INVALID = np.int32(-1)
 
 
 @jax.tree_util.register_pytree_node_class
