@@ -274,3 +274,105 @@ def test_ivfflat_dedup(small_ds):
 
     f = index_factory(d, "IVF16,FlatDedup")
     assert isinstance(f, IndexIVFFlatDedup)
+
+
+def test_direct_map_slots_match_pack_order(small_ds):
+    """The DirectMap's computed slots must agree with the actual packed
+    layout (native or numpy pack): ids[slot[r]] == r for every row."""
+    idx = make_ivf_flat(small_ds.d, nlist=16)
+    idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    flat_ids = np.asarray(idx.invlists.ids).reshape(-1)
+    rows = np.arange(idx.ntotal)
+    assert np.array_equal(flat_ids[idx._row_slot[rows]], rows)
+
+
+def test_incremental_remove_is_o_affected(small_ds):
+    """remove_ids edits only the touched slots (DirectMap.h:38-42): no
+    repack, invlists data identity preserved, removed ids vanish from
+    results."""
+    from tpu_ann.models.selectors import IDSelectorArray
+
+    idx = make_ivf_flat(small_ds.d, nlist=16)
+    idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    xb = small_ds.get_database()
+    idx.add(xb)
+    idx.nprobe = 16
+    data_before = idx.invlists.data        # identity probe
+
+    victims = np.asarray([0, 5, 17, 101], np.int64)
+    removed = idx.remove_ids(IDSelectorArray(victims))
+    assert removed == 4
+    assert idx.ntotal == len(xb) - 4
+    assert idx.invlists.data is data_before       # no repack happened
+    assert not idx._dirty
+
+    Dv, Iv = idx.search(xb[victims], 3)
+    assert not np.isin(victims, Iv).any()
+    # double-remove is a no-op
+    assert idx.remove_ids(IDSelectorArray(victims)) == 0
+
+    # the deferred host compaction still reconciles everything
+    idx._dirty = True
+    idx._maybe_repack()
+    assert idx.ntotal == len(xb) - 4
+    Dv, Iv = idx.search(xb[victims], 3)
+    assert not np.isin(victims, Iv).any()
+
+
+def test_incremental_update_vectors(small_ds):
+    """update_vectors: same-list overwrites edit slots in place; a
+    cross-list move appends into the target list's padding; both leave
+    the packed arrays' identity intact (no repack)."""
+    idx = make_ivf_flat(small_ds.d, nlist=16)
+    idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    xb = small_ds.get_database().copy()
+    idx.add(xb)
+    idx.nprobe = 16
+    ids_before = idx.invlists.ids
+
+    # same-list: nudge a stored vector slightly
+    upd_id = 7
+    new_v = xb[upd_id] + 0.001
+    idx.update_vectors(np.asarray([upd_id]), new_v[None])
+    np.testing.assert_allclose(idx.reconstruct(upd_id), new_v, rtol=1e-6)
+    Dv, Iv = idx.search(new_v[None], 1)
+    assert Iv[0, 0] == upd_id and Dv[0, 0] < 1e-9
+
+    # cross-list: replace a vector with one that lives elsewhere
+    far_id = 11
+    target = xb[2000]                       # different region of space
+    idx.update_vectors(np.asarray([far_id]), target[None])
+    Dv, Iv = idx.search(target[None], 2)
+    assert far_id in Iv[0]
+    # the old location must not still serve the old vector under that id
+    np.testing.assert_allclose(idx.reconstruct(far_id), target, rtol=1e-6)
+
+    # updates above should not have triggered a repack unless a list
+    # overflowed; either way results stay consistent after one
+    idx._dirty = True
+    idx._maybe_repack()
+    Dv, Iv = idx.search(target[None], 2)
+    assert far_id in Iv[0]
+
+
+def test_add_after_incremental_remove(small_ds):
+    from tpu_ann.models.selectors import IDSelectorArray
+
+    idx = make_ivf_flat(small_ds.d, nlist=16)
+    idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    xb = small_ds.get_database()
+    idx.add(xb[:3000])
+    idx.remove_ids(IDSelectorArray([1, 2, 3]))
+    idx.add(xb[3000:])                       # triggers repack with mask
+    assert idx.ntotal == len(xb) - 3
+    idx.nprobe = 16
+    _, Iv = idx.search(xb[1:4], 2)
+    assert not np.isin([1, 2, 3], Iv).any()
+    # add() assigns sequential ids from the post-removal ntotal (faiss
+    # semantics), so the first re-added row carries id 2997
+    assert 2997 in idx.search(xb[3000:3001], 1)[1]

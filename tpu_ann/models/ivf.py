@@ -144,7 +144,10 @@ class IndexIVF(Index):
         """Indexes loaded without a host vector store (e.g. coded
         merge_ondisk outputs) are search-only: a repack from the partial
         host store would silently drop the mmapped rows."""
-        if self.ntotal and sum(len(c) for c in self._xb_host) != self.ntotal:
+        pending = (int(self._removed_mask.sum())
+                   if self._removed_mask is not None else 0)
+        if self.ntotal and \
+                sum(len(c) for c in self._xb_host) - pending != self.ntotal:
             raise RuntimeError(
                 "index is search-only (loaded without its host vector "
                 "store); add/remove/update are unavailable")
@@ -158,6 +161,10 @@ class IndexIVF(Index):
         self._ids_host.append(np.asarray(ids, np.int64))
         self._assign_host.append(
             None if assign is None else np.asarray(assign, np.int64))
+        if self._removed_mask is not None:
+            # keep the deferred-removal mask aligned with the host store
+            self._removed_mask = np.concatenate(
+                [self._removed_mask, np.zeros(len(x), bool)])
         self.ntotal += len(x)
         self._dirty = True
 
@@ -249,6 +256,29 @@ class IndexIVF(Index):
             if a is None:
                 self._assign_host[j] = np.asarray(
                     self._assign(self._xb_host[j]), np.int64)
+        # apply deferred incremental removals to the host store
+        if self._removed_mask is not None and self._removed_mask.any():
+            mask = self._removed_mask
+            off = 0
+            nx, ni, na = [], [], []
+            for xs, ids_c, a in zip(self._xb_host, self._ids_host,
+                                    self._assign_host):
+                keep = ~mask[off:off + len(xs)]
+                off += len(xs)
+                if keep.all():
+                    nx.append(xs)
+                    ni.append(ids_c)
+                    na.append(a)
+                elif keep.any():
+                    nx.append(xs[keep])
+                    ni.append(ids_c[keep])
+                    na.append(None if a is None else a[keep])
+            self._xb_host, self._ids_host, self._assign_host = nx, ni, na
+            if not self._xb_host:
+                self._removed_mask = None
+                self._repack()
+                return
+        self._removed_mask = None
         x = np.concatenate(self._xb_host, axis=0)
         ids = np.concatenate(self._ids_host, axis=0)
         assign = np.concatenate(self._assign_host)
@@ -259,7 +289,70 @@ class IndexIVF(Index):
                        and np.array_equal(ids, np.arange(n, dtype=np.int64))))
         rows = np.arange(n, dtype=np.int64)
         self.invlists = self._pack(x, rows, assign)
+        self._build_direct_map(assign)
         self._dirty = False
+
+    # --- DirectMap (invlists/DirectMap.h): row -> packed slot -------------
+    # Built at repack time from the assignment; gives O(affected) device
+    # mutation instead of a full repack (the reference's DirectMap update/
+    # remove path edits only the touched list entries).
+    _row_slot: Optional[np.ndarray] = None     # row -> flat slot in packed
+    _row_list: Optional[np.ndarray] = None     # row -> owning list
+    _list_fill: Optional[np.ndarray] = None    # list -> used slots
+    _id_order: Optional[np.ndarray] = None     # argsort(_ids_flat)
+    _removed_mask: Optional[np.ndarray] = None  # row -> removed (deferred)
+    _holes = 0
+
+    def _build_direct_map(self, assign: np.ndarray) -> None:
+        il = self.invlists
+        if il is None:
+            self._row_slot = self._row_list = self._list_fill = None
+            self._id_order = None
+            self._holes = 0
+            return
+        n = len(assign)
+        B = self.block_size
+        starts = np.asarray(il.list_block_start, np.int64)
+        sizes = np.bincount(assign, minlength=self.nlist)
+        order = np.argsort(assign, kind="stable")
+        src_starts = np.zeros(self.nlist + 1, np.int64)
+        np.cumsum(sizes, out=src_starts[1:])
+        rank = np.arange(n, dtype=np.int64) - src_starts[assign[order]]
+        slot_sorted = starts[assign[order]] * B + rank
+        self._row_slot = np.empty(n, np.int64)
+        self._row_slot[order] = slot_sorted
+        self._row_list = np.asarray(assign, np.int64).copy()
+        self._list_fill = sizes.astype(np.int64)
+        self._id_order = np.argsort(self._ids_flat, kind="stable")
+        self._removed_mask = np.zeros(n, bool)
+        self._holes = 0
+
+    def _rows_of_ids(self, ids: np.ndarray) -> np.ndarray:
+        """User ids -> packed rows via the sorted-id index (missing -> -1).
+        O(affected * log n): the DirectMap hash lookup, vectorized."""
+        ids = np.asarray(ids, np.int64)
+        if self._ids_trivial:
+            rows = ids.copy()
+            rows[(rows < 0) | (rows >= len(self._ids_flat))] = -1
+            return rows
+        so = self._id_order
+        sids = self._ids_flat[so]
+        pos = np.searchsorted(sids, ids)
+        pos_c = np.minimum(pos, len(sids) - 1)
+        hit = (pos < len(sids)) & (sids[pos_c] == ids)
+        rows = np.where(hit, so[pos_c], -1)
+        return rows
+
+    def _chunk_positions(self, rows: np.ndarray):
+        """rows -> (chunk index, offset) in the host store."""
+        lens = np.asarray([len(c) for c in self._xb_host], np.int64)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        cj = np.searchsorted(bounds, rows, side="right") - 1
+        return cj, rows - bounds[cj]
+
+    def _incremental_capable(self) -> bool:
+        return (self._row_slot is not None and self.invlists is not None
+                and not self._dirty)
 
     def _map_ids(self, I) -> np.ndarray:
         """Map device row indices back to user int64 ids (-1 preserved)."""
@@ -534,51 +627,150 @@ class IndexIVF(Index):
 
     def remove_ids(self, sel) -> int:
         """Remove stored ids matching an IDSelector
-        (IndexIVF::remove_ids via DirectMap); invlists repacked.
-        Membership is one vectorized member_array per chunk, not a
-        Python loop."""
+        (IndexIVF::remove_ids via DirectMap). O(affected) device work:
+        affected slots get their id set to -1 (scans mask them); the host
+        store is compacted lazily at the next full repack. Holes above
+        25% of ntotal trigger a compaction (the amortized contract of the
+        reference's DirectMap + occasional rebuilds)."""
         self._check_mutable()
         self._maybe_repack()
-        removed = 0
-        new_x, new_ids, new_assign = [], [], []
-        for xs, ids, a in zip(self._xb_host, self._ids_host,
-                              self._assign_host):
-            keep = ~sel.member_array(ids)
-            removed += int((~keep).sum())
-            if keep.any():
-                new_x.append(xs[keep])
-                new_ids.append(ids[keep])
-                new_assign.append(None if a is None else a[keep])
-        self._xb_host, self._ids_host = new_x, new_ids
-        self._assign_host = new_assign
-        self.ntotal -= removed
-        if self.ntotal:
-            self._repack()
+        if self.invlists is None:
+            return 0
+        # explicit-id selectors get the O(affected log n) DirectMap lookup;
+        # predicate selectors fall back to one vectorized host scan
+        sel_ids = getattr(sel, "ids", None)
+        if sel_ids is not None and self._incremental_capable():
+            cand = np.unique(self._rows_of_ids(np.asarray(sel_ids,
+                                                          np.int64)))
+            cand = cand[cand >= 0]
+            if self._removed_mask is not None:
+                cand = cand[~self._removed_mask[cand]]
+            rows = cand
         else:
-            self.invlists = None
-            self._ids_flat = None
-            self._dirty = False
+            removed_mask_ids = sel.member_array(self._ids_flat)
+            if self._removed_mask is not None:
+                removed_mask_ids &= ~self._removed_mask
+            rows = np.nonzero(removed_mask_ids)[0]
+        removed = len(rows)
+        if removed == 0:
+            return 0
+        if not self._incremental_capable():
+            # legacy fallback: full host filter + repack
+            self._removed_mask = removed_mask_ids
+            self.ntotal -= removed
+            if self.ntotal:
+                self._repack()
+            else:
+                self._xb_host, self._ids_host = [], []
+                self._assign_host = []
+                self.invlists = None
+                self._ids_flat = None
+                self._dirty = False
+            return removed
+        slots = self._row_slot[rows]
+        il = self.invlists
+        flat_ids = il.ids.reshape(-1)
+        flat_ids = flat_ids.at[jnp.asarray(slots)].set(-1)
+        il.ids = flat_ids.reshape(il.ids.shape)
+        dl = getattr(self, "_decoded", None)
+        if dl is not None:
+            dl.ids = il.ids                  # cache shares the id plane
+        self._removed_mask[rows] = True
+        self._holes += removed
+        self.ntotal -= removed
+        if self.ntotal == 0:
+            self.reset()
+        elif self._holes > max(1024, self.ntotal // 4):
+            self._dirty = True               # amortized compaction
         return removed
 
     def update_vectors(self, ids, x) -> None:
         """Replace vectors in place (IndexIVF::update_vectors): same ids,
-        new data, reassigned to their new lists. Matching is a sorted
-        searchsorted join per chunk (the DirectMap lookup, vectorized)."""
+        new data, reassigned to their new lists.
+
+        Flat storage takes the DirectMap path (O(affected) device work):
+        same-list updates overwrite their slot; cross-list moves append
+        into the target list's block padding when it has room. Only when
+        a target list's blocks are full does the index fall back to a
+        deferred full repack (the std::vector amortization). Coded
+        storages (PQ/SQ) re-encode via the repack path."""
         self._check_mutable()
         self._maybe_repack()
         x = self._check_input(x)
         ids = np.asarray(ids, np.int64)
-        order = np.argsort(ids, kind="stable")
-        sid = ids[order]
-        for j, (xs, stored) in enumerate(
-                zip(self._xb_host, self._ids_host)):
-            pos = np.searchsorted(sid, stored)
-            pos_c = np.minimum(pos, len(sid) - 1)
-            hit = (pos < len(sid)) & (sid[pos_c] == stored)
-            if hit.any():
-                xs[hit] = x[order[pos_c[hit]]]
-                self._assign_host[j] = None  # data moved; reassign chunk
-        self._repack()
+
+        # host store update (shared by both paths)
+        rows = self._rows_of_ids(ids)
+        ok = rows >= 0
+        if not ok.any():
+            return
+        rows_u = rows[ok]
+        x_u = x[ok]
+        cj, off = self._chunk_positions(rows_u)
+        for j in np.unique(cj):
+            m = cj == j
+            self._xb_host[j][off[m]] = x_u[m]
+
+        flat = self._incremental_capable() and hasattr(self.invlists,
+                                                       "data")
+        if not flat:
+            for j in np.unique(cj):
+                self._assign_host[j] = None
+            self._repack()
+            return
+
+        new_assign = np.asarray(self._assign(x_u), np.int64)
+        il = self.invlists
+        B = self.block_size
+        old_list = self._row_list[rows_u]
+        same = new_assign == old_list
+
+        # cross-list moves: append into target-list padding when it fits
+        cross = np.nonzero(~same)[0]
+        dst_slot = np.empty(len(rows_u), np.int64)
+        dst_slot[same] = self._row_slot[rows_u[same]]
+        need_repack = False
+        starts = np.asarray(il.list_block_start, np.int64)
+        nblk = np.asarray(il.list_nblocks, np.int64)
+        for i in cross:
+            lst = new_assign[i]
+            if self._list_fill[lst] < nblk[lst] * B:
+                dst_slot[i] = starts[lst] * B + self._list_fill[lst]
+                self._list_fill[lst] += 1
+                # the source slot becomes a mid-list hole (fill tracks the
+                # append end, so it cannot be handed out again)
+                self._holes += 1
+            else:
+                need_repack = True
+                break
+        if need_repack:
+            for j in np.unique(cj):
+                self._assign_host[j] = None
+            self._repack()
+            return
+
+        xd = jnp.asarray(x_u)
+        d = xd.shape[1]
+        norms = jnp.sum(xd.astype(jnp.float32) ** 2, axis=1)
+        sl = jnp.asarray(dst_slot)
+        il.data = il.data.reshape(-1, d).at[sl].set(xd).reshape(
+            il.data.shape)
+        il.norms = il.norms.reshape(-1).at[sl].set(norms).reshape(
+            il.norms.shape)
+        flat_ids = il.ids.reshape(-1)
+        if len(cross):
+            old_slots = jnp.asarray(self._row_slot[rows_u[cross]])
+            flat_ids = flat_ids.at[old_slots].set(-1)
+        flat_ids = flat_ids.at[sl].set(jnp.asarray(rows_u, jnp.int32))
+        il.ids = flat_ids.reshape(il.ids.shape)
+        # bookkeeping + cached per-chunk assignments stay correct
+        self._row_slot[rows_u] = dst_slot
+        self._row_list[rows_u] = new_assign
+        for j in np.unique(cj):
+            m = cj == j
+            a = self._assign_host[j]
+            if a is not None:
+                a[off[m]] = new_assign[m]
 
     # --- misc ----------------------------------------------------------------
     def reset(self) -> None:
@@ -588,6 +780,10 @@ class IndexIVF(Index):
         self._ids_trivial = True
         self._dirty = False
         self.ntotal = 0
+        self._row_slot = self._row_list = self._list_fill = None
+        self._id_order = None
+        self._removed_mask = None
+        self._holes = 0
 
     def reconstruct(self, key: int) -> np.ndarray:
         self._maybe_repack()
@@ -748,6 +944,9 @@ class IndexIVFFlatDedup(IndexIVFFlat):
                 m = np.isin(ids, pk)
                 if m.any():
                     ids[m] = [promote[int(v)] for v in ids[m]]
+            # promoted ids invalidate the packed row->id map; rebuild
+            # before the base removal runs its DirectMap lookups
+            self._dirty = True
         removed += super().remove_ids(sel)
         self._keys = None
         return removed
