@@ -167,3 +167,88 @@ def test_merge_ondisk_coded(small_ds, tmp_path):
     # coded merge is search-only
     with pytest.raises(RuntimeError):
         loaded.add_with_ids(xb[:3], np.arange(3, dtype=np.int64))
+
+
+def test_ondisk_slot_allocator(tmp_path):
+    """OnDiskInvertedLists (OnDiskInvertedLists.h:132-133): chunked adds
+    append into block padding / allocate from the free list; removals
+    free empty blocks; untouched blocks are never rewritten."""
+    import os
+
+    from tpu_ann.utils.invlists_io import OnDiskInvertedLists
+
+    p = str(tmp_path / "lists.todl")
+    il = OnDiskInvertedLists.create(p, nlist=4, width=8, block_size=4)
+    rs = np.random.RandomState(0)
+
+    x0 = rs.randn(6, 8).astype(np.float32)
+    il.add_entries(0, x0, np.arange(6))
+    assert il.list_size(0) == 6 and il.nblocks == 2
+
+    # incremental append: fills padding first (no new block for 2 rows)
+    x1 = rs.randn(2, 8).astype(np.float32)
+    il.add_entries(0, x1, np.arange(6, 8))
+    assert il.nblocks == 2 and il.list_size(0) == 8
+
+    # snapshot block 0 bytes; appending to ANOTHER list must not touch it
+    blk_bytes = il._block_bytes
+    with open(p, "rb") as f:
+        b0_before = f.read(blk_bytes)
+    il.add_entries(1, rs.randn(5, 8).astype(np.float32),
+                   np.arange(100, 105))
+    with open(p, "rb") as f:
+        b0_after = f.read(blk_bytes)
+    assert b0_before == b0_after          # no regeneration of old blocks
+    assert il.nblocks == 4
+
+    # removal frees an emptied block, and the next add reuses it
+    removed = il.remove_entries(0, np.arange(4, 8))
+    assert removed == 4
+    assert len(il.free_blocks) == 1
+    assert il.list_size(0) == 4
+    il.add_entries(2, rs.randn(3, 8).astype(np.float32),
+                   np.arange(200, 203))
+    assert il.nblocks == 4                # file did not grow
+    assert not il.free_blocks
+
+    # round-trips through the sidecar
+    il.flush()
+    il2 = OnDiskInvertedLists(p)
+    pay, ids = il2.get_list(1)
+    assert len(ids) == 5 and set(ids) == set(range(100, 105))
+
+    py, i0 = il2.get_list(0)
+    assert set(i0) == set(range(4))
+    np.testing.assert_allclose(py, x0[:4], rtol=1e-6)
+
+
+def test_ondisk_allocator_feeds_merge(small_ds, tmp_path):
+    """The allocator implements InvlistSource, so it plugs straight into
+    merge_ondisk to produce a searchable mmap index."""
+    from tpu_ann.models.ivf import make_ivf_flat
+    from tpu_ann.utils import index_io
+    from tpu_ann.utils.invlists_io import OnDiskInvertedLists, merge_ondisk
+
+    d = small_ds.d
+    xb = small_ds.get_database()[:2000]
+    trained = make_ivf_flat(d, nlist=8)
+    trained.cp.niter = 4
+    trained.train(small_ds.get_train())
+
+    # route vectors into the on-disk container by coarse assignment,
+    # in two chunks (the incremental add workflow)
+    p = str(tmp_path / "grow.todl")
+    il = OnDiskInvertedLists.create(p, nlist=8, width=d)
+    for lo, hi in ((0, 1000), (1000, 2000)):
+        a = trained._assign(xb[lo:hi])
+        for l in np.unique(a):
+            m = a == l
+            il.add_entries(int(l), xb[lo:hi][m],
+                           np.arange(lo, hi)[m])
+    dst = str(tmp_path / "merged.tann")
+    n = merge_ondisk(trained, il, dst)
+    assert n == 2000
+    idx = index_io.read_index(dst, mmap=True)
+    idx.nprobe = 8
+    _, Iv = idx.search(xb[:10], 1)
+    assert (np.asarray(Iv)[:, 0] == np.arange(10)).all()

@@ -313,6 +313,197 @@ class _OneListCache(InvlistSource):
 
 
 # ---------------------------------------------------------------------------
+# mutable on-disk inverted lists (slot allocator)
+# ---------------------------------------------------------------------------
+
+class OnDiskInvertedLists(InvlistSource):
+    """Mutable on-disk inverted lists with block-granular slot
+    allocation — the incremental half of the reference's
+    OnDiskInvertedLists (OnDiskInvertedLists.h:132-133 allocate_slot /
+    free_slot, free-slot list at :46-50): chunked adds append into each
+    list's block padding, new blocks come from the free list or the end
+    of the file, and nothing else is rewritten — no full regeneration.
+
+    Layout: a data file of fixed-size block records (payload (B, width)
+    + ids (B,) int64, ids -1 = free slot) and a JSON sidecar holding the
+    per-list block chains, fills, and the free-block list. Unlike the
+    searchable packed file (contiguous blocks per list), chains may be
+    non-contiguous on disk — the `to_index_file` step (or merge_ondisk
+    over this source) lays them out contiguously for the device scan,
+    mirroring the reference split between its on-disk allocator and its
+    search path.
+
+    Implements the InvlistSource protocol, so it composes with
+    HStack/VStack/Masked views and merge_ondisk directly.
+    """
+
+    MAGIC = "TODL0001"
+
+    def __init__(self, path: str, *, nlist: int = 0, width: int = 0,
+                 dtype: str = "<f4", coded: bool = False,
+                 block_size: int = 128, _create: bool = False):
+        self.path = path
+        self.meta_path = path + ".meta.json"
+        if _create:
+            self.nlist = int(nlist)
+            self.width = int(width)
+            self.coded = bool(coded)
+            self.dtype = np.dtype(dtype)
+            self.block_size = int(block_size)
+            self.chains: List[List[int]] = [[] for _ in range(self.nlist)]
+            self.fills: List[int] = [0] * self.nlist
+            self.free_blocks: List[int] = []
+            self.nblocks = 0
+            with open(path, "wb"):
+                pass
+            self.flush()
+        else:
+            with open(self.meta_path) as f:
+                m = json.load(f)
+            if m.get("magic") != self.MAGIC:
+                raise ValueError(f"{path}: not an OnDiskInvertedLists")
+            self.nlist = m["nlist"]
+            self.width = m["width"]
+            self.coded = m["coded"]
+            self.dtype = np.dtype(m["dtype"])
+            self.block_size = m["block_size"]
+            self.chains = m["chains"]
+            self.fills = m["fills"]
+            self.free_blocks = m["free_blocks"]
+            self.nblocks = m["nblocks"]
+
+    @classmethod
+    def create(cls, path: str, nlist: int, width: int, *,
+               dtype="float32", coded: bool = False,
+               block_size: int = 128) -> "OnDiskInvertedLists":
+        return cls(path, nlist=nlist, width=width,
+                   dtype=np.dtype(dtype).str, coded=coded,
+                   block_size=block_size, _create=True)
+
+    # --- block record layout ---------------------------------------------
+    @property
+    def _payload_bytes(self) -> int:
+        return self.block_size * self.width * self.dtype.itemsize
+
+    @property
+    def _block_bytes(self) -> int:
+        return self._payload_bytes + self.block_size * 8
+
+    def _read_block(self, b: int):
+        with open(self.path, "rb") as f:
+            f.seek(b * self._block_bytes)
+            buf = f.read(self._block_bytes)
+        payload = np.frombuffer(
+            buf[: self._payload_bytes], self.dtype
+        ).reshape(self.block_size, self.width)
+        ids = np.frombuffer(buf[self._payload_bytes:], np.int64)
+        return payload, ids
+
+    def _write_block(self, b: int, payload: np.ndarray, ids: np.ndarray):
+        with open(self.path, "r+b") as f:
+            f.seek(b * self._block_bytes)
+            f.write(np.ascontiguousarray(payload, self.dtype).tobytes())
+            f.write(np.ascontiguousarray(ids, np.int64).tobytes())
+
+    def _allocate_block(self) -> int:
+        """allocate_slot: reuse a freed block, else extend the file."""
+        if self.free_blocks:
+            return self.free_blocks.pop()
+        b = self.nblocks
+        self.nblocks += 1
+        with open(self.path, "r+b") as f:
+            f.truncate(self.nblocks * self._block_bytes)
+        # initialize ids of the fresh block to -1 (free slots)
+        self._write_block(
+            b, np.zeros((self.block_size, self.width), self.dtype),
+            np.full(self.block_size, -1, np.int64))
+        return b
+
+    # --- mutation ---------------------------------------------------------
+    def add_entries(self, list_no: int, payload: np.ndarray,
+                    ids: np.ndarray) -> None:
+        """Append rows to one list, filling block padding first then
+        allocating blocks — only the touched blocks are written."""
+        payload = np.asarray(payload)
+        ids = np.asarray(ids, np.int64)
+        if payload.shape != (len(ids), self.width):
+            raise ValueError("payload shape mismatch")
+        B = self.block_size
+        pos = 0
+        while pos < len(ids):
+            fill = self.fills[list_no]      # append cursor, not size
+            if fill == len(self.chains[list_no]) * B:
+                self.chains[list_no].append(self._allocate_block())
+            b = self.chains[list_no][fill // B]
+            off = fill % B
+            take = min(B - off, len(ids) - pos)
+            bp, bi = self._read_block(b)
+            bp = bp.copy()
+            bi = bi.copy()
+            bp[off:off + take] = payload[pos:pos + take]
+            bi[off:off + take] = ids[pos:pos + take]
+            self._write_block(b, bp, bi)
+            self.fills[list_no] = fill + take
+            pos += take
+
+    def remove_entries(self, list_no: int, sel_ids: np.ndarray) -> int:
+        """free_slot: clear matching ids (slots become holes); a block
+        whose ids are all cleared returns to the free list."""
+        sel = np.asarray(sel_ids, np.int64)
+        removed = 0
+        chain = self.chains[list_no]
+        for ci in reversed(range(len(chain))):
+            b = chain[ci]
+            bp, bi = self._read_block(b)
+            m = np.isin(bi, sel)
+            if not m.any():
+                continue
+            bi = bi.copy()
+            bi[m] = -1
+            removed += int(m.sum())
+            if (bi < 0).all():
+                chain.pop(ci)
+                self.free_blocks.append(b)
+                # append cursor moves to the (block-aligned) chain end;
+                # mid-chain holes stay holes until a rewrite
+                self.fills[list_no] = len(chain) * self.block_size
+            else:
+                self._write_block(b, bp, bi)
+        return removed
+
+    def flush(self) -> None:
+        with open(self.meta_path, "w") as f:
+            json.dump({
+                "magic": self.MAGIC, "nlist": self.nlist,
+                "width": self.width, "coded": self.coded,
+                "dtype": self.dtype.str, "block_size": self.block_size,
+                "chains": self.chains, "fills": self.fills,
+                "free_blocks": self.free_blocks, "nblocks": self.nblocks,
+            }, f)
+
+    # --- InvlistSource protocol ------------------------------------------
+    def list_size(self, i):
+        # fills count appended rows; removals leave -1 holes inside
+        sz = 0
+        for b in self.chains[i]:
+            _, bi = self._read_block(b)
+            sz += int((bi >= 0).sum())
+        return sz
+
+    def get_list(self, i):
+        pays, idss = [], []
+        for b in self.chains[i]:
+            bp, bi = self._read_block(b)
+            keep = bi >= 0
+            pays.append(bp[keep])
+            idss.append(bi[keep])
+        if not pays:
+            return (np.zeros((0, self.width), self.dtype),
+                    np.zeros(0, np.int64))
+        return np.concatenate(pays), np.concatenate(idss)
+
+
+# ---------------------------------------------------------------------------
 # streaming container writer
 # ---------------------------------------------------------------------------
 
