@@ -638,3 +638,25 @@ def test_polysemous_training_improves_correlation(small_ds):
         s0 = set(map(tuple, np.round(pqc.centroids[m], 5)))
         s1 = set(map(tuple, np.round(opt[m], 5)))
         assert s0 == s1
+
+
+def test_ivf_rq_decoded_cache_matches_lut_scan(small_ds):
+    """The additive-family decoded cache must agree with the LUT scan
+    (stored-norm ADC): both compute ||q - c_l - dec(code)||^2."""
+    from tpu_ann.models.rq import IndexIVFResidualQuantizer
+
+    idx = IndexIVFResidualQuantizer(IndexFlat(small_ds.d), small_ds.d,
+                                    16, 3, 8)
+    idx.cp.niter = 5
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.nprobe = 8
+
+    idx.use_decoded_cache = False
+    Dg, Ig = idx.search(small_ds.get_queries(), 10)
+    idx.use_decoded_cache = True
+    idx.decoded_cache_dtype = "float32"
+    assert idx._decoded_cache() is not None
+    Dd, Id = idx.search(small_ds.get_queries(), 10)
+    np.testing.assert_allclose(Dd, Dg, rtol=3e-4, atol=3e-4)
+    assert (Id == Ig).mean() > 0.97

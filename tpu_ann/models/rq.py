@@ -206,6 +206,44 @@ class IndexIVFResidualQuantizer(IndexIVF):
         self.nbits = int(nbits)
         self.beam_size = 5
         self.rq: Optional[RQ.RQCodec] = None
+        # decoded cache (ops.ivf_scan.decode_code_invlists_generic): the
+        # additive LUT gather scan has the same ksub=256 pathology as
+        # PQ's; decoding once lets scans run on the flat/fused kernels.
+        # None = auto (on when ksub > 16 and it fits the budget).
+        self.use_decoded_cache: Optional[bool] = None
+        self.decoded_cache_max_bytes: int = 8 << 30
+        self.decoded_cache_dtype = "bfloat16"
+        self._decoded = None
+        self._decoded_for = None
+
+    def _cache_enabled(self) -> bool:
+        if self.use_decoded_cache is not None:
+            return bool(self.use_decoded_cache)
+        if self.invlists is None or (1 << self.nbits) <= 16:
+            return False
+        isize = jnp.dtype(self.decoded_cache_dtype).itemsize
+        nbytes = ((self.invlists.nblocks + 1) * self.block_size
+                  * self.d * isize)
+        return nbytes <= self.decoded_cache_max_bytes
+
+    def _decoded_cache(self):
+        if not self._cache_enabled():
+            return None
+        if self._decoded is not None and self._decoded_for is self.invlists:
+            return self._decoded
+        from ..ops.ivf_scan import decode_code_invlists_generic
+
+        M = self.M
+
+        def decode_rows(payload):
+            return RQ.rq_decode(payload[:, :M], self._books)
+
+        self._decoded = decode_code_invlists_generic(
+            self.invlists, decode_rows, self.d,
+            jnp.asarray(self._centroid_table()),
+            dtype=jnp.dtype(self.decoded_cache_dtype))
+        self._decoded_for = self.invlists
+        return self._decoded
 
     def _train_codec(self, resid: np.ndarray) -> "RQ.RQCodec":
         return RQ.train_rq(resid, self.M, self.nbits, verbose=self.verbose)
@@ -224,6 +262,7 @@ class IndexIVFResidualQuantizer(IndexIVF):
     def _pack(self, x, ids, assign):
         from ..ops.ivf_scan import pack_code_invlists
 
+        self._decoded = self._decoded_for = None
         cent = np.asarray(self._centroid_table())
         resid = jnp.asarray(x - cent[assign])
         codes = self._encode_residuals(resid)
@@ -243,8 +282,28 @@ class IndexIVFResidualQuantizer(IndexIVF):
         nprobe, mnb = self._effective_params(params)
         xq = jnp.asarray(x)
         _, probes = self._coarse_search_device(xq, nprobe)
+        probes = probes.astype(jnp.int32)
+        dl = self._decoded_cache()
+        if dl is not None:
+            # fast additive ADC: flat-path kernels over the decoded cache
+            from ..ops import ivf_scan
+            from ..ops.ivf_scan_pallas import scan_invlists_fused
+
+            if self._use_fused(xq.shape[0], nprobe, mnb, None,
+                               invlists=dl):
+                try:
+                    Dv, Iv, _ = scan_invlists_fused(
+                        xq, probes, dl, k, self.metric_type)
+                    return np.asarray(Dv), self._map_ids(Iv)
+                except Exception:
+                    if self.scan_mode == "fused":
+                        raise
+            Dv, Iv, _ = ivf_scan.scan_invlists(
+                xq, probes, dl, k, self.metric_type, max_nblocks=mnb,
+                approx=self.approx_topk)
+            return np.asarray(Dv), self._map_ids(Iv)
         Dv, Iv = _ivf_rq_search(
-            xq, probes.astype(jnp.int32), self.invlists.codes,
+            xq, probes, self.invlists.codes,
             self.invlists.ids,
             self.invlists.list_block_start, self.invlists.list_nblocks,
             self.invlists.nblocks, self._books,

@@ -437,6 +437,74 @@ def pack_code_invlists(
     return pil
 
 
+def decode_code_invlists_generic(
+    invlists: PackedCodeInvLists,
+    decode_rows,
+    d: int,
+    coarse_centroids: Optional[jnp.ndarray] = None,
+    *,
+    chunk_blocks: int = 128,
+    dtype=jnp.float32,
+) -> PackedInvLists:
+    """Decoded cache for ANY codec: `decode_rows((n, code_width) codes)
+    -> (n, d) f32` is traced into the chunked device decode. See
+    decode_code_invlists for the rationale; the additive-quantizer IVF
+    family uses this with an RQ decode (its 8-bit LUT gather scan has
+    the same pathology as PQ's)."""
+
+    NB = invlists.nblocks
+    B = invlists.block_size
+    total = NB + 1
+    nlist = invlists.list_nblocks.shape[0]
+
+    if coarse_centroids is not None:
+        block2list = jnp.repeat(
+            jnp.arange(nlist, dtype=jnp.int32), invlists.list_nblocks,
+            total_repeat_length=NB)
+        block2list = jnp.concatenate(
+            [block2list, jnp.zeros((1,), jnp.int32)])
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _put(data, norms, chunk, cnorm, off):
+        data = lax.dynamic_update_slice(data, chunk, (off, 0, 0))
+        norms = lax.dynamic_update_slice(norms, cnorm, (off, 0))
+        return data, norms
+
+    @jax.jit
+    def _decode_chunk(codes_blk, cent_blk):
+        nb, Bl = codes_blk.shape[:2]
+        x = decode_rows(codes_blk.reshape(nb * Bl, -1))
+        x = x.reshape(nb, Bl, d)
+        if cent_blk is not None:
+            x = x + cent_blk[:, None, :]
+        n = jnp.sum(x * x, axis=2)
+        return x.astype(dtype), n
+
+    CH = min(chunk_blocks, total)
+    data = jnp.zeros((total, B, d), dtype)
+    norms = jnp.zeros((total, B), jnp.float32)
+    starts = list(range(0, total, CH))
+    if starts and starts[-1] + CH > total:
+        starts[-1] = total - CH
+    for s in starts:
+        cb = lax.dynamic_slice_in_dim(invlists.codes, s, CH, axis=0)
+        cent = (coarse_centroids[
+            lax.dynamic_slice_in_dim(block2list, s, CH)]
+            if coarse_centroids is not None else None)
+        chunk, cnorm = _decode_chunk(cb, cent)
+        data, norms = _put(data, norms, chunk, cnorm, s)
+
+    pil = PackedInvLists(
+        data=data,
+        ids=invlists.ids,
+        norms=norms,
+        list_block_start=invlists.list_block_start,
+        list_nblocks=invlists.list_nblocks,
+    )
+    pil._max_nblocks = invlists._max_nblocks
+    return pil
+
+
 def decode_code_invlists(
     invlists: PackedCodeInvLists,
     pq_centroids: jnp.ndarray,
@@ -477,60 +545,16 @@ def decode_code_invlists(
 
     M, ksub, dsub = pq_centroids.shape
     d = M * dsub
-    NB = invlists.nblocks
-    B = invlists.block_size
-    total = NB + 1
-    nlist = invlists.list_nblocks.shape[0]
 
-    if coarse_centroids is not None:
-        block2list = jnp.repeat(
-            jnp.arange(nlist, dtype=jnp.int32), invlists.list_nblocks,
-            total_repeat_length=NB)
-        block2list = jnp.concatenate(
-            [block2list, jnp.zeros((1,), jnp.int32)])
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def _put(data, norms, chunk, cnorm, off):
-        data = lax.dynamic_update_slice(data, chunk, (off, 0, 0))
-        norms = lax.dynamic_update_slice(norms, cnorm, (off, 0))
-        return data, norms
-
-    @jax.jit
-    def _decode_chunk(codes_blk, cent_blk):
-        nb, Bl = codes_blk.shape[:2]
-        c = PQ.unpack_codes_4bit(codes_blk) if packed4 else codes_blk
-        x = PQ.pq_decode(c.reshape(nb * Bl, M), pq_centroids)
-        x = x.reshape(nb, Bl, d)
-        if cent_blk is not None:
-            x = x + cent_blk[:, None, :]
+    def decode_rows(flat):
+        c = PQ.unpack_codes_4bit(flat) if packed4 else flat
         # padding rows (ids == -1) keep whatever the dummy sub-indices
         # decode to; scans mask them by id, so no zeroing needed
-        n = jnp.sum(x * x, axis=2)
-        return x.astype(dtype), n
+        return PQ.pq_decode(c, pq_centroids)
 
-    CH = min(chunk_blocks, total)
-    data = jnp.zeros((total, B, d), dtype)
-    norms = jnp.zeros((total, B), jnp.float32)
-    starts = list(range(0, total, CH))
-    if starts and starts[-1] + CH > total:
-        starts[-1] = total - CH          # overlap re-decode, shapes static
-    for s in starts:
-        cb = lax.dynamic_slice_in_dim(invlists.codes, s, CH, axis=0)
-        cent = (coarse_centroids[
-            lax.dynamic_slice_in_dim(block2list, s, CH)]
-            if coarse_centroids is not None else None)
-        chunk, cnorm = _decode_chunk(cb, cent)
-        data, norms = _put(data, norms, chunk, cnorm, s)
-
-    pil = PackedInvLists(
-        data=data,
-        ids=invlists.ids,
-        norms=norms,
-        list_block_start=invlists.list_block_start,
-        list_nblocks=invlists.list_nblocks,
-    )
-    pil._max_nblocks = invlists._max_nblocks
-    return pil
+    return decode_code_invlists_generic(
+        invlists, decode_rows, d, coarse_centroids,
+        chunk_blocks=chunk_blocks, dtype=dtype)
 
 
 @functools.partial(
