@@ -660,3 +660,28 @@ def test_ivf_rq_decoded_cache_matches_lut_scan(small_ds):
     Dd, Id = idx.search(small_ds.get_queries(), 10)
     np.testing.assert_allclose(Dd, Dg, rtol=3e-4, atol=3e-4)
     assert (Id == Ig).mean() > 0.97
+
+
+def test_ivfsq_sq8_view_consistent(small_ds):
+    """IndexIVFScalarQuantizer's zero-copy SQ8 view must produce the
+    same neighbors as the dequant scan (same codes, same affine)."""
+    from tpu_ann.ops import ivf_scan
+
+    idx = IndexIVFScalarQuantizer(IndexFlat(small_ds.d), small_ds.d, 16)
+    idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.nprobe = 8
+    xq = small_ds.get_queries()
+
+    Dd, Id = idx.search(xq, 10)          # dequant scan path (CPU)
+    view = idx._sq8_view()
+    assert view is not None and view.data is idx.invlists.codes
+    import jax.numpy as jnp
+
+    _, probes = idx._coarse_search_device(jnp.asarray(xq), 8)
+    Dv, Iv, _ = ivf_scan.scan_invlists(
+        jnp.asarray(xq), probes.astype(jnp.int32), view, 10,
+        max_nblocks=view.max_nblocks_per_list)
+    assert (np.asarray(Iv) == Id).mean() > 0.97
+    np.testing.assert_allclose(np.asarray(Dv), Dd, rtol=1e-4, atol=1e-4)

@@ -89,3 +89,65 @@ def test_fused_scan_inner_product(rng):
     # descending user-facing scores
     D1 = np.asarray(D1)
     assert (np.diff(D1, axis=1) <= 1e-5).all()
+
+
+def test_fused_scan_sq8_stream(rng):
+    """SQ8 storage (uint8 codes + folded dequant affine): the fused scan
+    must match the query-major scan over the same SQ8 view — the dequant
+    happens via the query transform, at HALF the bf16 stream bytes."""
+    from tpu_ann.ops.ivf_scan import sq8_requantize_invlists
+
+    n, d, nlist, nq, k = 3000, 32, 24, 64, 10
+    xb = rng.rand(n, d).astype(np.float32)
+    xq = rng.rand(nq, d).astype(np.float32)
+    cent = xb[rng.choice(n, nlist, replace=False)]
+    _, assign = D.knn(jnp.asarray(xb), jnp.asarray(cent), 1)
+    assign = np.asarray(assign)[:, 0]
+    il = pack_invlists(xb, np.arange(n), assign, nlist, block_size=16)
+    sq8 = sq8_requantize_invlists(il)
+    assert sq8.data.dtype == jnp.uint8
+
+    _, probes = D.knn(jnp.asarray(xq), jnp.asarray(cent), 8)
+    probes = probes.astype(jnp.int32)
+
+    D0, I0, _ = scan_invlists(jnp.asarray(xq), probes, sq8, k,
+                              max_nblocks=sq8.max_nblocks_per_list)
+    D1, I1, _ = scan_invlists_fused(jnp.asarray(xq), probes, sq8, k,
+                                    PT=32, CB=2, refine=4, kp=3 * k,
+                                    interpret=True)
+    I0, I1 = np.asarray(I0), np.asarray(I1)
+    overlap = np.mean([len(set(I1[q]) & set(I0[q])) / k
+                       for q in range(nq)])
+    assert overlap >= 0.98, overlap
+    # and the SQ8 distances track the exact f32 ones (8-bit/dim error)
+    De, Ie, _ = scan_invlists(jnp.asarray(xq), probes, il, k,
+                              max_nblocks=il.max_nblocks_per_list)
+    common_rate = np.mean([len(set(I0[q]) & set(np.asarray(Ie)[q])) / k
+                           for q in range(nq)])
+    assert common_rate > 0.9, common_rate
+
+
+def test_fused_scan_sq8_inner_product(rng):
+    from tpu_ann.ops.ivf_scan import sq8_requantize_invlists
+
+    n, d, nlist, nq, k = 2000, 32, 16, 32, 5
+    xb = rng.rand(n, d).astype(np.float32)
+    xq = rng.rand(nq, d).astype(np.float32)
+    cent = xb[rng.choice(n, nlist, replace=False)]
+    _, assign = D.knn(jnp.asarray(xb), jnp.asarray(cent), 1)
+    assign = np.asarray(assign)[:, 0]
+    il = pack_invlists(xb, np.arange(n), assign, nlist, block_size=16)
+    sq8 = sq8_requantize_invlists(il)
+    _, probes = D.knn(jnp.asarray(xq), jnp.asarray(cent), 8)
+    probes = probes.astype(jnp.int32)
+    D0, I0, _ = scan_invlists(jnp.asarray(xq), probes, sq8, k,
+                              D.METRIC_INNER_PRODUCT,
+                              max_nblocks=sq8.max_nblocks_per_list)
+    D1, I1, _ = scan_invlists_fused(jnp.asarray(xq), probes, sq8, k,
+                                    D.METRIC_INNER_PRODUCT, PT=32, CB=2,
+                                    kp=3 * k, refine=4, interpret=True)
+    overlap = np.mean([len(set(np.asarray(I1)[q]) & set(np.asarray(I0)[q]))
+                       / k for q in range(nq)])
+    assert overlap >= 0.95, overlap
+    np.testing.assert_allclose(np.asarray(D1)[:, 0], np.asarray(D0)[:, 0],
+                               rtol=1e-3, atol=1e-3)

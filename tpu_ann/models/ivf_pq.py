@@ -98,13 +98,17 @@ class IndexIVFPQ(IndexIVF):
             return bool(self.use_decoded_cache)
         if self.invlists is None or (1 << self.nbits) <= 16:
             return False
-        isize = jnp.dtype(self.decoded_cache_dtype).itemsize
+        isize = (1 if self.decoded_cache_dtype == "sq8"
+                 else jnp.dtype(self.decoded_cache_dtype).itemsize)
         nbytes = ((self.invlists.nblocks + 1) * self.block_size
                   * self.d * isize)
         return nbytes <= self.decoded_cache_max_bytes
 
     def _decoded_cache(self):
-        """Lazily (re)build the decoded cache for the current invlists."""
+        """Lazily (re)build the decoded cache for the current invlists.
+        decoded_cache_dtype: float32 / bfloat16 / 'sq8' (uint8 codes +
+        per-dim affine — QUARTER the f32 bytes, and the fused kernel
+        streams them at half its bf16 byte rate)."""
         if not self._cache_enabled():
             return None
         if self._decoded is not None and self._decoded_for is self.invlists:
@@ -112,10 +116,15 @@ class IndexIVFPQ(IndexIVF):
         cent = (self._coarse_centroids()
                 if self.by_residual and self.metric_type == D.METRIC_L2
                 else None)
-        self._decoded = ivf_scan.decode_code_invlists(
+        sq8 = self.decoded_cache_dtype == "sq8"
+        dec = ivf_scan.decode_code_invlists(
             self.invlists, self._pq_cent_dev, cent,
             packed4=self.nbits == 4,
-            dtype=jnp.dtype(self.decoded_cache_dtype))
+            dtype=jnp.bfloat16 if sq8
+            else jnp.dtype(self.decoded_cache_dtype))
+        if sq8:
+            dec = ivf_scan.sq8_requantize_invlists(dec)
+        self._decoded = dec
         self._decoded_for = self.invlists
         return self._decoded
 
@@ -333,14 +342,45 @@ class IndexIVFScalarQuantizer(IndexIVF):
         super().__init__(quantizer, d, nlist, metric, block_size)
         self.qtype = int(qtype)
         self.sq: Optional[SQ.SQCodec] = None
+        self._sq8 = None
+        self._sq8_for = None
 
     def train_encoder(self, x: np.ndarray) -> None:
         self.sq = SQ.train_sq(x, self.qtype)
 
     def _pack(self, x, ids, assign):
+        self._sq8 = self._sq8_for = None
         codes = np.asarray(SQ.sq_encode(jnp.asarray(x), self.sq))
         return ivf_scan.pack_code_invlists(codes, ids, assign, self.nlist,
                                            self.block_size)
+
+    def _sq8_view(self):
+        """8-bit storages ride the fused Pallas kernel at the uint8 byte
+        rate (half bf16): a zero-copy PackedInvListsSQ8 view over the
+        packed codes with the codec's dequant affine
+        (x = (vmin + 0.5*vdiff/2^8) + code * vdiff/2^8)."""
+        if self.qtype not in (SQ.QT_8BIT, SQ.QT_8BIT_UNIFORM,
+                              SQ.QT_8BIT_DIRECT,
+                              SQ.QT_8BIT_DIRECT_SIGNED):
+            return None
+        if self.invlists is None:
+            return None
+        if self._sq8 is not None and self._sq8_for is self.invlists:
+            return self._sq8
+        if self.qtype == SQ.QT_8BIT_DIRECT:
+            bias = jnp.zeros((self.d,), jnp.float32)
+            scale = jnp.ones((self.d,), jnp.float32)
+        elif self.qtype == SQ.QT_8BIT_DIRECT_SIGNED:
+            bias = jnp.full((self.d,), -128.0, jnp.float32)
+            scale = jnp.ones((self.d,), jnp.float32)
+        else:
+            vmin, vdiff = self._sq_params()
+            scale = jnp.broadcast_to(vdiff / 256.0, (self.d,))
+            bias = jnp.broadcast_to(vmin, (self.d,)) + 0.5 * scale
+        self._sq8 = ivf_scan.sq8_view_from_codes(self.invlists, bias,
+                                                 scale)
+        self._sq8_for = self.invlists
+        return self._sq8
 
     def _sq_params(self):
         d = self.d
@@ -358,6 +398,19 @@ class IndexIVFScalarQuantizer(IndexIVF):
 
     def _scan_probes_device(self, xq_dev, probes, cd, k: int, mnb: int,
                             id_mask=None):
+        sq8 = self._sq8_view()
+        if sq8 is not None and self._use_fused(
+                xq_dev.shape[0], probes.shape[1], mnb, id_mask,
+                invlists=sq8):
+            from ..ops.ivf_scan_pallas import scan_invlists_fused
+
+            try:
+                Dv, Iv, _ = scan_invlists_fused(
+                    xq_dev, probes, sq8, k, self.metric_type)
+                return Dv, Iv
+            except Exception:
+                if self.scan_mode == "fused":
+                    raise
         vmin, vdiff = self._sq_params()
         Dv, Iv, _ = ivf_scan.scan_invlists_sq(
             xq_dev, probes, self.invlists,

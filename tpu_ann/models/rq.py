@@ -221,7 +221,8 @@ class IndexIVFResidualQuantizer(IndexIVF):
             return bool(self.use_decoded_cache)
         if self.invlists is None or (1 << self.nbits) <= 16:
             return False
-        isize = jnp.dtype(self.decoded_cache_dtype).itemsize
+        isize = (1 if self.decoded_cache_dtype == "sq8"
+                 else jnp.dtype(self.decoded_cache_dtype).itemsize)
         nbytes = ((self.invlists.nblocks + 1) * self.block_size
                   * self.d * isize)
         return nbytes <= self.decoded_cache_max_bytes
@@ -238,10 +239,17 @@ class IndexIVFResidualQuantizer(IndexIVF):
         def decode_rows(payload):
             return RQ.rq_decode(payload[:, :M], self._books)
 
-        self._decoded = decode_code_invlists_generic(
+        sq8 = self.decoded_cache_dtype == "sq8"
+        dec = decode_code_invlists_generic(
             self.invlists, decode_rows, self.d,
             jnp.asarray(self._centroid_table()),
-            dtype=jnp.dtype(self.decoded_cache_dtype))
+            dtype=jnp.bfloat16 if sq8
+            else jnp.dtype(self.decoded_cache_dtype))
+        if sq8:
+            from ..ops.ivf_scan import sq8_requantize_invlists
+
+            dec = sq8_requantize_invlists(dec)
+        self._decoded = dec
         self._decoded_for = self.invlists
         return self._decoded
 

@@ -311,8 +311,13 @@ def scan_invlists(
     similarity = D.is_similarity_metric(metric)
     bad = D.worst_value(metric)
 
+    sq_bias = getattr(invlists, "sq_bias", None)
+
     def score(q, qex, bids):
         vecs = invlists.data[bids]                 # (qtile, cb, B, d)
+        if sq_bias is not None:
+            # SQ8 storage: dequantize gathered codes on the VPU
+            vecs = sq_bias + vecs.astype(jnp.float32) * invlists.sq_scale
         vids = invlists.ids[bids]                  # (qtile, cb, B)
         vnorm = invlists.norms[bids]
         ip = jnp.einsum(
@@ -332,6 +337,144 @@ def scan_invlists(
         invlists.nblocks, score, k, similarity, bad,
         max_nblocks, chunk_blocks, qt, id_mask=id_mask, approx=approx,
     )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedInvListsSQ8:
+    """Block-padded invlists storing 8-bit scalar-quantized vectors:
+    data holds uint8 codes, (sq_vmin, sq_vdiff) the per-dim dequant
+    affine (x = vmin + code * vdiff/255), norms the EXACT dequantized
+    norms. Duck-compatible with PackedInvLists for the scan kernels; the
+    fused Pallas scan streams the codes at HALF the bf16 byte rate by
+    folding the affine into the query side (ivf_scan_pallas.py)."""
+
+    data: jnp.ndarray              # (nblocks+1, B, d) uint8
+    ids: jnp.ndarray               # (nblocks+1, B) int32
+    norms: jnp.ndarray             # (nblocks+1, B) f32 (dequantized)
+    list_block_start: jnp.ndarray  # (nlist,) int32
+    list_nblocks: jnp.ndarray      # (nlist,) int32
+    sq_bias: jnp.ndarray           # (d,) f32: x = bias + scale * code
+    sq_scale: jnp.ndarray          # (d,) f32
+
+    def tree_flatten(self):
+        return (
+            (self.data, self.ids, self.norms, self.list_block_start,
+             self.list_nblocks, self.sq_bias, self.sq_scale),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    nlist = PackedInvLists.nlist
+    block_size = PackedInvLists.block_size
+    nblocks = PackedInvLists.nblocks
+    max_nblocks_per_list = PackedInvLists.max_nblocks_per_list
+    _max_nblocks: int = 1
+
+
+def sq8_requantize_invlists(pil: PackedInvLists,
+                            chunk_blocks: int = 512) -> PackedInvListsSQ8:
+    """Re-quantize raw/bf16 packed invlists to the SQ8 stream format
+    (per-dim min/max over real rows). Norms are recomputed from the
+    DEQUANTIZED values so the fused kernel's exact-refine contract holds
+    at the storage precision."""
+    d = pil.data.shape[2]
+    total = pil.data.shape[0]
+
+    @jax.jit
+    def _minmax(chunk, cids, vmin, vmax):
+        x = chunk.astype(jnp.float32)
+        valid = (cids >= 0)[:, :, None]
+        big = jnp.where(valid, x, jnp.inf).reshape(-1, d)
+        small = jnp.where(valid, x, -jnp.inf).reshape(-1, d)
+        return (jnp.minimum(vmin, jnp.min(big, axis=0)),
+                jnp.maximum(vmax, jnp.max(small, axis=0)))
+
+    CH = min(chunk_blocks, total)
+    starts = list(range(0, total, CH))
+    if starts and starts[-1] + CH > total:
+        starts[-1] = total - CH
+    vmin = jnp.full((d,), jnp.inf)
+    vmax = jnp.full((d,), -jnp.inf)
+    for s in starts:
+        vmin, vmax = _minmax(
+            lax.dynamic_slice_in_dim(pil.data, s, CH, axis=0),
+            lax.dynamic_slice_in_dim(pil.ids, s, CH, axis=0), vmin, vmax)
+    vmin = jnp.where(jnp.isfinite(vmin), vmin, 0.0)
+    vmax = jnp.where(jnp.isfinite(vmax), vmax, 1.0)
+    vdiff = jnp.maximum(vmax - vmin, 1e-12)
+    scale = vdiff / 255.0
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _put(codes, norms, c_chunk, n_chunk, off):
+        codes = lax.dynamic_update_slice(codes, c_chunk, (off, 0, 0))
+        norms = lax.dynamic_update_slice(norms, n_chunk, (off, 0))
+        return codes, norms
+
+    @jax.jit
+    def _quant(chunk):
+        x = chunk.astype(jnp.float32)
+        c = jnp.clip(jnp.round((x - vmin) / scale), 0, 255)
+        deq = vmin + c * scale
+        return c.astype(jnp.uint8), jnp.sum(deq * deq, axis=2)
+
+    codes = jnp.zeros((total, pil.block_size, d), jnp.uint8)
+    norms = jnp.zeros((total, pil.block_size), jnp.float32)
+    for s in starts:
+        chunk = lax.dynamic_slice_in_dim(pil.data, s, CH, axis=0)
+        cc, nn = _quant(chunk)
+        codes, norms = _put(codes, norms, cc, nn, s)
+
+    out = PackedInvListsSQ8(
+        data=codes, ids=pil.ids, norms=norms,
+        list_block_start=pil.list_block_start,
+        list_nblocks=pil.list_nblocks,
+        sq_bias=vmin, sq_scale=scale,
+    )
+    out._max_nblocks = pil._max_nblocks
+    return out
+
+
+def sq8_view_from_codes(invlists, bias: jnp.ndarray, scale: jnp.ndarray,
+                        chunk_blocks: int = 512) -> PackedInvListsSQ8:
+    """Wrap 8-bit SQ code invlists (codes of width d) as the SQ8 stream
+    format without copying the codes — only the exact dequantized norms
+    are computed (chunked). Lets IndexIVFScalarQuantizer ride the fused
+    Pallas kernel at the uint8 byte rate."""
+    codes = invlists.codes
+    total, B, d = codes.shape
+    bias = jnp.broadcast_to(jnp.asarray(bias, jnp.float32), (d,))
+    scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (d,))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _put(norms, chunk, off):
+        return lax.dynamic_update_slice(norms, chunk, (off, 0))
+
+    @jax.jit
+    def _norms(chunk):
+        x = bias + chunk.astype(jnp.float32) * scale
+        return jnp.sum(x * x, axis=2)
+
+    CH = min(chunk_blocks, total)
+    norms = jnp.zeros((total, B), jnp.float32)
+    starts = list(range(0, total, CH))
+    if starts and starts[-1] + CH > total:
+        starts[-1] = total - CH
+    for s in starts:
+        norms = _put(norms, _norms(
+            lax.dynamic_slice_in_dim(codes, s, CH, axis=0)), s)
+
+    out = PackedInvListsSQ8(
+        data=codes, ids=invlists.ids, norms=norms,
+        list_block_start=invlists.list_block_start,
+        list_nblocks=invlists.list_nblocks,
+        sq_bias=bias, sq_scale=scale,
+    )
+    out._max_nblocks = invlists._max_nblocks
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -133,7 +133,14 @@ def _grouped_kernel(
             start_dma(c + 1, lax.rem(c + 1, 2))
 
         wait_dma(c, slot)
-        chunk = dbuf[slot].reshape(CB * B, qv.shape[1])
+        chunk = dbuf[slot]
+        if chunk.dtype != jnp.bfloat16:
+            # int8/uint8 stream (HALF the DMA bytes of bf16): codes cast
+            # exactly to bf16; the dequant affine is folded into the
+            # caller's query transform (<q,x> = <q,min> + <q*scale, c>),
+            # so the kernel body is otherwise unchanged
+            chunk = chunk.astype(jnp.bfloat16)
+        chunk = chunk.reshape(CB * B, qv.shape[1])
         vids = ibuf[slot].reshape(1, CB * B)
         vnorm = nbuf[slot].reshape(1, CB * B)
         ip = jax.lax.dot_general(
@@ -142,7 +149,8 @@ def _grouped_kernel(
             preferred_element_type=jnp.float32,
         )                                             # (PT, CB*B) f32
         if similarity:
-            dis = -ip                  # canonical ascending-best
+            # qn carries the folded <q, min> offset (0 for raw storage)
+            dis = -ip - qn
         else:
             dis = jnp.maximum(qn + vnorm - 2.0 * ip, 0.0)
 
@@ -246,6 +254,15 @@ def scan_invlists_fused(
     kp = int(kp) if kp else max(k, min(2 * k, k + 6))
     npairs = nq * nprobe
 
+    # SQ8 storage: uint8 codes + per-dim affine (see PackedInvListsSQ8).
+    # The dequant folds into the queries, so the kernel streams raw codes
+    # at HALF the bf16 byte rate; norms stay exact f32.
+    sq_bias = getattr(invlists, "sq_bias", None)
+    is_sq8 = sq_bias is not None
+    if is_sq8:
+        sq_scale = invlists.sq_scale                 # (d,)
+        qconst = xq @ sq_bias                        # (nq,) f32 exact
+
     nblk = invlists.list_nblocks                     # (nlist,)
     # stream starts: contiguous cumulative block offsets (identical to
     # list_block_start except empty lists, whose start points at the
@@ -272,7 +289,20 @@ def scan_invlists_fused(
         pq_idx = jnp.pad(pq_idx, (0, pad))
 
     qv = xq[pq_idx]                                  # (npairs_pad, d)
-    qn = jnp.sum(qv * qv, axis=1, keepdims=True)
+    if is_sq8:
+        # fold the dequant affine into the query side:
+        #   <q, x> = <q, bias> + <q*scale, codes>
+        qv_eff = qv * sq_scale[None, :]
+        if similarity:
+            qn = qconst[pq_idx][:, None]             # offset, see kernel
+        else:
+            qn = (jnp.sum(qv * qv, axis=1, keepdims=True)
+                  - 2.0 * qconst[pq_idx][:, None])
+        qv = qv_eff
+    elif similarity:
+        qn = jnp.zeros((qv.shape[0], 1), jnp.float32)
+    else:
+        qn = jnp.sum(qv * qv, axis=1, keepdims=True)
 
     ps_t = p_start.reshape(ntiles, PT, 1).astype(jnp.int32)
     pe_t = p_end.reshape(ntiles, PT, 1).astype(jnp.int32)
@@ -312,7 +342,8 @@ def scan_invlists_fused(
             pl.BlockSpec((1, kp, PT), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CB, B, dp), jnp.bfloat16),
+            pltpu.VMEM((2, CB, B, dp),
+                       jnp.uint8 if is_sq8 else jnp.bfloat16),
             pltpu.VMEM((2, CB, B), jnp.int32),
             pltpu.VMEM((2, CB, B), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -334,8 +365,11 @@ def scan_invlists_fused(
 
     # pad the block stream so a full CB chunk past the end stays in bounds
     data_f32 = invlists.data
-    data = jnp.pad(data_f32.astype(jnp.bfloat16),
-                   ((0, CB), (0, 0), (0, dp - d)))
+    if is_sq8:
+        data = jnp.pad(data_f32, ((0, CB), (0, 0), (0, dp - d)))
+    else:
+        data = jnp.pad(data_f32.astype(jnp.bfloat16),
+                       ((0, CB), (0, 0), (0, dp - d)))
     ids = jnp.pad(invlists.ids, ((0, CB), (0, 0)), constant_values=-1)
     norms = jnp.pad(invlists.norms, ((0, CB), (0, 0)))
 
@@ -365,8 +399,11 @@ def scan_invlists_fused(
         nv, sel = lax.top_k(-pair_d, R)
         cand_p = jnp.take_along_axis(pair_p, sel, axis=1)    # (nq, R)
         safe_p = jnp.maximum(cand_p, 0)
-        # exact f32 re-score against the packed storage
+        # exact f32 re-score against the packed storage (SQ8: dequantized)
         rows = data_f32.reshape(-1, d)[safe_p]               # (nq, R, d)
+        if is_sq8:
+            rows = (rows.astype(jnp.float32) * sq_scale[None, None, :]
+                    + sq_bias[None, None, :])
         ipx = jnp.einsum("qd,qrd->qr", xq, rows,
                          preferred_element_type=jnp.float32)
         if similarity:
