@@ -70,10 +70,12 @@ class IndexIVFPQ(IndexIVF):
         return jnp.asarray(vecs)
 
     def _encode(self, x: np.ndarray, assign: np.ndarray) -> np.ndarray:
-        # chunked: residual + encode of a 10M add would otherwise
-        # materialize a ~20 GB (n, M*ksub) matrix on a 16 GB chip
+        # chunked: pq_encode materializes an (n, M*ksub) ip matrix, so the
+        # chunk must scale with the codebook width — 1M rows at 8-bit
+        # (M*ksub = 8192) is a 33 GB buffer on a 16 GB chip
         outs = []
-        CH = 1_000_000
+        CH = max(65536, min(1_000_000,
+                            (2 << 30) // (self.M * (1 << self.nbits) * 4)))
         for i in range(0, len(x), CH):
             xj = jnp.asarray(x[i:i + CH])
             if self.by_residual and self.metric_type == D.METRIC_L2:

@@ -115,12 +115,14 @@ def pq_encode(x: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(dis.reshape(n, M, ksub), axis=2).astype(jnp.uint8)
 
 
-@jax.jit
-def pq_encode_chunked(x, centroids, chunk: int = 1_000_000) -> np.ndarray:
+def pq_encode_chunked(x, centroids, chunk: int = 0) -> np.ndarray:
     """Host driver bounding pq_encode's (chunk, M*ksub) ip matrix
-    (20 GB at 10M rows x 32x4-bit)."""
+    (33 GB at 1M rows x 32x8-bit). chunk=0 sizes it to a ~2 GB buffer."""
     import numpy as _np
 
+    M, ksub, _ = centroids.shape
+    if not chunk:
+        chunk = max(65536, min(1_000_000, (2 << 30) // (M * ksub * 4)))
     x = _np.asarray(x)
     if len(x) <= chunk:
         return _np.asarray(pq_encode(jnp.asarray(x), centroids))
