@@ -99,6 +99,14 @@ class IndexPQ(Index):
         self.polysemous_ht = 0          # 0 = filter off (M*nbits+1, IndexPQ.cpp:330)
         self.polysemous_iters = 20000
         self._sdc: Optional[jnp.ndarray] = None
+        # decoded cache — fast 8-bit ADC for the flat scan (same cure as
+        # ops.ivf_scan.decode_code_invlists): reconstructions kept as a
+        # bf16 row buffer so ST_PQ search is one blocked GEMM knn instead
+        # of per-code LUT gathers. Maintained INCREMENTALLY at add time.
+        # None = auto (on for ksub > 16 within the byte budget).
+        self.use_decoded_cache: Optional[bool] = None
+        self.decoded_cache_max_bytes: int = 2 << 30
+        self._dec_buf: Optional[jnp.ndarray] = None
 
     def train(self, x) -> None:
         x = self._check_input(x)
@@ -134,8 +142,41 @@ class IndexPQ(Index):
             if self._codes is not None and self.ntotal:
                 buf = buf.at[: self.ntotal].set(self._codes[: self.ntotal])
             self._codes, self._capacity = buf, cap
+            if self._dec_buf is not None:
+                dbuf = jnp.zeros((cap, self.d), jnp.bfloat16)
+                dbuf = dbuf.at[: self.ntotal].set(
+                    self._dec_buf[: self.ntotal])
+                self._dec_buf = dbuf
+        if self._cache_enabled():
+            self._ensure_dec_buf()
+            dec = PQ.pq_decode(
+                PQ.unpack_codes_4bit(codes) if self._packed4 else codes,
+                self._centroids_dev).astype(jnp.bfloat16)
+            self._dec_buf = self._dec_buf.at[self.ntotal: need].set(dec)
         self._codes = self._codes.at[self.ntotal : need].set(codes)
         self.ntotal = need
+
+    def _cache_enabled(self) -> bool:
+        if self.use_decoded_cache is not None:
+            return bool(self.use_decoded_cache)
+        if (1 << self.nbits) <= 16:
+            return False
+        return self._capacity * self.d * 2 <= self.decoded_cache_max_bytes
+
+    def _ensure_dec_buf(self) -> None:
+        """(Re)build the decoded row buffer — backfills rows added before
+        the cache was enabled, and indexes restored from disk."""
+        if self._dec_buf is not None and \
+                self._dec_buf.shape[0] == self._capacity:
+            return
+        self._dec_buf = jnp.zeros((self._capacity, self.d), jnp.bfloat16)
+        if self.ntotal:
+            old = self._codes[: self.ntotal]
+            if self._packed4:
+                old = PQ.unpack_codes_4bit(old)
+            self._dec_buf = self._dec_buf.at[: self.ntotal].set(
+                PQ.pq_decode(old, self._centroids_dev).astype(
+                    jnp.bfloat16))
 
     def search(self, x, k: int, *, params=None):
         x = self._check_input(x)
@@ -157,6 +198,14 @@ class IndexPQ(Index):
         if self.search_type == self.ST_SDC:
             Dv, Iv = self._sdc_knn(jnp.asarray(x), k)
             return np.asarray(Dv), np.asarray(Iv, np.int64)
+        if self._cache_enabled():
+            # fast 8-bit ADC: one blocked GEMM knn over the decoded rows
+            # (identical distances to the LUT sum; reduction order aside)
+            self._ensure_dec_buf()
+            Dv, Iv = D.knn(jnp.asarray(x), self._dec_buf, k,
+                           self.metric_type, compute_dtype="bfloat16",
+                           valid_n=jnp.int32(self.ntotal))
+            return np.asarray(Dv), np.asarray(Iv, np.int64)
         Dv, Iv = _pq_knn(jnp.asarray(x), self._codes, self._centroids_dev,
                          k, self.metric_type, jnp.int32(self.ntotal),
                          packed4=self._packed4)
@@ -175,6 +224,7 @@ class IndexPQ(Index):
     def reset(self) -> None:
         self._codes, self._capacity, self.ntotal = None, 0, 0
         self._sdc = None
+        self._dec_buf = None
 
     # --- codec API --------------------------------------------------------
     def sa_code_size(self) -> int:
