@@ -736,6 +736,9 @@ def _knn_candidates(x: np.ndarray, C: int, metric: int, seed: int,
     out_d = np.empty((n, C + 1), np.float32)
     out_i = np.empty((n, C + 1), np.int64)
     chunk = 65536
+    pend = []
+    # dispatch every chunk before materializing any: each np.asarray is
+    # a host sync, and this environment's transfers ride a remote tunnel
     for i0 in range(0, n, chunk):
         dc, ic, _ = IV.scan_invlists(
             jnp.asarray(x[i0 : i0 + chunk]),
@@ -743,10 +746,13 @@ def _knn_candidates(x: np.ndarray, C: int, metric: int, seed: int,
             pil, C + 1, metric,
             max_nblocks=pil._max_nblocks, approx=True,
         )
-        out_d[i0 : i0 + chunk] = np.asarray(dc)
-        out_i[i0 : i0 + chunk] = np.asarray(ic)
+        pend.append((i0, dc, ic))
         if verbose:
             print(f"hnsw knn-candidates: {min(i0 + chunk, n)}/{n}")
+    for i0, dc, ic in pend:
+        dh = np.asarray(dc)
+        out_d[i0 : i0 + len(dh)] = dh
+        out_i[i0 : i0 + len(dh)] = np.asarray(ic)
     return out_d, out_i.astype(np.int32), assign
 
 
@@ -767,13 +773,19 @@ def _drop_self(dis: np.ndarray, ids: np.ndarray, C: int,
 
 
 def _prune_all(vectors, cand_ids: np.ndarray, cand_dis: np.ndarray, m: int,
-               metric: int, chunk: int = 16384, verbose: bool = False,
+               metric: int, chunk: int = 65536, verbose: bool = False,
                tag: str = ""):
     """Batched shrink_neighbor_list over every node (chunked on rows).
-    Returns (ids (n, m) int32, dis (n, m) f32 — inf for empty slots)."""
+    Returns (ids (n, m) int32, dis (n, m) f32 — inf for empty slots).
+
+    All chunks are DISPATCHED before any is materialized: each
+    np.asarray is a host sync (a full tunnel round trip here), so the
+    old dispatch-then-wait-per-chunk loop serialized device work with
+    transfer latency."""
     n = cand_ids.shape[0]
     out = np.empty((n, m), np.int32)
     out_d = np.empty((n, m), np.float32)
+    pend = []
     for i0 in range(0, n, chunk):
         sel, seld = _select_neighbors_heuristic(
             None,
@@ -781,10 +793,13 @@ def _prune_all(vectors, cand_ids: np.ndarray, cand_dis: np.ndarray, m: int,
             jnp.asarray(cand_dis[i0 : i0 + chunk]),
             vectors, m, metric, return_dis=True,
         )
-        out[i0 : i0 + chunk] = np.asarray(sel)
-        out_d[i0 : i0 + chunk] = np.asarray(seld)
+        pend.append((i0, sel, seld))
         if verbose and (i0 // chunk) % 16 == 0:
             print(f"hnsw prune{tag}: {min(i0 + chunk, n)}/{n}")
+    for i0, sel, seld in pend:
+        sel_h = np.asarray(sel)
+        out[i0 : i0 + len(sel_h)] = sel_h
+        out_d[i0 : i0 + len(sel_h)] = np.asarray(seld)
     return out, out_d
 
 
@@ -826,7 +841,7 @@ def _merge_prune(vectors, fwd, fwd_dis, rev_ids, rev_dis, m: int,
     np.put_along_axis(dup, sorder, dup_sorted, axis=1)
     cdis = np.where(dup | (cand < 0), np.inf, cdis)
     cand = np.where(dup, -1, cand)
-    return _prune_all(vectors, cand, cdis, m, metric, chunk=16384,
+    return _prune_all(vectors, cand, cdis, m, metric,
                       verbose=verbose, tag=tag)[0]
 
 
