@@ -307,3 +307,27 @@ def test_roundtrip_mmap(name, data, tmp_path):
     D1, I1 = idx.search(xq, 4)
     D2, I2 = idx2.search(xq, 4)
     np.testing.assert_array_equal(I1, I2)
+
+
+def test_clone_index_is_independent(data):
+    """clone_index (clone_index.cpp role): in-memory deep copy; mutating
+    the original leaves the clone untouched."""
+    import tpu_ann.models as M
+    from tpu_ann.utils.index_io import clone_index
+
+    xt, xb, xq = data
+    idx = M.IndexIVFFlat(M.IndexFlat(D_), D_, 8)
+    idx.cp.niter = 4
+    idx.train(xt)
+    idx.add(xb)
+    idx.nprobe = 8
+    c = clone_index(idx)
+    D1, I1 = idx.search(xq, 5)
+    D2, I2 = c.search(xq, 5)
+    np.testing.assert_array_equal(I1, I2)
+
+    from tpu_ann.models.selectors import IDSelectorArray
+
+    idx.remove_ids(IDSelectorArray(I1[:, 0]))
+    _, I3 = c.search(xq, 5)
+    np.testing.assert_array_equal(I2, I3)    # clone unaffected

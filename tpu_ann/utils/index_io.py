@@ -433,6 +433,17 @@ def read_index(path: str, mmap: bool = False):
     return load_index(meta, arrays)
 
 
+def clone_index(index):
+    """Deep-copy an index through its serialized state, entirely in
+    memory (faiss clone_index, clone_index.cpp) — the clone shares no
+    mutable arrays with the original."""
+    import copy
+
+    meta, arrays = dump_index(index)
+    arrays = {k: np.array(v, copy=True) for k, v in arrays.items()}
+    return load_index(copy.deepcopy(meta), arrays)
+
+
 # ---------------------------------------------------------------------------
 # codec / composite index serializers
 # ---------------------------------------------------------------------------
