@@ -60,6 +60,42 @@ class PQCodec:
         return self.M
 
 
+@functools.partial(jax.jit, static_argnames=("niter",))
+def _pq_lloyd_vmapped(xs: jnp.ndarray, cents0: jnp.ndarray, niter: int):
+    """All M subspaces' Lloyd iterations as ONE fused device loop.
+
+    The per-subspace-sequential path costs M*niter dispatches (an 8-bit
+    M=32 train is 800 host syncs — ~20 min through this environment's
+    remote tunnel); this is one compile + one sync. Assignment is a
+    batched (M, n, ksub) contraction; centroid updates are one-hot-GEMM
+    segment sums (TPU scatters serialize, ops/kmeans.py lesson); empty
+    cells re-seed from a perturbed copy of the largest cell's centroid
+    (the split policy of Clustering::train_encoded, vectorized)."""
+    M, n, dsub = xs.shape
+    ksub = cents0.shape[1]
+    kiota = lax.broadcasted_iota(jnp.int32, (1, 1, ksub), 2)
+
+    def body(_, cents):
+        ip = jnp.einsum("mnd,mkd->mnk", xs, cents,
+                        precision=lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        cn = jnp.sum(cents * cents, axis=2)
+        a = jnp.argmin(cn[:, None, :] - 2.0 * ip, axis=2)   # (M, n)
+        oh = (a[:, :, None] == kiota).astype(jnp.bfloat16)  # (M, n, ksub)
+        sums = jnp.einsum("mnk,mnd->mkd", oh, xs.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        counts = jnp.sum(oh.astype(jnp.float32), axis=1)    # (M, ksub)
+        newc = sums / jnp.maximum(counts[:, :, None], 1.0)
+        big = jnp.argmax(counts, axis=1)
+        bigc = jnp.take_along_axis(newc, big[:, None, None], axis=1)
+        eps = 1e-3 * (1.0 + lax.broadcasted_iota(
+            jnp.float32, (1, ksub, 1), 1) / ksub)
+        repl = bigc * eps + bigc
+        return jnp.where(counts[:, :, None] == 0, repl, newc)
+
+    return lax.fori_loop(0, niter, body, cents0)
+
+
 def train_pq(
     x: np.ndarray,
     M: int,
@@ -70,7 +106,8 @@ def train_pq(
     verbose: bool = False,
 ) -> PQCodec:
     """Train per-subspace codebooks (ProductQuantizer::train: independent
-    k-means per subspace, impl/ProductQuantizer.cpp)."""
+    k-means per subspace, impl/ProductQuantizer.cpp) — all subspaces
+    vmapped into one fused device loop (see _pq_lloyd_vmapped)."""
     x = np.ascontiguousarray(x, np.float32)
     n, d = x.shape
     if d % M:
@@ -79,15 +116,19 @@ def train_pq(
     ksub = 1 << nbits
     if n < ksub:
         raise ValueError(f"need >= {ksub} training points, got {n}")
-    cp = ClusteringParameters(niter=niter, seed=seed,
-                              max_points_per_centroid=256)
-    cents = np.zeros((M, ksub, dsub), np.float32)
-    for m in range(M):
-        sub = x[:, m * dsub : (m + 1) * dsub]
-        cents[m], _ = kmeans(sub, ksub, cp)
-        if verbose:
-            print(f"pq train: subspace {m + 1}/{M}")
-    return PQCodec(centroids=cents, d=d, M=M, nbits=nbits)
+    rs = np.random.RandomState(seed)
+    cap = 256 * ksub                      # max_train_points_per_PQ policy
+    if n > cap:
+        sel = rs.choice(n, cap, replace=False)
+        x = x[sel]
+        n = cap
+    xs = np.transpose(x.reshape(n, M, dsub), (1, 0, 2))     # (M, n, dsub)
+    init = rs.choice(n, ksub, replace=False)
+    cents0 = jnp.asarray(xs[:, init, :])
+    cents = _pq_lloyd_vmapped(jnp.asarray(xs), cents0, niter)
+    if verbose:
+        print(f"pq train: {M} subspaces x {niter} iters (fused)")
+    return PQCodec(centroids=np.asarray(cents), d=d, M=M, nbits=nbits)
 
 
 @functools.partial(jax.jit, static_argnames=())
