@@ -331,3 +331,74 @@ def test_hnswpq_hnswsq_io_roundtrip(tmp_path):
     D0, I0 = pq.search(xb[:10], 5)
     D1, I1 = back.search(xb[:10], 5)
     np.testing.assert_array_equal(I0, I1)
+
+
+def test_hnswsq_int8_coded_tiles(small_ds):
+    """IndexHNSWSQ(int8): fused tiles hold SQ8 codes (quarter f32 bytes),
+    the raw storage is dropped (codes are the authority), reconstruct
+    dequantizes, serialization round-trips, and add-after-drop restores
+    the rows for the rebuild."""
+    import jax.numpy as jnp
+
+    from tpu_ann.models.hnsw import IndexHNSWSQ
+    from tpu_ann.ops.ivf_scan import PackedInvListsSQ8
+
+    xb = small_ds.get_database()[:3000]
+    idx = IndexHNSWSQ(small_ds.d, "int8", 8)
+    assert idx.storage_dtype == "sq8"
+    idx.hnsw.tile_threshold = 1000
+    idx.add(xb)
+    ftg = idx._ensure_tiles_fused()
+    assert isinstance(ftg.il, PackedInvListsSQ8)
+    assert ftg.il.data.dtype == jnp.uint8
+    assert idx._storage_dropped()
+
+    # reconstruct = dequantized storage (8-bit/dim accuracy)
+    r = idx.reconstruct(7)
+    err = np.abs(r - xb[7]).max()
+    rng_span = xb.max() - xb.min()
+    assert err < rng_span / 128, (err, rng_span)
+
+    # io round-trip preserves ntotal + graph + storage precision
+    import os
+    import tempfile
+
+    from tpu_ann.utils import index_io
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "sq8.tann")
+        index_io.write_index(idx, p)
+        idx2 = index_io.read_index(p)
+    assert idx2.ntotal == idx.ntotal and idx2.storage_dtype == "sq8"
+    np.testing.assert_allclose(idx2.reconstruct(7), r, rtol=1e-5)
+
+    # add after the drop restores rows and extends the graph
+    extra = small_ds.get_database()[3000:3100]
+    idx.add(extra)
+    assert idx.ntotal == 3100
+    _, Iv = idx.search(np.concatenate([xb[:2], extra[:1]]), 4)
+    assert set(np.asarray(Iv)[:, 0]) == {0, 1, 3000}
+
+
+def test_tile_search_fused_sq8_interpret(rng):
+    """ops-level: tile_search_fused over an SQ8 FusedTileGraph matches
+    the f32 variant (interpret mode; storage-precision refine)."""
+    import jax.numpy as jnp
+
+    from tpu_ann.ops import hnsw as H
+    from tpu_ann.ops.hnsw_tiles import build_tiles_fused, tile_search_fused
+    from tpu_ann.ops.ivf_scan import sq8_requantize_invlists
+
+    n, d = 2000, 32
+    xb = rng.rand(n, d).astype(np.float32)
+    xq = rng.rand(32, d).astype(np.float32)
+    graph, assign = H.build_graph_knn(jnp.asarray(xb), 8, 24)
+    ftg = build_tiles_fused(xb, np.asarray(graph.neighbors0), b=128)
+    D0, P0, I0 = tile_search_fused(ftg, jnp.asarray(xq), 5, nprobe0=4,
+                                   hops=1, interpret=True)
+    ftg.il = sq8_requantize_invlists(ftg.il)
+    D1, P1, I1 = tile_search_fused(ftg, jnp.asarray(xq), 5, nprobe0=4,
+                                   hops=1, interpret=True)
+    overlap = np.mean([len(set(np.asarray(I1)[q]) & set(np.asarray(I0)[q]))
+                       / 5 for q in range(len(xq))])
+    assert overlap > 0.9, overlap

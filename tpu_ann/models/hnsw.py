@@ -97,9 +97,12 @@ class IndexHNSW(Index):
     def _search_vectors(self) -> jnp.ndarray:
         if self.storage_dtype is None:
             return self.storage.vectors
+        # "sq8" is the coded-tile storage format; the small-n per-node
+        # beam (no tiles yet) searches at bf16
+        dt = ("bfloat16" if self.storage_dtype == "sq8"
+              else self.storage_dtype)
         if self._vec_dev is None or self._vec_dev.shape[0] != self.ntotal:
-            self._vec_dev = self.storage.vectors.astype(
-                jnp.dtype(self.storage_dtype))
+            self._vec_dev = self.storage.vectors.astype(jnp.dtype(dt))
         return self._vec_dev
 
     # --- add / build ------------------------------------------------------
@@ -251,7 +254,20 @@ class IndexHNSW(Index):
             order=order,
             b=b,
         )
-        if self.storage_dtype is not None:
+        if self.storage_dtype == "sq8":
+            # int8 storage: tiles as SQ8 codes + folded dequant affine —
+            # QUARTER the f32 stream bytes through the fused kernel
+            # (ops/ivf_scan_pallas.py); refine runs at storage precision
+            # (the HNSWSQ semantic). The raw f32 storage is then DROPPED
+            # (HNSWPQ's pattern): the codes are the authority, restored
+            # by dequantization when a later add rebuilds the graph.
+            from ..ops.ivf_scan import sq8_requantize_invlists
+
+            self._tiles_fused.il = sq8_requantize_invlists(
+                self._tiles_fused.il)
+            self.storage.reset()
+            self.storage.ntotal = self.ntotal
+        elif self.storage_dtype is not None:
             # honor the SQ storage contract in the fused path too: tiles
             # live at the compressed dtype (half the HBM); the kernel's
             # "exact" refine then re-ranks at storage precision, which
@@ -421,14 +437,65 @@ class IndexHNSWFlat(IndexHNSW):
 
 class IndexHNSWSQ(IndexHNSW):
     """faiss IndexHNSWSQ(d, qtype, M): graph over compressed storage —
-    here bf16/fp16 device storage (half the HBM of Flat; int8 planned)."""
+    bf16/fp16 device storage (half the HBM of Flat), or int8 ("sq8"):
+    tile storage as uint8 codes + per-dim affine, QUARTER the f32 bytes,
+    with the raw storage dropped once the coded tiles exist (the codes
+    become the authority, like IndexHNSWPQ; reconstruct dequantizes)."""
 
     def __init__(self, d: int, qtype: str = "bfloat16", M: int = 32,
                  metric: int = D.METRIC_L2):
         super().__init__(d, M, metric)
-        if qtype not in ("bfloat16", "float16"):
-            raise ValueError("IndexHNSWSQ supports bfloat16/float16 storage")
+        if qtype in ("int8", "uint8"):
+            qtype = "sq8"
+        if qtype not in ("bfloat16", "float16", "sq8"):
+            raise ValueError(
+                "IndexHNSWSQ supports bfloat16/float16/int8 storage")
         self.storage_dtype = qtype
+
+    # --- sq8 coded-storage plumbing --------------------------------------
+    def _storage_dropped(self) -> bool:
+        return (self.ntotal > 0 and self.storage.ntotal == self.ntotal
+                and getattr(self.storage, "_xb", None) is None)
+
+    def _sq8_rows(self) -> np.ndarray:
+        """Original-order f32 rows dequantized from the SQ8 tiles."""
+        ftg = self._tiles_fused
+        il = ftg.il
+        d = self.d
+        data = np.asarray(il.data, np.uint8).reshape(-1, d)
+        ids_flat = np.asarray(il.ids).reshape(-1)
+        bias = np.asarray(il.sq_bias, np.float32)
+        scale = np.asarray(il.sq_scale, np.float32)
+        orig = np.asarray(ftg.orig_ids)
+        rows = np.empty((self.ntotal, d), np.float32)
+        valid = ids_flat >= 0
+        pos = ids_flat[valid]                # packed slot -> position
+        rows[orig[pos]] = bias + data[valid].astype(np.float32) * scale
+        return rows
+
+    def add(self, x) -> None:
+        if self.storage_dtype == "sq8" and self._storage_dropped():
+            # restore dequantized rows so the graph rebuild sees every
+            # old vector (the HNSWPQ restore-on-add pattern)
+            dec = self._sq8_rows()
+            self.storage.reset()
+            self.storage.add(dec)
+            self._built_n = 0
+        super().add(x)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        if self.storage_dtype == "sq8" and self._storage_dropped():
+            ftg = self._tiles_fused
+            pos = int(np.nonzero(
+                np.asarray(ftg.orig_ids) == int(key))[0][0])
+            il = ftg.il
+            code = np.asarray(il.data, np.uint8).reshape(-1, self.d)
+            ids_flat = np.asarray(il.ids).reshape(-1)
+            slot = int(np.nonzero(ids_flat == pos)[0][0])
+            return (np.asarray(il.sq_bias, np.float32)
+                    + code[slot].astype(np.float32)
+                    * np.asarray(il.sq_scale, np.float32))
+        return super().reconstruct(key)
 
 
 class IndexHNSW2Level(IndexHNSW):

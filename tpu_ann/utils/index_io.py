@@ -183,6 +183,19 @@ def _restore_graph(idx, meta, arrays):
 
 
 def _dump_hnswsq(index):
+    if getattr(index, "storage_dtype", None) == "sq8" and \
+            index._storage_dropped():
+        # coded-tile mode dropped the raw storage: serialize the
+        # dequantized rows (storage precision IS the index's precision)
+        meta = {
+            "tag": "IHNs", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "M": index.hnsw.M,
+            "efConstruction": index.hnsw.efConstruction,
+            "efSearch": index.hnsw.efSearch, "qtype": "sq8",
+        }
+        arrays = {"xb": index._sq8_rows()}
+        _graph_meta_arrays(index, meta, arrays)
+        return meta, arrays
     meta, arrays = _dump_hnsw(index)
     meta["tag"] = "IHNs"
     meta["qtype"] = index.storage_dtype
