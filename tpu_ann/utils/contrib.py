@@ -179,7 +179,9 @@ class MatrixStats:
     n: int
     d: int
     n_nan: int
+    n_inf: int
     n_zero_rows: int
+    n_dup_rows: int
     n_constant_dims: int
     min_norm2: float
     max_norm2: float
@@ -190,19 +192,35 @@ class MatrixStats:
         x = np.asarray(x, np.float32)
         n, d = x.shape
         n_nan = int(np.isnan(x).sum())
-        norms = (x.astype(np.float64) ** 2).sum(1)
+        n_inf = int(np.isinf(x).sum())
+        norms = np.where(np.isfinite(x), x, 0).astype(np.float64)
+        norms = (norms ** 2).sum(1)
         n_zero = int((norms == 0).sum())
-        const_dims = int((x.max(0) == x.min(0)).sum())
+        const_dims = int((x.max(0) == x.min(0)).sum()) if n else 0
+        # duplicate rows via byte-level hashing (MatrixStats.cpp's
+        # occurrence-count hashtable)
+        if n:
+            _, counts = np.unique(
+                x.view(np.uint8).reshape(n, -1), axis=0,
+                return_counts=True)
+            n_dup = int((counts - 1).sum())
+        else:
+            n_dup = 0
         comments = []
         if n_nan:
             comments.append(f"{n_nan} NaN values")
+        if n_inf:
+            comments.append(f"{n_inf} non-finite values")
         if n_zero:
             comments.append(f"{n_zero} zero rows")
+        if n_dup:
+            comments.append(f"{n_dup} duplicate rows")
         if const_dims:
             comments.append(f"{const_dims} constant dimensions")
         if not comments:
             comments.append("no obvious problems")
-        return cls(n=n, d=d, n_nan=n_nan, n_zero_rows=n_zero,
+        return cls(n=n, d=d, n_nan=n_nan, n_inf=n_inf,
+                   n_zero_rows=n_zero, n_dup_rows=n_dup,
                    n_constant_dims=const_dims,
                    min_norm2=float(norms.min(initial=0)),
                    max_norm2=float(norms.max(initial=0)),
