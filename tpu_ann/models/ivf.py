@@ -421,6 +421,25 @@ class IndexIVF(Index):
             return None
         return jnp.asarray(sel.member_array(ids).astype(np.uint8))
 
+    def coarse_assign(self, x, nprobe: int) -> np.ndarray:
+        """(nq, nprobe) probed list ids for each query — the coarse phase
+        alone (quantizer assign, faiss Index::assign / Level1Quantizer).
+        Used by the analyzers and by search_preassigned callers."""
+        x = self._check_input(x)
+        _, probes = self._coarse_search_device(jnp.asarray(x), nprobe)
+        return np.asarray(probes)
+
+    def list_of_ids(self, ids) -> np.ndarray:
+        """The inverted list each stored id lives in (-1 if absent) —
+        the DirectMap id->list lookup (invlists/DirectMap.h)."""
+        self._maybe_repack()
+        if self.invlists is None or self._row_list is None:
+            return np.full(len(np.atleast_1d(ids)), -1, np.int64)
+        rows = self._rows_of_ids(np.atleast_1d(ids))
+        out = np.where(rows >= 0, self._row_list[np.maximum(rows, 0)], -1)
+        removed = self._removed_mask[np.maximum(rows, 0)] & (rows >= 0)
+        return np.where(removed, -1, out)
+
     def search(self, x, k: int, *, params: Optional[SearchParametersIVF] = None):
         """Fast path: both phases stay on device, one sync at the end
         (unlike search_stats, which syncs between phases to time them)."""
