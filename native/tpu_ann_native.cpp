@@ -175,6 +175,45 @@ int pack_scatter(const char* x, int64_t row_bytes, const int32_t* xids,
 }
 
 // ---------------------------------------------------------------------------
+// reverse graph edges: for each node v, the first `cap` sources u (in
+// ascending u) with v in fwd[u]. The graph-build counterpart of the
+// reference's sequential insertion adding back-links (IndexHNSW.cpp
+// add_link); batch form = counting-sort by destination.
+// ---------------------------------------------------------------------------
+
+// fwd (n*m) int32 (-1 = empty), fwd_dis (n*m) f32.
+// rev_ids ((n*cap) int32) must be pre-filled -1, rev_dis pre-filled +inf.
+int reverse_edges(const int32_t* fwd, const float* fwd_dis, int64_t n,
+                  int64_t m, int64_t cap, int32_t* rev_ids,
+                  float* rev_dis) {
+    // slot pass (serial: running per-destination cursors preserve the
+    // ascending-source order the numpy/stable-sort path produced)
+    std::vector<int32_t> cursor(n, 0);
+    std::vector<int64_t> slot(n * m);
+    for (int64_t i = 0; i < n; i++) {
+        const int32_t* row = fwd + i * m;
+        for (int64_t j = 0; j < m; j++) {
+            int32_t v = row[j];
+            if (v < 0 || v >= n) { slot[i * m + j] = -1; continue; }
+            int32_t c = cursor[v]++;
+            slot[i * m + j] = c < cap ? (int64_t)v * cap + c : -1;
+        }
+    }
+    // scatter pass (parallel: slots are unique by construction)
+    parallel_for(n, 16384, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) {
+            for (int64_t j = 0; j < m; j++) {
+                int64_t s = slot[i * m + j];
+                if (s < 0) continue;
+                rev_ids[s] = (int32_t)i;
+                rev_dis[s] = fwd_dis[i * m + j];
+            }
+        }
+    });
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // squared-norm rows (float32), parallel — fvec_norms_L2sqr
 // ---------------------------------------------------------------------------
 

@@ -73,3 +73,36 @@ def test_norms(rng):
         native.norms_l2sqr_native(x), (x.astype(np.float64) ** 2).sum(1),
         rtol=1e-5,
     )
+
+
+def test_reverse_edges_native_matches_numpy():
+    """Native counting-scatter reverse edges == the numpy stable-sort
+    path (ops/hnsw._reverse_candidates fallback)."""
+    import numpy as np
+
+    from tpu_ann.utils import native
+
+    if not native.HAVE_NATIVE:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    r = np.random.RandomState(3)
+    n, m, cap = 2000, 6, 4
+    fwd = r.randint(-1, n, size=(n, m)).astype(np.int32)
+    fd = r.rand(n, m).astype(np.float32)
+    nat_i, nat_d = native.reverse_edges_native(fwd, fd, cap)
+    src = np.repeat(np.arange(n, dtype=np.int32), m)
+    dst = fwd.reshape(-1)
+    dd = fd.reshape(-1)
+    ok = dst >= 0
+    src, dst, dd = src[ok], dst[ok], dd[ok]
+    order = np.argsort(dst, kind="stable")
+    src, dst, dd = src[order], dst[order], dd[order]
+    pos = np.arange(len(dst)) - np.searchsorted(dst, dst)
+    keep = pos < cap
+    ref_i = np.full((n, cap), -1, np.int32)
+    ref_d = np.full((n, cap), np.inf, np.float32)
+    ref_i[dst[keep], pos[keep]] = src[keep]
+    ref_d[dst[keep], pos[keep]] = dd[keep]
+    np.testing.assert_array_equal(nat_i, ref_i)
+    np.testing.assert_allclose(nat_d, ref_d)

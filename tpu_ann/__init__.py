@@ -7,6 +7,29 @@ mesh-sharded distribution — re-designed for the MXU/HBM/ICI instead of
 SIMD/OpenMP/RPC. See SURVEY.md for the full blueprint.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: TPU compiles are expensive (minutes
+# per new jitted shape through a remote-compile path), and index
+# builds/searches reuse a small set of shapes across runs. Opt out with
+# TPU_ANN_NO_COMPILE_CACHE=1; relocate with TPU_ANN_COMPILE_CACHE=path.
+if _os.environ.get("TPU_ANN_NO_COMPILE_CACHE") != "1":
+    try:
+        import jax as _jax
+
+        _cache = _os.path.expanduser(
+            _os.environ.get("TPU_ANN_COMPILE_CACHE",
+                            "~/.cache/tpu_ann_xla"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        # threshold chosen so quick CPU-mesh test compiles stay out of
+        # the cache (their AOT reload path warns about machine-feature
+        # strings) while the expensive TPU compiles are captured
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           10.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
 from .ops.distances import (  # noqa: F401
     METRIC_INNER_PRODUCT,
     METRIC_L2,

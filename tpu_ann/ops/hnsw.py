@@ -808,6 +808,11 @@ def _reverse_candidates(fwd: np.ndarray, fwd_dis: np.ndarray, cap: int):
     edges that sequential insertion would have tried to add), with their
     (symmetric-metric) edge distances."""
     n, m = fwd.shape
+    from ..utils.native import reverse_edges_native
+
+    nat = reverse_edges_native(fwd, fwd_dis, cap)
+    if nat is not None:
+        return nat
     src = np.repeat(np.arange(n, dtype=np.int32), m)
     dst = fwd.reshape(-1)
     dd = fwd_dis.reshape(-1)

@@ -63,6 +63,11 @@ def _try_load() -> None:
                                  ctypes.c_void_p]
     lib.fvec_norms_l2sqr.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_int64, ctypes.c_void_p]
+    if hasattr(lib, "reverse_edges"):
+        lib.reverse_edges.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_void_p,
+                                      ctypes.c_void_p]
     _LIB = lib
     HAVE_NATIVE = True
 
@@ -156,3 +161,19 @@ def norms_l2sqr_native(x: np.ndarray) -> np.ndarray:
     out = np.empty(len(flat), np.float32)
     _LIB.fvec_norms_l2sqr(_ptr(flat), len(flat), flat.shape[-1], _ptr(out))
     return out.reshape(x.shape[:-1])
+
+
+def reverse_edges_native(fwd: np.ndarray, fwd_dis: np.ndarray, cap: int):
+    """Reverse-edge table (first `cap` sources per destination, ascending
+    source): native parallel counting scatter, or None if the library is
+    unavailable (caller falls back to the numpy sort path)."""
+    if _LIB is None or not hasattr(_LIB, "reverse_edges"):
+        return None
+    fwd = np.ascontiguousarray(fwd, np.int32)
+    fwd_dis = np.ascontiguousarray(fwd_dis, np.float32)
+    n, m = fwd.shape
+    rev_ids = np.full((n, cap), -1, np.int32)
+    rev_dis = np.full((n, cap), np.inf, np.float32)
+    _LIB.reverse_edges(_ptr(fwd), _ptr(fwd_dis), n, m, cap,
+                       _ptr(rev_ids), _ptr(rev_dis))
+    return rev_ids, rev_dis
