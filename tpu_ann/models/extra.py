@@ -232,8 +232,7 @@ class Index2Layer(Index):
         _, a = self.q1.search(x, 1)
         a = np.asarray(a)[:, 0]
         cents = np.asarray(self.q1.vectors)
-        codes = np.asarray(PQ.pq_encode(jnp.asarray(x - cents[a]),
-                                        self._cent))
+        codes = PQ.pq_encode_chunked(x - cents[a], self._cent)
         self._list_ids.append(a.astype(np.int32))
         self._codes.append(codes)
         self.ntotal += len(x)
@@ -261,8 +260,7 @@ class Index2Layer(Index):
         _, a = self.q1.search(x, 1)
         a = np.asarray(a)[:, 0].astype(np.int32)
         cents = np.asarray(self.q1.vectors)
-        codes = np.asarray(PQ.pq_encode(jnp.asarray(x - cents[a]),
-                                        self._cent))
+        codes = PQ.pq_encode_chunked(x - cents[a], self._cent)
         out = np.empty((len(x), 4 + self.M), np.uint8)
         out[:, :4] = a.astype("<i4").reshape(-1, 1).view(np.uint8)
         out[:, 4:] = codes

@@ -575,8 +575,7 @@ class IndexHNSWPQ(IndexHNSW):
         if not self.is_trained:
             raise RuntimeError("train first (IndexHNSWPQ)")
         x = self._check_input(x)
-        codes = np.asarray(
-            PQ.pq_encode(jnp.asarray(x), jnp.asarray(self.pq.centroids)))
+        codes = PQ.pq_encode_chunked(x, jnp.asarray(self.pq.centroids))
         # if a previous add dropped the raw storage (coded-tiles mode),
         # restore an ADC-accuracy reconstruction so the graph/centroid
         # rebuild sees the old rows (a zeroed storage would silently

@@ -132,7 +132,10 @@ class IndexPQ(Index):
             raise RuntimeError("train() before add()")
         x = self._check_input(x)
         n = len(x)
-        codes = PQ.pq_encode(jnp.asarray(x), self._centroids_dev)
+        # chunked driver: an unchunked (n, M*ksub) ip matrix OOMs at
+        # 10M rows x 32x8-bit (measured on-chip, RESOURCE_EXHAUSTED)
+        codes = jnp.asarray(
+            PQ.pq_encode_chunked(x, self._centroids_dev))
         if self._packed4:
             codes = PQ.pack_codes_4bit(codes)
         need = self.ntotal + n
@@ -232,7 +235,8 @@ class IndexPQ(Index):
 
     def sa_encode(self, x) -> np.ndarray:
         x = self._check_input(x)
-        codes = PQ.pq_encode(jnp.asarray(x), self._centroids_dev)
+        codes = jnp.asarray(
+            PQ.pq_encode_chunked(x, self._centroids_dev))
         if self._packed4:
             codes = PQ.pack_codes_4bit(codes)
         return np.asarray(codes)

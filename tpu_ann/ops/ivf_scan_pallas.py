@@ -138,8 +138,11 @@ def _grouped_kernel(
             # int8/uint8 stream (HALF the DMA bytes of bf16): codes cast
             # exactly to bf16; the dequant affine is folded into the
             # caller's query transform (<q,x> = <q,min> + <q*scale, c>),
-            # so the kernel body is otherwise unchanged
-            chunk = chunk.astype(jnp.bfloat16)
+            # so the kernel body is otherwise unchanged. Mosaic has no
+            # direct u8->bf16 (or u8->f32) cast — route through i32
+            # (verified on v5e; interpret mode accepts all routes).
+            chunk = (chunk.astype(jnp.int32).astype(jnp.float32)
+                     .astype(jnp.bfloat16))
         chunk = chunk.reshape(CB * B, qv.shape[1])
         vids = ibuf[slot].reshape(1, CB * B)
         vnorm = nbuf[slot].reshape(1, CB * B)
