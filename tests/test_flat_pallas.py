@@ -1,0 +1,99 @@
+"""Fused flat-scan Pallas kernel: equivalence to the exact blocked GEMM
+path (interpret mode on the CPU mesh; compiled on real TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_ann.ops import distances as D
+from tpu_ann.ops.flat_knn_pallas import flat_knn_fused
+
+
+@pytest.mark.parametrize("metric",
+                         [D.METRIC_L2, D.METRIC_INNER_PRODUCT])
+def test_flat_fused_matches_exact(metric):
+    rng = np.random.RandomState(11)
+    nb, d, nq, k = 5000, 48, 200, 10
+    xb = rng.randn(nb, d).astype(np.float32)
+    xq = rng.randn(nq, d).astype(np.float32)
+    D0, I0 = D.knn(jnp.asarray(xq), jnp.asarray(xb), k, metric)
+    D1, I1 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), k, metric,
+                            Q=128, R=1024, W=512, refine=4,
+                            interpret=True)
+    I0, I1 = np.asarray(I0), np.asarray(I1)
+    D0, D1 = np.asarray(D0), np.asarray(D1)
+    # the reservoir is deliberately lossy (bf16 scores + lane-min sketch
+    # + exact f32 refine): candidate sets overlap near-perfectly and
+    # matching ids carry exact f32 distances
+    overlap = np.mean([
+        len(set(I1[q]) & set(I0[q])) / k for q in range(nq)])
+    assert overlap >= 0.97, overlap
+    for q in range(nq):
+        m0 = {i: v for i, v in zip(I0[q], D0[q])}
+        m1 = {i: v for i, v in zip(I1[q], D1[q])}
+        for i in set(I1[q]) & set(I0[q]):
+            np.testing.assert_allclose(m1[i], m0[i], rtol=1e-4, atol=1e-3)
+
+
+def test_flat_fused_valid_n_and_mask():
+    rng = np.random.RandomState(12)
+    nb, d, nq, k = 3000, 32, 100, 10
+    xb = rng.randn(nb, d).astype(np.float32)
+    xq = rng.randn(nq, d).astype(np.float32)
+    # valid_n: rows >= 2500 must never appear
+    D0, I0 = D.knn(jnp.asarray(xq), jnp.asarray(xb[:2500]), k)
+    D1, I1 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), k,
+                            valid_n=2500, Q=128, R=1024, W=512,
+                            refine=4, interpret=True)
+    I1 = np.asarray(I1)
+    assert I1.max() < 2500
+    overlap = np.mean([
+        len(set(I1[q]) & set(np.asarray(I0)[q])) / k for q in range(nq)])
+    assert overlap >= 0.97, overlap
+    # IDSelector bitmap: only odd ids allowed
+    mask = np.zeros(nb, np.uint8)
+    mask[1::2] = 1
+    _, I2 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), k,
+                           id_mask=jnp.asarray(mask), Q=128, R=1024,
+                           W=512, refine=4, interpret=True)
+    I2 = np.asarray(I2)
+    assert (I2 % 2 == 1).all()
+
+
+def test_flat_fused_small_and_kpad():
+    """nb smaller than one chunk; k > effective candidates still pads."""
+    rng = np.random.RandomState(13)
+    xb = rng.randn(300, 16).astype(np.float32)
+    xq = rng.randn(17, 16).astype(np.float32)
+    D1, I1 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), 5,
+                            Q=128, R=512, W=256, refine=4,
+                            interpret=True)
+    D0, I0 = D.knn(jnp.asarray(xq), jnp.asarray(xb), 5)
+    overlap = np.mean([
+        len(set(np.asarray(I1)[q]) & set(np.asarray(I0)[q])) / 5
+        for q in range(17)])
+    assert overlap >= 0.95, overlap
+
+
+def test_index_flat_fused_dispatch():
+    """IndexFlat routes through the kernel when the approx knobs are on
+    and scan_mode forces it (auto stays exact off-TPU)."""
+    from tpu_ann.models.flat import IndexFlatL2
+
+    rng = np.random.RandomState(14)
+    xb = rng.randn(4000, 32).astype(np.float32)
+    xq = rng.randn(50, 32).astype(np.float32)
+    idx = IndexFlatL2(32)
+    idx.add(xb)
+    D0, I0 = idx.search(xq, 10)
+    # force the fused path in interpret mode via the kernel directly:
+    # the model-level dispatch needs a real accelerator, so just check
+    # the auto guard stays off on CPU
+    idx.compute_dtype = "bfloat16"
+    idx.approx_topk = True
+    assert not idx._use_fused(10)
+    idx.scan_mode = "xla"
+    D1, I1 = idx.search(xq, 10)
+    overlap = np.mean([
+        len(set(I1[q]) & set(I0[q])) / 10 for q in range(50)])
+    assert overlap >= 0.97, overlap

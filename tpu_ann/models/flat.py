@@ -33,6 +33,10 @@ class IndexFlat(Index):
         self.compute_dtype = "float32"
         self.approx_topk = False
         self.refine_factor = 1   # >1: fast-pass candidates re-scored in f32
+        # "auto": route big approx searches through the fused Pallas scan
+        # (ops/flat_knn_pallas.py — scores never leave VMEM); "xla":
+        # always the blocked-GEMM path; "fused": always the kernel
+        self.scan_mode = "auto"
 
     # --- storage ----------------------------------------------------------
     def _ensure_capacity(self, n_new: int) -> None:
@@ -87,9 +91,42 @@ class IndexFlat(Index):
         self.ntotal = 0
 
     # --- search -----------------------------------------------------------
+    def _use_fused(self, k: int) -> bool:
+        """Fused-kernel dispatch: only on the opted-in approximate path
+        (bf16 + approx top-k — the exact default must stay the blocked
+        exact GEMM: IndexFlat is the ground-truth oracle), on a real
+        accelerator, at sizes where the XLA path's HBM score traffic
+        dominates (measured 5.7% MFU at 1M rows on v5e)."""
+        if self.scan_mode == "fused":
+            return True
+        if self.scan_mode != "auto":
+            return False
+        if not (self.approx_topk and self.compute_dtype == "bfloat16"):
+            return False
+        if self.ntotal < 65536 or k > 256:
+            return False
+        import jax as _jax
+
+        return _jax.default_backend() != "cpu"
+
+    def _fused_search_device(self, xq_dev, k: int, id_mask=None):
+        from ..ops.flat_knn_pallas import flat_knn_fused
+
+        # R=4096/W=1024 is the measured-fastest config that compiles on
+        # v5e (W=2048 variants exceed VMEM); k<=256 is guarded upstream
+        return flat_knn_fused(
+            xq_dev, self._xb, k, self.metric_type,
+            xb_norms=self._norms if self.metric_type == METRIC_L2 else None,
+            valid_n=jnp.int32(self.ntotal), id_mask=id_mask,
+            R=4096, W=1024,
+            refine=max(4, self.refine_factor),
+        )
+
     def search_device(self, xq_dev: jnp.ndarray, k: int):
         """Device-in/device-out search (no host sync) — lets composite
         indexes (IVF) chain coarse+fine phases without round-trips."""
+        if self._use_fused(k):
+            return self._fused_search_device(xq_dev, k)
         return D.knn(
             xq_dev,
             self._xb,
@@ -115,6 +152,10 @@ class IndexFlat(Index):
             m = np.zeros(self._capacity, np.uint8)
             m[: self.ntotal] = sel.make_bitmap(self.ntotal)
             id_mask = jnp.asarray(m)
+        if self._use_fused(k):
+            Dv, Iv = self._fused_search_device(jnp.asarray(x), k,
+                                               id_mask=id_mask)
+            return np.asarray(Dv), np.asarray(Iv, dtype=np.int64)
         Dv, Iv = D.knn(
             jnp.asarray(x),
             self._xb,

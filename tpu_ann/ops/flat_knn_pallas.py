@@ -1,0 +1,278 @@
+"""Pallas fused flat k-NN — brute-force scan with the top-k reduction
+fused into the GEMM's VMEM epilogue.
+
+Role: the exact-search hot loop (faiss utils/distances.cpp:885
+`knn_L2sqr` / :1061 `knn_inner_product`, and the GPU backend's bfKnn +
+warp-select two-pass, gpu/impl/Distance.cu + L2Select.cu), redesigned
+around the TPU memory system.
+
+Why a kernel at all: the XLA path (`ops/distances.knn`) materializes each
+(nq, db_block) f32 score matrix in HBM because `approx_max_k` lowers to a
+custom call that does not fuse with the producer dot — at SIFT1M/10k
+queries that is ~84 GB of score traffic against a 13 ms GEMM, measured
+5.7% MFU on v5e. Here the scores never leave VMEM: each query tile
+streams the database once (double-buffered DMA, bf16) and folds every
+chunk into a W-wide per-query reservoir with elementwise minima.
+
+The reservoir ("lane-min sketch") replaces a running top-k: lane j of
+the W-wide accumulator holds the best row among those the scan mapped to
+j (row r of chunk c lands in lane (c*R + r) mod W).  A true top-i entry
+is lost only if two of the true top-W' candidates collide in a lane —
+for k=10, W=1024 the expected loss is < 0.5% of rows, and the caller
+re-scores the top refine*k reservoir entries in exact f32 (same
+bf16+refine discipline as the fused IVF scan) so the final top-k is
+exact over the surviving candidates.  This is the same partial-reduction
+idea as `lax.approx_max_k`, but fused, so the VPU merge cost is ~4
+elementwise ops per score instead of an HBM round trip.
+
+Per query tile (Q queries):
+    for each DB chunk of R rows (double-buffered DMA, bf16 + f32 norms):
+        ip  (Q, R) = qv' @ chunk^T                     (one MXU dot)
+        dis (Q, R) = bn + ip                           (one VPU op)
+        for g in range(R // W):                        (VPU)
+            acc_val, acc_pos = elementwise-min merge of dis[:, gW:(g+1)W]
+    out: (Q, W) reservoir values + global row positions
+
+The queries are pre-scaled OUTSIDE the kernel (qv' = -2*xq for L2,
+-xq for IP) and the per-query norm ||q||^2 is dropped entirely — a
+per-query constant cannot change that query's argmin — so the score
+epilogue is ONE VPU op per element instead of three.  The epilogue is
+what bounds this kernel: per score the MXU does d MACs (~d/1633 cycles
+on v5e's 4 MXUs at d=128) while the VPU merge does 4 ops (~4/4096
+cycles), so the VPU epilogue costs ~1.6x the GEMM and the serialized
+dependence chain (dot -> merge per chunk) caps MFU near 35-40%.
+
+Padding rows carry norms = +inf (L2) / +inf bias (IP), so they can never
+enter the reservoir; `valid_n` and IDSelector bitmaps fold into the same
+(nb,) norms vector on the XLA side — never into the score matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import distances as D
+
+
+def _flat_kernel(
+    qv_ref,        # (Q, dp) VMEM bf16: tile's queries, PRE-SCALED
+    data_hbm,      # (nchunks, R, dp) bf16 HBM
+    bias_hbm,      # (nchunks, 1, R) f32 HBM: L2 norms / IP bias (+inf pad)
+    outv_ref,      # (Q, W) VMEM f32 reservoir values
+    outp_ref,      # (Q, W) VMEM int32 reservoir row positions
+    dbuf,          # (2, R, dp) bf16 VMEM
+    bbuf,          # (2, 1, R) f32 VMEM
+    sems,          # DMA sems (2, 2)
+    *,
+    R: int,
+    W: int,
+    nchunks: int,
+):
+    Q = qv_ref.shape[0]
+    G = R // W
+
+    def start_dma(c, slot):
+        pltpu.make_async_copy(
+            data_hbm.at[c], dbuf.at[slot], sems.at[slot, 0]).start()
+        pltpu.make_async_copy(
+            bias_hbm.at[c], bbuf.at[slot], sems.at[slot, 1]).start()
+
+    def wait_dma(c, slot):
+        pltpu.make_async_copy(
+            data_hbm.at[c], dbuf.at[slot], sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            bias_hbm.at[c], bbuf.at[slot], sems.at[slot, 1]).wait()
+
+    start_dma(0, 0)
+    qv = qv_ref[:]
+    lane = lax.broadcasted_iota(jnp.int32, (Q, W), 1)
+
+    def chunk_body(c, carry):
+        av, ap = carry                                # (Q, W) each
+        slot = lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            start_dma(c + 1, lax.rem(c + 1, 2))
+
+        wait_dma(c, slot)
+        ip = lax.dot_general(
+            qv, dbuf[slot],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # (Q, R) f32
+        dis = bbuf[slot] + ip                         # (1,R)+(Q,R): 1 op
+        base = c * R
+        for g in range(G):
+            sub = dis[:, g * W:(g + 1) * W]
+            upd = sub < av
+            av = jnp.where(upd, sub, av)
+            ap = jnp.where(upd, base + g * W + lane, ap)
+        return av, ap
+
+    init = (
+        jnp.full((Q, W), jnp.inf, jnp.float32),
+        jnp.full((Q, W), -1, jnp.int32),
+    )
+    av, ap = lax.fori_loop(0, nchunks, chunk_body, init)
+    outv_ref[:] = av
+    outp_ref[:] = ap
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "Q", "R", "W", "refine", "interpret"),
+)
+def flat_knn_fused(
+    xq: jnp.ndarray,
+    xb: jnp.ndarray,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    xb_norms=None,
+    valid_n=None,
+    id_mask=None,
+    Q: int = 256,
+    R: int = 2048,
+    W: int = 1024,
+    refine: int = 4,
+    interpret: bool = False,
+):
+    """Fused brute-force k-NN (see module docstring).
+
+    Args:
+      xq: (nq, d) f32 queries. xb: (nb, d) database (any float dtype;
+        streamed as bf16). xb_norms: optional (nb,) f32 ||x||^2.
+      valid_n / id_mask: same contracts as `ops.distances.knn` — both
+        fold into the streamed bias vector.
+      Q/R/W: query-tile rows / DB chunk rows / reservoir width. R % W
+        == 0; W % 128 == 0; k <= W.
+      refine: exact-f32 re-rank width multiplier over the reservoir
+        (refine*k candidates); 0/1 trusts the bf16 reservoir values.
+    Returns (D, I): (nq, k) — L2 ascending distances / IP descending
+      similarities, int32 ids (-1 for invalid).
+    """
+    nq, d = xq.shape
+    nb = xb.shape[0]
+    assert R % W == 0 and W % 128 == 0 and k <= W
+    dp = -(-d // 128) * 128
+    similarity = D.is_similarity_metric(metric)
+    xq = xq.astype(jnp.float32)
+
+    # bias vector: L2 row norms / IP zeros, +inf for padded, invalid, or
+    # masked-out rows (a +inf bias makes the row unelectable in-kernel)
+    if similarity:
+        bias = jnp.zeros((nb,), jnp.float32)
+    else:
+        bias = (jnp.sum(xb.astype(jnp.float32) ** 2, axis=1)
+                if xb_norms is None else xb_norms.astype(jnp.float32))
+    if valid_n is not None:
+        rows = jnp.arange(nb, dtype=jnp.int32)
+        bias = jnp.where(rows < jnp.asarray(valid_n, jnp.int32),
+                         bias, jnp.inf)
+    if id_mask is not None:
+        bias = jnp.where(id_mask != 0, bias, jnp.inf)
+
+    nchunks = max(-(-nb // R), 1)
+    pad = nchunks * R - nb
+    data = jnp.pad(xb.astype(jnp.bfloat16),
+                   ((0, pad), (0, dp - d))).reshape(nchunks, R, dp)
+    bias_p = jnp.pad(bias, (0, pad),
+                     constant_values=jnp.inf).reshape(nchunks, 1, R)
+
+    ntiles = -(-nq // Q)
+    qpad = ntiles * Q - nq
+    qv = jnp.pad(xq, ((0, qpad), (0, dp - d)))
+    # pre-scale so the in-kernel score is just bias + dot (see module
+    # docstring); the dropped per-query ||q||^2 is re-added post-kernel
+    # only when the reservoir values are returned un-refined
+    scale = -1.0 if similarity else -2.0
+    qv_t = (scale * qv).astype(jnp.bfloat16).reshape(ntiles, Q, dp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, Q, dp), lambda t: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Q, W), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, Q, W), lambda t: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, R, dp), jnp.bfloat16),
+            pltpu.VMEM((2, 1, R), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    def kern(qv_ref, data_h, bias_h, outv_ref, outp_ref,
+             dbuf, bbuf, sems):
+        _flat_kernel(qv_ref[0], data_h, bias_h,
+                     outv_ref.at[0], outp_ref.at[0], dbuf, bbuf, sems,
+                     R=R, W=W, nchunks=nchunks)
+
+    outv, outp = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ntiles, Q, W), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, Q, W), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qv_t, data, bias_p)
+
+    resv = outv.reshape(ntiles * Q, W)[:nq]
+    resp = outp.reshape(ntiles * Q, W)[:nq]
+
+    bad = D.worst_value(metric)
+    if refine and refine > 1:
+        Rk = min(refine * k, W)
+        nv, sel = lax.top_k(-resv, Rk)
+        cand = jnp.take_along_axis(resp, sel, axis=1)        # (nq, Rk)
+        ok = (cand >= 0) & jnp.isfinite(-nv)
+        safe = jnp.maximum(cand, 0)
+        vecs = xb[safe].astype(jnp.float32)                  # (nq, Rk, d)
+        ip = jnp.einsum("qd,qrd->qr", xq, vecs,
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        if similarity:
+            dis = -ip
+        else:
+            vn = jnp.sum(vecs * vecs, axis=2)
+            qn2 = jnp.sum(xq * xq, axis=1, keepdims=True)
+            dis = jnp.maximum(qn2 + vn - 2.0 * ip, 0.0)
+        dis = jnp.where(ok, dis, jnp.inf)
+        kk = min(k, Rk)
+        nv2, sel2 = lax.top_k(-dis, kk)
+        out_d = -nv2
+        out_i = jnp.take_along_axis(cand, sel2, axis=1)
+    else:
+        kk = min(k, W)
+        nv, sel = lax.top_k(-resv, kk)
+        out_d = -nv
+        if not similarity:
+            # reservoir values are ||x||^2 - 2<q,x>: restore ||q||^2
+            out_d = out_d + jnp.sum(xq * xq, axis=1, keepdims=True)
+        out_i = jnp.take_along_axis(resp, sel, axis=1)
+    if kk < k:
+        out_d = jnp.pad(out_d, ((0, 0), (0, k - kk)),
+                        constant_values=jnp.inf)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - kk)),
+                        constant_values=-1)
+    out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
+    out_d = jnp.where(out_i >= 0, out_d, bad)
+    if similarity:
+        out_d = jnp.where(out_i >= 0, -out_d, bad)
+    else:
+        out_d = jnp.maximum(out_d, 0.0)
+    return out_d, out_i
