@@ -582,9 +582,8 @@ class IndexHNSWPQ(IndexHNSW):
         # poison routing for them)
         if self.ntotal and self.storage.ntotal == self.ntotal and \
                 getattr(self.storage, "_xb", None) is None:
-            dec = np.asarray(PQ.pq_decode(
-                jnp.asarray(self._codes),
-                jnp.asarray(self.pq.centroids)))
+            dec = np.asarray(PQ.pq_decode_chunked(
+                self._codes, jnp.asarray(self.pq.centroids)))
             self.storage.reset()
             self.storage.add(dec)
             self._built_n = 0        # rebuild over reconstructed rows
@@ -625,9 +624,8 @@ class IndexHNSWPQ(IndexHNSW):
             # codes (ADC-accuracy centroids/order, codes stored as-is)
             from ..ops import pq as PQ
 
-            dec = np.asarray(PQ.pq_decode(
-                jnp.asarray(self._codes),
-                jnp.asarray(self.pq.centroids)))
+            dec = np.asarray(PQ.pq_decode_chunked(
+                self._codes, jnp.asarray(self.pq.centroids)))
             order = HT.spatial_order(dec, self.hnsw.fused_tile_size,
                                      seed=self._level_seed)
             self._ptiles = HT.build_tiles_pq(

@@ -152,9 +152,9 @@ class IndexPQ(Index):
                 self._dec_buf = dbuf
         if self._cache_enabled():
             self._ensure_dec_buf()
-            dec = PQ.pq_decode(
+            dec = PQ.pq_decode_chunked(
                 PQ.unpack_codes_4bit(codes) if self._packed4 else codes,
-                self._centroids_dev).astype(jnp.bfloat16)
+                self._centroids_dev, dtype=jnp.bfloat16)
             self._dec_buf = self._dec_buf.at[self.ntotal: need].set(dec)
         self._codes = self._codes.at[self.ntotal : need].set(codes)
         self.ntotal = need
@@ -178,8 +178,8 @@ class IndexPQ(Index):
             if self._packed4:
                 old = PQ.unpack_codes_4bit(old)
             self._dec_buf = self._dec_buf.at[: self.ntotal].set(
-                PQ.pq_decode(old, self._centroids_dev).astype(
-                    jnp.bfloat16))
+                PQ.pq_decode_chunked(old, self._centroids_dev,
+                                     dtype=jnp.bfloat16))
 
     def search(self, x, k: int, *, params=None):
         x = self._check_input(x)

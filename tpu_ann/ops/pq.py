@@ -186,6 +186,24 @@ def pq_decode(codes: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(oh, W.T, precision=lax.Precision.HIGHEST)
 
 
+def pq_decode_chunked(codes, centroids, chunk: int = 0,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """Host driver bounding pq_decode's (chunk, M*ksub) one-hot (16 GB
+    at 1M rows x 16x8-bit — measured RESOURCE_EXHAUSTED on-chip).
+    chunk=0 sizes the one-hot to a ~2 GB buffer."""
+    M, ksub, _ = centroids.shape
+    if not chunk:
+        chunk = max(65536, min(1_000_000, (2 << 30) // (M * ksub * 4)))
+    n = codes.shape[0]
+    if n <= chunk:
+        return pq_decode(jnp.asarray(codes), centroids).astype(dtype)
+    outs = []
+    for i in range(0, n, chunk):
+        outs.append(pq_decode(jnp.asarray(codes[i:i + chunk]),
+                              centroids).astype(dtype))
+    return jnp.concatenate(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("metric",))
 def query_tables(xq: jnp.ndarray, centroids: jnp.ndarray,
                  metric: int = D.METRIC_L2) -> jnp.ndarray:
