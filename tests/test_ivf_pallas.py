@@ -151,3 +151,34 @@ def test_fused_scan_sq8_inner_product(rng):
     assert overlap >= 0.95, overlap
     np.testing.assert_allclose(np.asarray(D1)[:, 0], np.asarray(D0)[:, 0],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_fused_scan_reservoir_epilogue(rng):
+    """Reservoir mode (RW >= 8*kp): per-chunk lane-min fold + one
+    end-of-tile extraction. Lossy by design (lane collisions), so assert
+    overlap + exact distances on the overlap, not equality."""
+    n, d, nlist, nq, k = 4000, 32, 16, 48, 10
+    xb = rng.rand(n, d).astype(np.float32)
+    xq = rng.rand(nq, d).astype(np.float32)
+    cent = xb[rng.choice(n, nlist, replace=False)]
+    _, assign = D.knn(jnp.asarray(xb), jnp.asarray(cent), 1)
+    assign = np.asarray(assign)[:, 0]
+    il = pack_invlists(xb, np.arange(n), assign, nlist, block_size=64)
+    _, probes = D.knn(jnp.asarray(xq), jnp.asarray(cent), 8)
+    probes = probes.astype(jnp.int32)
+    D0, I0, _ = scan_invlists(jnp.asarray(xq), probes, il, k,
+                              max_nblocks=il.max_nblocks_per_list)
+    # CB*B = 16*64 = 1024, kp=16 -> RW=512 stays in reservoir mode
+    D1, I1, _ = scan_invlists_fused(jnp.asarray(xq), probes, il, k,
+                                    PT=16, CB=16, refine=4, RW=512,
+                                    interpret=True)
+    I0, I1 = np.asarray(I0), np.asarray(I1)
+    D0, D1 = np.asarray(D0), np.asarray(D1)
+    overlap = np.mean([len(set(I1[q]) & set(I0[q])) / k
+                       for q in range(nq)])
+    assert overlap >= 0.95, overlap
+    for q in range(nq):
+        m0 = dict(zip(I0[q], D0[q]))
+        m1 = dict(zip(I1[q], D1[q]))
+        for i in set(I1[q]) & set(I0[q]):
+            np.testing.assert_allclose(m1[i], m0[i], rtol=1e-4, atol=1e-3)

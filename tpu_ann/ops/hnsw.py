@@ -718,7 +718,7 @@ def _knn_candidates(x: np.ndarray, C: int, metric: int, seed: int,
             jnp.asarray(x), jnp.asarray(x), min(C + 1, n), metric,
             compute_dtype="bfloat16", approx=n > 8192, refine_factor=2,
         )
-        return np.asarray(dis), np.asarray(ids, np.int32), None
+        return dis, ids.astype(jnp.int32), None
 
     nlist = int(min(16384, max(256, n // 256)))
     # build-time budget: 6 Lloyd iterations on a 96/centroid subsample
@@ -728,32 +728,31 @@ def _knn_candidates(x: np.ndarray, C: int, metric: int, seed: int,
                                 max_points_per_centroid=96)
     centroids, _ = K.kmeans(x, nlist, params=cp, metric=metric)
     nprobe = 6
-    _, probes = D.knn(jnp.asarray(x), jnp.asarray(centroids), nprobe, metric,
-                      compute_dtype="bfloat16", approx=True)
-    probes = np.asarray(probes, np.int32)
-    assign = probes[:, 0].astype(np.int64)
+    # one upload of x, reused for probing and as chunked scan queries —
+    # everything downstream stays on device (per-chunk H2D/D2H round
+    # trips dominated this phase through the remote tunnel: 133 s
+    # measured vs ~30 s of actual device work at 1M)
+    x_dev = jnp.asarray(x)
+    _, probes_dev = D.knn(x_dev, jnp.asarray(centroids), nprobe, metric,
+                          compute_dtype="bfloat16", approx=True)
+    probes_dev = probes_dev.astype(jnp.int32)
+    assign = np.asarray(probes_dev[:, 0]).astype(np.int64)
     pil = IV.pack_invlists(x, np.arange(n, dtype=np.int64), assign, nlist)
-    out_d = np.empty((n, C + 1), np.float32)
-    out_i = np.empty((n, C + 1), np.int64)
     chunk = 65536
     pend = []
-    # dispatch every chunk before materializing any: each np.asarray is
-    # a host sync, and this environment's transfers ride a remote tunnel
     for i0 in range(0, n, chunk):
         dc, ic, _ = IV.scan_invlists(
-            jnp.asarray(x[i0 : i0 + chunk]),
-            jnp.asarray(probes[i0 : i0 + chunk]),
+            x_dev[i0 : i0 + chunk],
+            probes_dev[i0 : i0 + chunk],
             pil, C + 1, metric,
             max_nblocks=pil._max_nblocks, approx=True,
         )
-        pend.append((i0, dc, ic))
+        pend.append((dc, ic))
         if verbose:
             print(f"hnsw knn-candidates: {min(i0 + chunk, n)}/{n}")
-    for i0, dc, ic in pend:
-        dh = np.asarray(dc)
-        out_d[i0 : i0 + len(dh)] = dh
-        out_i[i0 : i0 + len(dh)] = np.asarray(ic)
-    return out_d, out_i.astype(np.int32), assign
+    out_d = jnp.concatenate([p[0] for p in pend])
+    out_i = jnp.concatenate([p[1] for p in pend]).astype(jnp.int32)
+    return out_d, out_i, assign
 
 
 def _drop_self(dis: np.ndarray, ids: np.ndarray, C: int,
@@ -772,6 +771,19 @@ def _drop_self(dis: np.ndarray, ids: np.ndarray, C: int,
     return dis, ids
 
 
+@functools.partial(jax.jit, static_argnames=("C",))
+def _drop_self_device(dis: jnp.ndarray, ids: jnp.ndarray, C: int):
+    """Device `_drop_self` (row ids == position): the (n, C+1) table
+    never leaves HBM."""
+    own = jnp.arange(dis.shape[0], dtype=ids.dtype)[:, None]
+    bad = (ids < 0) | (ids == own)
+    dis = jnp.where(bad, jnp.inf, dis)
+    ids = jnp.where(bad, -1, ids)
+    order = jnp.argsort(dis, axis=1)[:, :C]
+    return (jnp.take_along_axis(dis, order, axis=1),
+            jnp.take_along_axis(ids, order, axis=1))
+
+
 def _prune_all(vectors, cand_ids: np.ndarray, cand_dis: np.ndarray, m: int,
                metric: int, chunk: int = 65536, verbose: bool = False,
                tag: str = ""):
@@ -783,24 +795,23 @@ def _prune_all(vectors, cand_ids: np.ndarray, cand_dis: np.ndarray, m: int,
     old dispatch-then-wait-per-chunk loop serialized device work with
     transfer latency."""
     n = cand_ids.shape[0]
-    out = np.empty((n, m), np.int32)
-    out_d = np.empty((n, m), np.float32)
+    cand_ids = jnp.asarray(cand_ids)
+    cand_dis = jnp.asarray(cand_dis)
     pend = []
     for i0 in range(0, n, chunk):
         sel, seld = _select_neighbors_heuristic(
             None,
-            jnp.asarray(cand_ids[i0 : i0 + chunk]),
-            jnp.asarray(cand_dis[i0 : i0 + chunk]),
+            cand_ids[i0 : i0 + chunk],
+            cand_dis[i0 : i0 + chunk],
             vectors, m, metric, return_dis=True,
         )
-        pend.append((i0, sel, seld))
+        pend.append((sel, seld))
         if verbose and (i0 // chunk) % 16 == 0:
             print(f"hnsw prune{tag}: {min(i0 + chunk, n)}/{n}")
-    for i0, sel, seld in pend:
-        sel_h = np.asarray(sel)
-        out[i0 : i0 + len(sel_h)] = sel_h
-        out_d[i0 : i0 + len(sel_h)] = np.asarray(seld)
-    return out, out_d
+    # outputs stay on device: callers that need host copies pay the
+    # (small) download themselves; the big tables never leave HBM
+    return (jnp.concatenate([p[0] for p in pend]),
+            jnp.concatenate([p[1] for p in pend]))
 
 
 def _reverse_candidates(fwd: np.ndarray, fwd_dis: np.ndarray, cap: int):
@@ -830,22 +841,79 @@ def _reverse_candidates(fwd: np.ndarray, fwd_dis: np.ndarray, cap: int):
     return rev_ids, rev_dis
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _reverse_candidates_device(fwd: jnp.ndarray, fwd_dis: jnp.ndarray,
+                               cap: int):
+    """Device-resident reverse-edge builder — same contract as
+    `_reverse_candidates`, no host round trip (the (n, m) table download
+    costs ~40 s through this environment's ~6 MB/s tunnel; scatters
+    serialize on TPU, so the build is sort-based).
+
+    Construction: sort edges by destination; rank-within-run via a
+    running max of run starts; then produce the dense (n, cap) table
+    WITHOUT a scatter by appending one filler entry per output slot and
+    stable-argsorting (real entries win ties) — the classic
+    inverse-permutation-gather trade. Three O(E + n*cap) sorts replace
+    16M serialized scatter updates."""
+    n, m = fwd.shape
+    E = n * m
+    S = n * cap
+    dst = fwd.reshape(E)
+    src = (jnp.arange(E, dtype=jnp.int32) // m).astype(jnp.int32)
+    dd = fwd_dis.reshape(E)
+
+    # rank of each edge within its destination's run
+    order = jnp.argsort(jnp.where(dst >= 0, dst, jnp.int32(2**30)))
+    ds = dst[order]
+    ss = src[order]
+    dds = dd[order]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    runstart = jnp.where(
+        jnp.concatenate([jnp.array([True]), ds[1:] != ds[:-1]]), idx, 0)
+    start = jax.lax.associative_scan(jnp.maximum, runstart)
+    pos = idx - start
+    keep = (ds >= 0) & (pos < cap)
+
+    # output slot key; real entries sort before their slot's filler.
+    # int32 key budget: 2*(2S + 1 + E) must stay below 2^31 (holds to
+    # ~8M nodes at m=32, cap=16; larger builds go through extend_graph)
+    assert 2 * (2 * S + 1 + E) < 2**31, "reverse key space overflow"
+    okey = jnp.where(keep, ds * cap + pos, 2 * S + 1 + idx)
+    comb_key = jnp.concatenate([
+        okey * 2, jnp.arange(S, dtype=jnp.int32) * 2 + 1])
+    comb_src = jnp.concatenate([ss, jnp.full((S,), -1, ss.dtype)])
+    comb_dis = jnp.concatenate([dds, jnp.full((S,), jnp.inf, dds.dtype)])
+    order2 = jnp.argsort(comb_key)
+    ks = comb_key[order2] >> 1
+    vs = comb_src[order2]
+    vd = comb_dis[order2]
+    first = jnp.concatenate([jnp.array([True]), ks[1:] != ks[:-1]])
+    # stable argsort of ~first: the S first-occurrence positions, in slot
+    # order (every slot key exists thanks to the fillers)
+    fp = jnp.argsort(~first, stable=True)[:S]
+    rev_ids = vs[fp].reshape(n, cap)
+    rev_dis = vd[fp].reshape(n, cap)
+    return rev_ids, rev_dis
+
+
 def _merge_prune(vectors, fwd, fwd_dis, rev_ids, rev_dis, m: int,
                  metric: int, verbose: bool, tag: str) -> np.ndarray:
     """Final per-node list: diversity prune of forward ∪ reverse candidates
-    (duplicates masked). All scores canonical ascending-best."""
-    cand = np.concatenate([fwd, rev_ids], axis=1)
-    cdis = np.concatenate([fwd_dis, rev_dis], axis=1)
+    (duplicates masked). All scores canonical ascending-best. Device
+    in/out (host numpy inputs are accepted and promoted)."""
+    cand = jnp.concatenate([jnp.asarray(fwd), jnp.asarray(rev_ids)], axis=1)
+    cdis = jnp.concatenate([jnp.asarray(fwd_dis), jnp.asarray(rev_dis)],
+                           axis=1)
     # mask duplicate ids per row (a reverse edge may already be forward)
-    sorder = np.argsort(np.where(cand >= 0, cand, np.int64(2**62)), axis=1,
-                        kind="stable")
-    cs = np.take_along_axis(cand, sorder, axis=1)
-    dup_sorted = np.concatenate(
-        [np.zeros((len(cand), 1), bool), cs[:, 1:] == cs[:, :-1]], axis=1)
-    dup = np.zeros(cand.shape, bool)
-    np.put_along_axis(dup, sorder, dup_sorted, axis=1)
-    cdis = np.where(dup | (cand < 0), np.inf, cdis)
-    cand = np.where(dup, -1, cand)
+    sorder = jnp.argsort(jnp.where(cand >= 0, cand, jnp.int32(2**30)),
+                         axis=1, stable=True)
+    cs = jnp.take_along_axis(cand, sorder, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((len(cand), 1), bool), cs[:, 1:] == cs[:, :-1]], axis=1)
+    inv = jnp.argsort(sorder, axis=1)
+    dup = jnp.take_along_axis(dup_sorted, inv, axis=1)
+    cdis = jnp.where(dup | (cand < 0), jnp.inf, cdis)
+    cand = jnp.where(dup, -1, cand)
     return _prune_all(vectors, cand, cdis, m, metric,
                       verbose=verbose, tag=tag)[0]
 
@@ -889,7 +957,7 @@ def build_graph_knn(
     dis, ids, assign = _knn_candidates(x, C, metric, seed, verbose)
     if similarity:
         dis = -dis   # canonical ascending-best
-    dis, ids = _drop_self(dis, ids, C)
+    dis, ids = _drop_self_device(dis, ids, C)
 
     vec_dev = jnp.asarray(x, jnp.bfloat16)
     if prune_mode == "single":
@@ -901,7 +969,7 @@ def build_graph_knn(
     # 314 s vs 402 s at cap=m0 with recall@10 unchanged (0.9976 vs
     # 0.9977) — the merge prune keeps the same diverse subset either way
     rcap = int(reverse_cap) if reverse_cap else m
-    rev_ids, rev_dis = _reverse_candidates(fwd, fwd_dis, rcap)
+    rev_ids, rev_dis = _reverse_candidates_device(fwd, fwd_dis, rcap)
     neighbors0 = _merge_prune(vec_dev, fwd, fwd_dis, rev_ids, rev_dis, m0,
                               metric, verbose, "/lvl0")
 
@@ -952,9 +1020,11 @@ def _link_upper_levels(x: np.ndarray, levels: np.ndarray, m: int,
         sd, si = _drop_self(sd, np.asarray(si, np.int32), cu)
         sub_dev = jnp.asarray(x[sub])
         sfwd, sdis = _prune_all(sub_dev, si, sd, m, metric, verbose=False)
+        # upper subsets are small (n/M per level): host copies are cheap
+        sfwd, sdis = np.asarray(sfwd), np.asarray(sdis)
         srev, srd = _reverse_candidates(sfwd, sdis, m)
-        slinks = _merge_prune(sub_dev, sfwd, sdis, srev, srd, m, metric,
-                              False, "/upper")
+        slinks = np.asarray(_merge_prune(sub_dev, sfwd, sdis, srev, srd,
+                                         m, metric, False, "/upper"))
         # subset rows -> global ids; store at the upper-table rows
         glob = np.where(slinks >= 0, sub[np.clip(slinks, 0, ns - 1)], -1)
         rows = np.searchsorted(upper_ids_np, sub)

@@ -83,6 +83,7 @@ def _grouped_kernel(
     B: int,
     max_chunks: int,
     similarity: bool = False,
+    RW: int = 0,
 ):
     t = pl.program_id(0)
     bs = tile_bs_ref[t]
@@ -165,6 +166,20 @@ def _grouped_kernel(
         dis = jnp.where(ok, dis, jnp.inf)
         pos = jnp.broadcast_to((bs + c * CB) * B + lane, dis.shape)
 
+        if RW:
+            # lane-min reservoir fold (see ops/flat_knn_pallas.py): 4 VPU
+            # ops per score instead of k rounds of min-extraction PER
+            # CHUNK — the extraction runs once per tile, after the loop.
+            # Lane collisions can drop a true top-i candidate with
+            # p ~ C(k,2)/RW per pair; the caller's refine absorbs it.
+            for g in range(CB * B // RW):
+                sub = dis[:, g * RW:(g + 1) * RW]
+                sp = pos[:, g * RW:(g + 1) * RW]
+                upd = sub < bd
+                bd = jnp.where(upd, sub, bd)
+                bp = jnp.where(upd, sp, bp)
+            return bd, bp
+
         # merge chunk into the running per-pair top-k: k rounds of
         # min-extraction over (PT, k + CB*B) (WarpSelect's role; argmin ->
         # one-hot dot keeps everything on the VPU, no dynamic gathers)
@@ -195,11 +210,28 @@ def _grouped_kernel(
         bp = jnp.where(jnp.isinf(bd), -1, bp)
         return bd, bp
 
+    cw = RW if RW else k
     init = (
-        jnp.full((PT, k), jnp.inf, jnp.float32),
-        jnp.full((PT, k), -1, jnp.int32),
+        jnp.full((PT, cw), jnp.inf, jnp.float32),
+        jnp.full((PT, cw), -1, jnp.int32),
     )
     bd, bp = lax.fori_loop(0, nchunks, chunk_body, init)
+    if RW:
+        # ONE k-round min-extraction over the (PT, RW) reservoir
+        lanes = lax.broadcasted_iota(jnp.int32, (PT, RW), 1)
+        cd, ci = bd, bp
+        nd, npos = [], []
+        for _ in range(k):
+            val = jnp.min(cd, axis=1, keepdims=True)
+            sel = jnp.argmin(cd, axis=1)
+            onehot = lanes == sel[:, None]
+            pv = jnp.sum(jnp.where(onehot, ci, 0), axis=1)
+            nd.append(val[:, 0])
+            npos.append(pv)
+            cd = jnp.where(onehot, jnp.inf, cd)
+        bd = jnp.stack(nd, axis=1)
+        bp = jnp.stack(npos, axis=1)
+        bp = jnp.where(jnp.isinf(bd), -1, bp)
     # outputs are stored (k, PT): the lane dimension must stay 128-aligned
     # (Mosaic rejects k-wide lane slices); callers transpose back in XLA
     outd_ref[:] = bd.T
@@ -208,7 +240,7 @@ def _grouped_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "PT", "CB", "refine", "kp",
+    static_argnames=("k", "metric", "PT", "CB", "refine", "kp", "RW",
                      "interpret"),
 )
 def scan_invlists_fused(
@@ -222,6 +254,7 @@ def scan_invlists_fused(
     CB: int = 8,
     refine: int = 4,
     kp: int = 0,
+    RW: int = 512,
     interpret: bool = False,
 ):
     """List-major fused IVF scan (see module docstring).
@@ -231,7 +264,10 @@ def scan_invlists_fused(
         int32 (-1 entries are skipped). invlists: PackedInvLists
         (raw-vector storage). refine: exact-f32 re-rank width multiplier
         (top refine*k merged bf16 candidates are re-scored; refine=0
-        trusts the bf16 distances).
+        trusts the bf16 distances). RW: in-kernel reservoir width
+        (multiple of 128 dividing CB*block_size; 0 = legacy per-chunk
+        k-round extraction — no lane-collision loss but k VPU extraction
+        rounds EVERY chunk instead of once per tile).
     Returns (D, I, ndis): per-query top-k over the probed lists with
     exact f32 distances (refine > 0).
     """
@@ -255,6 +291,19 @@ def scan_invlists_fused(
     # true top-k candidate for the refine (measured on v5e, SIFT1M
     # IVF4096 np=16: kp=k -> recall 0.9785, kp=1.6k -> 0.9992 at -12% QPS)
     kp = int(kp) if kp else max(k, min(2 * k, k + 6))
+    if RW:
+        # largest width <= requested that divides CB*B and keeps the
+        # lane dim 128-aligned (alignment is moot in interpret mode)
+        RW = min(int(RW), CB * B)
+        step = 1 if interpret else 128
+        RW = (RW // step) * step
+        while RW > 0 and (CB * B) % RW:
+            RW -= step
+        if 8 * kp > RW:
+            # a reservoir under ~8x the extraction width loses too many
+            # top-kp candidates to lane collisions (p ~ C(kp,2)/RW);
+            # fall back to the exact per-chunk epilogue
+            RW = 0
     npairs = nq * nprobe
 
     # SQ8 storage: uint8 codes + per-dim affine (see PackedInvListsSQ8).
@@ -363,7 +412,7 @@ def scan_invlists_fused(
             outd_ref.at[0], outp_ref.at[0],
             dbuf, ibuf, nbuf, sems,
             k=kp, CB=CB, B=B, max_chunks=max_chunks,
-            similarity=similarity,
+            similarity=similarity, RW=RW,
         )
 
     # pad the block stream so a full CB chunk past the end stays in bounds
