@@ -50,8 +50,7 @@ def _lut_knn(lut, codes, k: int, metric: int, valid_n,
         raw = codes_r[i]
         if packed4:
             raw = PQ.unpack_codes_4bit(raw)
-        blk = jnp.broadcast_to(raw[None], (nq, block, raw.shape[1]))
-        dis = PQ.adc_scan(lut, blk)                      # (nq, block)
+        dis = PQ.adc_scan_db(lut, raw)                   # (nq, block)
         ids = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
         dis = jnp.where(ids < valid_n, dis, bad)
         ids = jnp.broadcast_to(ids, dis.shape)

@@ -144,8 +144,7 @@ def polysemous_knn(
         ids = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
         ok = (ham <= ht) & (ids < valid_n)
         npass = npass + jnp.sum(ok.astype(jnp.int64))
-        dis = PQ.adc_scan(
-            lut, jnp.broadcast_to(blk[None], (nq,) + blk.shape))
+        dis = PQ.adc_scan_db(lut, blk)
         dis = jnp.where(ok, dis, jnp.inf)
         idb = jnp.broadcast_to(ids, dis.shape)
         bd, bi = T.merge_topk(bd, bi, dis, idb, k, similarity=False)

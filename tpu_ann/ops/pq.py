@@ -296,3 +296,27 @@ def adc_scan(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
            + (jnp.arange(M, dtype=jnp.int32) * ksub)[None, None, :])
     gathered = jnp.take_along_axis(flat, idx.reshape(nq, C * M), axis=1)
     return gathered.reshape(nq, C, M).sum(axis=2)
+
+
+def adc_scan_db(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """ADC over a SHARED code block: lut (nq, M, ksub) x codes (C, M)
+    -> (nq, C). Same contraction as `adc_scan` but for database codes that
+    are identical across queries (IndexPQ.cpp scan over the flat code
+    array), restructured for the MXU: per sub-quantizer, the gather
+    lut[:, m, codes[:, m]] is a one-hot GEMM (nq,ksub)@(ksub,C), so the
+    large C dim stays in the lane dimension — the per-query `adc_scan`
+    route would materialize an (nq, C, M) intermediate whose M-wide minor
+    dim tile-pads 8x on TPU (84 GB at nq=5k, C=32k)."""
+    nq, M, ksub = lut.shape
+    C = codes.shape[0]
+    iota = jnp.arange(ksub, dtype=jnp.int32)[:, None]            # (ksub, 1)
+    codes_t = codes.T.astype(jnp.int32)                          # (M, C)
+
+    def body(m, acc):
+        lut_m = lax.dynamic_index_in_dim(lut, m, 1, keepdims=False)
+        cm = lax.dynamic_index_in_dim(codes_t, m, 0, keepdims=False)
+        onehot = (cm[None, :] == iota).astype(lut.dtype)         # (ksub, C)
+        return acc + lax.dot(lut_m, onehot,
+                             precision=lax.Precision.DEFAULT)
+
+    return lax.fori_loop(0, M, body, jnp.zeros((nq, C), lut.dtype))
