@@ -54,6 +54,20 @@ def test_pq_adc_matches_decoded(small_ds):
     np.testing.assert_allclose(adc, exact, rtol=1e-3, atol=1e-3)
 
 
+def test_adc_scan_db_matches_adc_scan(small_ds):
+    """The shared-code one-hot-GEMM route == the per-query gather route."""
+    xt = small_ds.get_train()
+    codec = PQ.train_pq(xt, M=4, nbits=8, niter=6)
+    cent = jnp.asarray(codec.centroids)
+    xq = small_ds.get_queries()[:10]
+    codes = PQ.pq_encode(jnp.asarray(xt[:64]), cent)
+    lut = PQ.query_tables(jnp.asarray(xq), cent)
+    ref = np.asarray(PQ.adc_scan(
+        lut, jnp.broadcast_to(codes[None], (10, 64, 4))))
+    db = np.asarray(PQ.adc_scan_db(lut, codes))
+    np.testing.assert_allclose(db, ref, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("qtype", [SQ.QT_8BIT, SQ.QT_8BIT_UNIFORM,
                                    SQ.QT_FP16, SQ.QT_BF16])
 def test_sq_roundtrip(qtype, small_ds):
