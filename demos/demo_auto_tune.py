@@ -5,6 +5,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import _bootstrap  # noqa: F401,E402 — CPU/TPU platform selection
 
 
 def main():

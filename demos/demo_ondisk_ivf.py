@@ -6,6 +6,7 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import _bootstrap  # noqa: F401,E402 — CPU/TPU platform selection
 
 
 def main():

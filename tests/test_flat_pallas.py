@@ -35,6 +35,23 @@ def test_flat_fused_matches_exact(metric):
             np.testing.assert_allclose(m1[i], m0[i], rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("schedule", ["grid", "pipe"])
+def test_flat_fused_schedules_match_fori(schedule):
+    """All chunk-loop schedules produce identical reservoirs."""
+    rng = np.random.RandomState(21)
+    nb, d, nq, k = 4096, 48, 200, 10
+    xb = rng.randn(nb, d).astype(np.float32)
+    xq = rng.randn(nq, d).astype(np.float32)
+    kw = dict(Q=128, R=1024, W=512, refine=4, interpret=True)
+    D0, I0 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), k,
+                            D.METRIC_L2, schedule="fori", **kw)
+    D1, I1 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), k,
+                            D.METRIC_L2, schedule=schedule, **kw)
+    np.testing.assert_array_equal(np.asarray(I0), np.asarray(I1))
+    np.testing.assert_allclose(np.asarray(D0), np.asarray(D1),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_flat_fused_valid_n_and_mask():
     rng = np.random.RandomState(12)
     nb, d, nq, k = 3000, 32, 100, 10

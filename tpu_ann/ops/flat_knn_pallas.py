@@ -61,6 +61,17 @@ from jax.experimental.pallas import tpu as pltpu
 from . import distances as D
 
 
+def _merge_groups(dis, av, ap, base, W, lane):
+    """Fold a (Q, R) score block into the (Q, W) lane-min reservoir."""
+    R = dis.shape[1]
+    for g in range(R // W):
+        sub = dis[:, g * W:(g + 1) * W]
+        upd = sub < av
+        av = jnp.where(upd, sub, av)
+        ap = jnp.where(upd, base + g * W + lane, ap)
+    return av, ap
+
+
 def _flat_kernel(
     qv_ref,        # (Q, dp) VMEM bf16: tile's queries, PRE-SCALED
     data_hbm,      # (nchunks, R, dp) bf16 HBM
@@ -70,13 +81,13 @@ def _flat_kernel(
     dbuf,          # (2, R, dp) bf16 VMEM
     bbuf,          # (2, 1, R) f32 VMEM
     sems,          # DMA sems (2, 2)
+    disbuf,        # None, or (Q, R) f32 VMEM for schedule='pipe'
     *,
     R: int,
     W: int,
     nchunks: int,
 ):
     Q = qv_ref.shape[0]
-    G = R // W
 
     def start_dma(c, slot):
         pltpu.make_async_copy(
@@ -93,9 +104,47 @@ def _flat_kernel(
     start_dma(0, 0)
     qv = qv_ref[:]
     lane = lax.broadcasted_iota(jnp.int32, (Q, W), 1)
+    init = (
+        jnp.full((Q, W), jnp.inf, jnp.float32),
+        jnp.full((Q, W), -1, jnp.int32),
+    )
 
-    def chunk_body(c, carry):
-        av, ap = carry                                # (Q, W) each
+    if disbuf is None:                                # schedule='fori'
+        def chunk_body(c, carry):
+            av, ap = carry                            # (Q, W) each
+            slot = lax.rem(c, 2)
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                start_dma(c + 1, lax.rem(c + 1, 2))
+
+            wait_dma(c, slot)
+            ip = lax.dot_general(
+                qv, dbuf[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                         # (Q, R) f32
+            dis = bbuf[slot] + ip                     # (1,R)+(Q,R): 1 op
+            return _merge_groups(dis, av, ap, c * R, W, lane)
+
+        av, ap = lax.fori_loop(0, nchunks, chunk_body, init)
+        outv_ref[:] = av
+        outp_ref[:] = ap
+        return
+
+    # schedule='pipe': issue the MXU dot for chunk c BEFORE merging chunk
+    # c-1's scores from the scratch buffer — the two are independent, so
+    # the scheduler can overlap the VPU merge with the MXU dot
+    outv_ref[:] = init[0]
+    outp_ref[:] = init[1]
+
+    def merge_from_scratch(base):
+        av, ap = _merge_groups(disbuf[:], outv_ref[:], outp_ref[:],
+                               base, W, lane)
+        outv_ref[:] = av
+        outp_ref[:] = ap
+
+    def chunk_body(c, _):
         slot = lax.rem(c, 2)
 
         @pl.when(c + 1 < nchunks)
@@ -107,28 +156,49 @@ def _flat_kernel(
             qv, dbuf[slot],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                             # (Q, R) f32
-        dis = bbuf[slot] + ip                         # (1,R)+(Q,R): 1 op
-        base = c * R
-        for g in range(G):
-            sub = dis[:, g * W:(g + 1) * W]
-            upd = sub < av
-            av = jnp.where(upd, sub, av)
-            ap = jnp.where(upd, base + g * W + lane, ap)
-        return av, ap
+        )
 
-    init = (
-        jnp.full((Q, W), jnp.inf, jnp.float32),
-        jnp.full((Q, W), -1, jnp.int32),
-    )
-    av, ap = lax.fori_loop(0, nchunks, chunk_body, init)
-    outv_ref[:] = av
-    outp_ref[:] = ap
+        @pl.when(c > 0)
+        def _():
+            merge_from_scratch((c - 1) * R)
+
+        disbuf[:] = bbuf[slot] + ip
+        return 0
+
+    lax.fori_loop(0, nchunks, chunk_body, 0)
+    merge_from_scratch((nchunks - 1) * R)
+
+
+def _flat_kernel_grid(qv_ref, bias_ref, data_ref, outv_ref, outp_ref,
+                      *, R: int, W: int):
+    """schedule='grid': one grid step per (query tile, DB chunk); Pallas
+    auto-pipelines the chunk DMA, the reservoir accumulates in the out
+    refs across consecutive same-tile revisits."""
+    c = pl.program_id(1)
+    qv = qv_ref[0][:]
+    Q = qv.shape[0]
+    lane = lax.broadcasted_iota(jnp.int32, (Q, W), 1)
+
+    @pl.when(c == 0)
+    def _():
+        outv_ref[0] = jnp.full((Q, W), jnp.inf, jnp.float32)
+        outp_ref[0] = jnp.full((Q, W), -1, jnp.int32)
+
+    ip = lax.dot_general(
+        qv, data_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dis = bias_ref[0] + ip
+    av, ap = _merge_groups(dis, outv_ref[0][:], outp_ref[0][:],
+                           c * R, W, lane)
+    outv_ref[0] = av
+    outp_ref[0] = ap
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "Q", "R", "W", "refine", "interpret"),
+    static_argnames=("k", "metric", "Q", "R", "W", "refine", "schedule",
+                     "interpret"),
 )
 def flat_knn_fused(
     xq: jnp.ndarray,
@@ -143,6 +213,7 @@ def flat_knn_fused(
     R: int = 2048,
     W: int = 1024,
     refine: int = 4,
+    schedule: str = "fori",
     interpret: bool = False,
 ):
     """Fused brute-force k-NN (see module docstring).
@@ -156,6 +227,11 @@ def flat_knn_fused(
         == 0; W % 128 == 0; k <= W.
       refine: exact-f32 re-rank width multiplier over the reservoir
         (refine*k candidates); 0/1 trusts the bf16 reservoir values.
+      schedule: chunk-loop strategy — 'fori' (manual fori + manual
+        double-buffered DMA), 'grid' (chunk dim in the Pallas grid,
+        auto-pipelined BlockSpec DMA, reservoir accumulated in the out
+        refs), 'pipe' ('fori' with the chunk-c dot issued before the
+        chunk-(c-1) merge so MXU and VPU work can overlap).
     Returns (D, I): (nq, k) — L2 ascending distances / IP descending
       similarities, int32 ids (-1 for invalid).
     """
@@ -196,40 +272,64 @@ def flat_knn_fused(
     scale = -1.0 if similarity else -2.0
     qv_t = (scale * qv).astype(jnp.bfloat16).reshape(ntiles, Q, dp)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec((1, Q, dp), lambda t: (t, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, Q, W), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, Q, W), lambda t: (t, 0, 0)),
-        ],
-        scratch_shapes=[
+    out_shape = [
+        jax.ShapeDtypeStruct((ntiles, Q, W), jnp.float32),
+        jax.ShapeDtypeStruct((ntiles, Q, W), jnp.int32),
+    ]
+    if schedule == "grid":
+        outv, outp = pl.pallas_call(
+            functools.partial(_flat_kernel_grid, R=R, W=W),
+            grid=(ntiles, nchunks),
+            in_specs=[
+                pl.BlockSpec((1, Q, dp), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((1, 1, R), lambda t, c: (c, 0, 0)),
+                pl.BlockSpec((1, R, dp), lambda t, c: (c, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Q, W), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((1, Q, W), lambda t, c: (t, 0, 0)),
+            ],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(qv_t, bias_p, data)
+    else:
+        assert schedule in ("fori", "pipe"), schedule
+        scratch = [
             pltpu.VMEM((2, R, dp), jnp.bfloat16),
             pltpu.VMEM((2, 1, R), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
+        ]
+        if schedule == "pipe":
+            scratch.append(pltpu.VMEM((Q, R), jnp.float32))
 
-    def kern(qv_ref, data_h, bias_h, outv_ref, outp_ref,
-             dbuf, bbuf, sems):
-        _flat_kernel(qv_ref[0], data_h, bias_h,
-                     outv_ref.at[0], outp_ref.at[0], dbuf, bbuf, sems,
-                     R=R, W=W, nchunks=nchunks)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(ntiles,),
+            in_specs=[
+                pl.BlockSpec((1, Q, dp), lambda t: (t, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Q, W), lambda t: (t, 0, 0)),
+                pl.BlockSpec((1, Q, W), lambda t: (t, 0, 0)),
+            ],
+            scratch_shapes=scratch,
+        )
 
-    outv, outp = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((ntiles, Q, W), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, Q, W), jnp.int32),
-        ],
-        interpret=interpret,
-    )(qv_t, data, bias_p)
+        def kern(qv_ref, data_h, bias_h, outv_ref, outp_ref,
+                 dbuf, bbuf, sems, *maybe_dis):
+            _flat_kernel(qv_ref[0], data_h, bias_h,
+                         outv_ref.at[0], outp_ref.at[0], dbuf, bbuf, sems,
+                         maybe_dis[0] if maybe_dis else None,
+                         R=R, W=W, nchunks=nchunks)
+
+        outv, outp = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(qv_t, data, bias_p)
 
     resv = outv.reshape(ntiles * Q, W)[:nq]
     resp = outp.reshape(ntiles * Q, W)[:nq]
