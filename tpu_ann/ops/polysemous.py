@@ -125,22 +125,40 @@ def polysemous_knn(
     (IndexPQStats n_hamming_pass analog)."""
     from . import topk as T
 
+    from . import hamming as H
+
     nq, d = xq.shape
     nb = codes.shape[0]
     lut = PQ.query_tables(xq, centroids)
     qcodes = PQ.pq_encode(xq, centroids)
+
+    # Hamming as a +-1 bit GEMM: ham(a,b) = (nbit_total - a_pm . b_pm)/2.
+    # Pad bits beyond `nbits` are 0 on BOTH sides, so they contribute
+    # exactly nbit_pad to the dot and cancel — the result stays exact.
+    # The XOR+popcount route (code_hamming) materializes an (nq, block, M)
+    # intermediate whose minor M dim tile-pads 8x on TPU (84 GB at nq=5k,
+    # block=32k); the GEMM keeps block in the lane dim and rides the MXU.
+    nbit_total = codes.shape[1] * 8
+    qbits = (1.0 - 2.0 * H.unpack_bits(qcodes)).astype(jnp.bfloat16)
+    dbits = (1.0 - 2.0 * H.unpack_bits(codes)).astype(jnp.bfloat16)
 
     block = min(db_block, max(nb, 1))
     nblocks = -(-nb // block)
     pad = nblocks * block - nb
     if pad:
         codes = jnp.pad(codes, ((0, pad), (0, 0)))
+        dbits = jnp.pad(dbits, ((0, pad), (0, 0)))
     codes_r = codes.reshape(nblocks, block, -1)
+    dbits_r = dbits.reshape(nblocks, block, -1)
 
     def body(i, carry):
         bd, bi, npass = carry
         blk = codes_r[i]
-        ham = code_hamming(qcodes, blk)                   # (nq, block)
+        dot = lax.dot_general(
+            qbits, dbits_r[i],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (nq, block)
+        ham = ((nbit_total - dot) * 0.5).astype(jnp.int32)
         ids = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
         ok = (ham <= ht) & (ids < valid_n)
         npass = npass + jnp.sum(ok.astype(jnp.int64))

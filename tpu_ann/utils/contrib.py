@@ -108,7 +108,7 @@ def big_batch_search(
     def finalize(entry):
         b, Dv, Iv = entry
         i0, i1 = b * batch_size, min((b + 1) * batch_size, nq)
-        Dh, Ih = np.asarray(Dv), np.asarray(Iv)
+        Dh, Ih = np.asarray(Dv)[:i1 - i0], np.asarray(Iv)[:i1 - i0]
         Dout[i0:i1] = Dh
         Iout[i0:i1] = map_ids(Ih) if map_ids is not None else Ih
         done[b] = True
@@ -130,10 +130,19 @@ def big_batch_search(
         if search_device is not None:
             import jax.numpy as jnp
 
-            xq_dev = jnp.asarray(
-                index._check_input(xq[i0:i1])
-                if hasattr(index, "_check_input") else
-                np.ascontiguousarray(xq[i0:i1], np.float32))
+            xh = (index._check_input(xq[i0:i1])
+                  if hasattr(index, "_check_input") else
+                  np.ascontiguousarray(xq[i0:i1], np.float32))
+            if i1 - i0 < batch_size:
+                # keep every dispatch shape-stable: a ragged final batch
+                # would trigger a fresh XLA compile mid-stream (minutes on
+                # a remote-compile tunnel); pad with row 0 and let
+                # finalize() slice the real rows back out
+                xh = np.concatenate(
+                    [xh, np.broadcast_to(xh[:1],
+                                         (batch_size - (i1 - i0),
+                                          xh.shape[1]))])
+            xq_dev = jnp.asarray(xh)
             inflight.append((b, *search_device(xq_dev, k)))  # async dispatch
             if len(inflight) > depth:
                 finalize(inflight.popleft())    # overlaps with compute
