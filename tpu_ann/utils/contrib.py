@@ -265,3 +265,89 @@ def get_invlist(index_ivf, l: int) -> Tuple[np.ndarray, np.ndarray]:
 
 def get_invlist_sizes(index_ivf) -> np.ndarray:
     return index_ivf.list_sizes
+
+
+def get_pq_centroids(index) -> np.ndarray:
+    """(M, ksub, dsub) PQ codebook of a PQ-bearing index
+    (inspect_tools.get_pq_centroids)."""
+    pq = getattr(index, "pq", None)
+    if pq is None:
+        raise ValueError(f"{type(index).__name__} has no PQ codec")
+    return np.asarray(pq.centroids)
+
+
+def get_linear_transform(vt) -> Tuple[np.ndarray, np.ndarray]:
+    """(A, b) of a LinearTransform so y = x @ A.T + b
+    (inspect_tools.get_LinearTransform_matrix)."""
+    A = np.asarray(vt.A, np.float32)
+    b = getattr(vt, "b", None)
+    b = (np.zeros(A.shape[0], np.float32) if b is None
+         else np.asarray(b, np.float32))
+    return A, b
+
+
+def range_search_max_results(
+    index,
+    xq: np.ndarray,
+    radius: float,
+    *,
+    max_results: int,
+    min_results: Optional[int] = None,
+    batch_size: int = 4096,
+):
+    """Range search whose radius auto-tightens so the result table stays
+    under `max_results` (contrib/exhaustive_search.py:
+    range_search_max_results semantics). Processes queries in batches;
+    whenever the accumulated result count would exceed max_results, the
+    threshold shrinks to the distance quantile that keeps ~min_results
+    rows and already-collected results are re-filtered.
+
+    Returns (radius, lims, D, I)."""
+    if min_results is None:
+        min_results = int(0.8 * max_results)
+    similarity = bool(getattr(index, "is_similarity", False))
+    # similarity metrics keep results with D >= radius; distance metrics
+    # keep D <= radius — one sign flip unifies the bookkeeping
+    sgn = -1.0 if similarity else 1.0
+
+    chunks = []   # list of (lims_local, D, I) per batch, post-filter
+    total = 0
+    cur_radius = float(radius)
+    nq = len(xq)
+    for i0 in range(0, nq, batch_size):
+        lims, Dv, Iv = index.range_search(xq[i0:i0 + batch_size],
+                                          cur_radius)
+        chunks.append([np.asarray(lims), np.asarray(Dv), np.asarray(Iv)])
+        total += len(Dv)
+        if total > max_results:
+            # new threshold: the min_results-th smallest signed distance
+            # over everything collected so far
+            alld = np.concatenate([c[1] * sgn for c in chunks])
+            kth = min(min_results, len(alld) - 1)
+            new_r = np.partition(alld, kth)[kth]
+            cur_radius = float(new_r * sgn)
+            total = 0
+            for c in chunks:
+                lims_c, Dc, Ic = c
+                nb_q = len(lims_c) - 1
+                qid = np.repeat(np.arange(nb_q), np.diff(lims_c))
+                keep = Dc * sgn <= new_r
+                l2 = np.zeros(nb_q + 1, np.int64)
+                l2[1:] = np.cumsum(np.bincount(qid[keep],
+                                               minlength=nb_q))
+                c[0], c[1], c[2] = l2, Dc[keep], Ic[keep]
+                total += len(c[1])
+
+    lims = np.zeros(nq + 1, np.int64)
+    pos = 0
+    Dout, Iout = [], []
+    for bi, (lc, Dv, Iv) in enumerate(chunks):
+        i0 = bi * batch_size
+        nb_q = len(lc) - 1
+        lims[i0 + 1 : i0 + nb_q + 1] = pos + lc[1:]
+        Dout.append(Dv)
+        Iout.append(Iv)
+        pos += len(Dv)
+    return (cur_radius, lims,
+            np.concatenate(Dout) if Dout else np.zeros(0, np.float32),
+            np.concatenate(Iout) if Iout else np.zeros(0, np.int64))

@@ -177,12 +177,9 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
             qt = {"SQfp16": "float16", "SQbf16": "bfloat16"}[code]
             index = IndexHNSWSQ(cur_d, qt, hm, metric)
         elif code == "SQ8":
-            # 'SQ8' means 8-bit storage everywhere else in this factory;
-            # IndexHNSWSQ only has 16-bit storage so far — refuse rather
-            # than silently doubling the requested footprint
-            raise ValueError(
-                "HNSW,SQ8: int8 graph storage is not implemented yet — "
-                "use HNSW<M>,SQfp16 / SQbf16 (16-bit) or HNSW<M>,PQ<m>")
+            from ..models.hnsw import IndexHNSWSQ
+
+            index = IndexHNSWSQ(cur_d, "sq8", hm, metric)
         elif mm := re.fullmatch(r"(\d+)\+PQ(\d+)", code):
             from ..models.hnsw import IndexHNSW2Level
 
@@ -244,3 +241,171 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
     if idmap:
         index = IndexIDMap(index)
     return index
+
+
+# ---------------------------------------------------------------------------
+# factory tools (contrib/factory_tools.py role): reverse-engineer the
+# factory string / per-vector storage from an index or spec.
+# ---------------------------------------------------------------------------
+
+_SQ_NAMES = {v: k for k, v in _SQ_TYPES.items()}
+
+
+def get_code_size(d: int, spec: str) -> int:
+    """Per-vector storage bytes implied by a factory string
+    (contrib/factory_tools.py:get_code_size role; own grammar walk)."""
+    toks = [t for t in spec.split(",") if t]
+    if not toks:
+        raise ValueError("empty factory spec")
+    size = 0
+    if toks[-1] in ("RFlat", "Refine(Flat)"):
+        toks = toks[:-1]
+        size += 4 * d          # refine stores exact f32 vectors
+    cur_d = d
+    while toks:
+        tok = toks[0]
+        if tok == "IDMap":
+            size += 8
+            toks = toks[1:]
+            continue
+        if m := re.fullmatch(r"(?:PCA[RW]?|OPQ\d+_|RR)(\d+)", tok):
+            cur_d = int(m.group(1))
+            toks = toks[1:]
+            continue
+        if re.fullmatch(r"OPQ(\d+)|ITQ\d*|L2norm", tok):
+            toks = toks[1:]
+            continue
+        break
+    if not toks:
+        raise ValueError(f"get_code_size({spec!r}): no container")
+    head, rest = toks[0], toks[1:]
+    if m := re.fullmatch(r"IVF(\d+)(?:_HNSW(\d+))?", head):
+        code = rest[0] if rest else "Flat"
+        return size + _code_bytes(cur_d, code)
+    if m := re.fullmatch(r"HNSW(\d+)?", head):
+        links = 4 * 2 * int(m.group(1) or 32)   # ~2M int32 level-0 edges
+        code = rest[0] if rest else "Flat"
+        return size + links + _code_bytes(cur_d, code)
+    return size + _code_bytes(cur_d, head)
+
+
+def _code_bytes(d: int, code: str) -> int:
+    if code == "Flat":
+        return 4 * d
+    if code in _SQ_TYPES:
+        bits = {"SQ8": 8, "SQ6": 6, "SQ4": 4,
+                "SQfp16": 16, "SQbf16": 16}[code]
+        return (d * bits + 7) // 8
+    if m := re.fullmatch(r"PQ(\d+)\+(\d+)", code):
+        return int(m.group(1)) + int(m.group(2))
+    if m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?)?", code):
+        return (int(m.group(1)) * int(m.group(2) or 8) + 7) // 8
+    if m := re.fullmatch(r"(?:P?RQ|P?LSQ)(\d+)x(\d+)(?:x(\d+))?", code):
+        # additive codes: one uint8 per stage + f32 reconstruction norm
+        # (ST_norm_float layout, ops/rq.py RQCodec.code_size)
+        stages = (int(m.group(1)) * int(m.group(2)) if m.group(3)
+                  else int(m.group(1)))
+        return stages + 4
+    if m := re.fullmatch(r"LSH(\d*)r?t?", code):
+        nbits = int(m.group(1) or d)
+        return (-(-nbits // 8))
+    raise ValueError(f"get_code_size: unknown code {code!r}")
+
+
+def get_hnsw_M(index) -> int:
+    """Max level-0 degree of an HNSW index (factory_tools.get_hnsw_M)."""
+    return int(index.hnsw.M)
+
+
+def reverse_index_factory(index) -> str:
+    """Best-effort factory string for an index
+    (contrib/factory_tools.py:reverse_index_factory role). The returned
+    spec re-parses to the same index class/layout."""
+    from ..models.extra import IndexLSH
+    from ..models.flat import IndexFlat
+    from ..models.hnsw import IndexHNSW, IndexHNSWPQ, IndexHNSWSQ
+    from ..models.idmap import IndexIDMap
+    from ..models.ivf import IndexIVF, IndexIVFFlat
+    from ..models.ivf_pq import (IndexIVFPQ, IndexIVFPQR,
+                                 IndexIVFScalarQuantizer)
+    from ..models.refine import IndexRefine
+    from ..models.rq import (IndexIVFProductResidualQuantizer,
+                             IndexIVFResidualQuantizer,
+                             IndexProductResidualQuantizer,
+                             IndexResidualQuantizer)
+    from ..models.transforms import (IndexPreTransform, LinearTransform,
+                                     OPQMatrix, PCAMatrix,
+                                     RandomRotationMatrix)
+
+    if isinstance(index, IndexPreTransform):
+        parts = []
+        for vt in index.chain:
+            if isinstance(vt, OPQMatrix):
+                parts.append(f"OPQ{vt.M}_{vt.d_out}" if vt.d_out != vt.d_in
+                             else f"OPQ{vt.M}")
+            elif isinstance(vt, PCAMatrix):
+                parts.append(f"PCA{vt.d_out}")
+            elif isinstance(vt, RandomRotationMatrix):
+                parts.append(f"RR{vt.d_out}")
+            else:
+                raise ValueError(f"cannot reverse transform {vt!r}")
+        return ",".join(parts + [reverse_index_factory(index.index)])
+    if isinstance(index, IndexIDMap):
+        return "IDMap," + reverse_index_factory(index.index)
+    if isinstance(index, IndexRefine):
+        from ..models.flat import IndexFlat as _F
+
+        if isinstance(index.refine_index, _F):
+            return reverse_index_factory(index.base_index) + ",RFlat"
+        raise ValueError("cannot reverse non-Flat refine")
+    if isinstance(index, IndexIVF):
+        prefix = f"IVF{index.nlist}"
+        if isinstance(index.quantizer, IndexHNSW):
+            prefix += f"_HNSW{get_hnsw_M(index.quantizer)}"
+        if isinstance(index, IndexIVFPQR):
+            return f"{prefix},PQ{index.M}+{index.M_refine}"
+        if isinstance(index, IndexIVFPQ):
+            suffix = "fs" if index.nbits == 4 else ""
+            return f"{prefix},PQ{index.M}x{index.nbits}{suffix}"
+        if isinstance(index, IndexIVFScalarQuantizer):
+            return f"{prefix},{_SQ_NAMES[index.qtype]}"
+        if isinstance(index, IndexIVFProductResidualQuantizer):
+            kind = ("PLSQ" if "LocalSearch" in type(index).__name__
+                    else "PRQ")
+            return (f"{prefix},{kind}{index.nsplits}x{index.Msub}"
+                    f"x{index.nbits}")
+        if isinstance(index, IndexIVFResidualQuantizer):
+            kind = ("LSQ" if "LocalSearch" in type(index).__name__
+                    else "RQ")
+            return f"{prefix},{kind}{index.M}x{index.nbits}"
+        from ..models.ivf_hnsw import IndexIVFHNSW as _IVFH
+
+        if isinstance(index, (IndexIVFFlat, _IVFH)):
+            return f"{prefix},Flat"
+        raise ValueError(f"cannot reverse {type(index).__name__}")
+    if isinstance(index, IndexHNSWPQ):
+        return (f"HNSW{get_hnsw_M(index)},"
+                f"PQ{index.pq_m}x{index.nbits}")
+    if isinstance(index, IndexHNSWSQ):
+        name = {"float16": "SQfp16", "bfloat16": "SQbf16",
+                "sq8": "SQ8"}[index.storage_dtype]
+        return f"HNSW{get_hnsw_M(index)},{name}"
+    if isinstance(index, IndexHNSW):
+        return f"HNSW{get_hnsw_M(index)}"
+    if isinstance(index, IndexLSH):
+        return f"LSH{index.nbits}" + ("r" if index.rotate_data else "")
+    if isinstance(index, IndexProductResidualQuantizer):
+        kind = "PLSQ" if "LocalSearch" in type(index).__name__ else "PRQ"
+        return f"{kind}{index.nsplits}x{index.Msub}x{index.nbits}"
+    if isinstance(index, IndexResidualQuantizer):
+        kind = "LSQ" if "LocalSearch" in type(index).__name__ else "RQ"
+        return f"{kind}{index.M}x{index.nbits}"
+    from ..models.pq import IndexPQ, IndexScalarQuantizer
+
+    if isinstance(index, IndexPQ):
+        return f"PQ{index.M}x{index.nbits}"
+    if isinstance(index, IndexScalarQuantizer):
+        return _SQ_NAMES[index.qtype]
+    if isinstance(index, IndexFlat):
+        return "Flat"
+    raise ValueError(f"cannot reverse {type(index).__name__}")
