@@ -49,3 +49,22 @@ k = 10
     cfg = parse_config(str(p))
     assert cfg["build"]["nlist"] == [1024.0, 4096.0]
     assert cfg["search"]["k"] == [10.0]
+
+
+def test_energy_monitor_graceful():
+    """EnergyMonitor (fork t-energy.cpp role) reports None cleanly when
+    RAPL is unavailable, and joules/watts when it is."""
+    import time
+
+    from tpu_ann.utils.memory import EnergyMonitor, rapl_available
+
+    with EnergyMonitor() as em:
+        time.sleep(0.05)
+    assert em.seconds >= 0.05
+    if rapl_available():
+        assert em.joules is not None and em.joules >= 0
+        assert em.watts is not None
+    else:
+        assert em.joules is None
+        assert em.watts is None
+        assert em.qps_per_watt(100) is None

@@ -13,6 +13,7 @@ bytes/vector.
 from __future__ import annotations
 
 import dataclasses
+import os
 import threading
 import time
 from typing import Dict, List, Optional
@@ -149,3 +150,73 @@ class MemoryMonitor:
         lines.append(f"peak RSS {self.peak_rss()/2**20:.1f} MB, "
                      f"peak HBM {self.peak_hbm()/2**20:.1f} MB")
         return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Energy accounting (fork t-energy.cpp role: RAPL /sys/class/powercap
+# energy_uj counters -> J and QPS/W). TPU chip power isn't exposed to the
+# host, so this measures HOST package energy — still the fork's own
+# methodology (it measured the CPU running the index). Gracefully reports
+# unavailability where powercap doesn't exist (VMs, this image).
+# ---------------------------------------------------------------------------
+
+_RAPL_ROOT = "/sys/class/powercap"
+
+
+def rapl_available() -> bool:
+    import glob
+
+    return bool(glob.glob(os.path.join(_RAPL_ROOT, "intel-rapl:*",
+                                       "energy_uj")))
+
+
+def _read_energy_uj() -> int:
+    import glob
+
+    total = 0
+    for p in glob.glob(os.path.join(_RAPL_ROOT, "intel-rapl:*",
+                                    "energy_uj")):
+        try:
+            with open(p) as f:
+                total += int(f.read().strip())
+        except OSError:
+            pass
+    return total
+
+
+class EnergyMonitor:
+    """Context manager: joules + mean watts over the enclosed block
+    (fork tutorial/cpp/t-energy.cpp:30-71 semantics). `joules` is None
+    when RAPL is unavailable. Handles one counter wraparound per domain
+    heuristically (counters are 32/64-bit microjoules)."""
+
+    def __init__(self):
+        self.joules: Optional[float] = None
+        self.seconds: float = 0.0
+
+    def __enter__(self):
+        self._avail = rapl_available()
+        self._t0 = time.time()
+        self._e0 = _read_energy_uj() if self._avail else 0
+        return self
+
+    def __exit__(self, *exc):
+        self.seconds = time.time() - self._t0
+        if self._avail:
+            de = _read_energy_uj() - self._e0
+            if de < 0:          # wrapped
+                de += 1 << 32
+            self.joules = de / 1e6
+        return False
+
+    @property
+    def watts(self) -> Optional[float]:
+        if self.joules is None or self.seconds <= 0:
+            return None
+        return self.joules / self.seconds
+
+    def qps_per_watt(self, nq: int) -> Optional[float]:
+        w = self.watts
+        if not w:
+            return None
+        return (nq / self.seconds) / w
