@@ -61,6 +61,7 @@ def _grouped_kernel(
     # scalar prefetch
     tile_bs_ref,       # (ntiles,) int32: first stream block of tile
     tile_nb_ref,       # (ntiles,) int32: number of stream blocks of tile
+    tile_cs_ref,       # (ntiles,) int32: exclusive cumsum of chunk counts
     # tensor inputs
     qv_ref,            # (PT, d) VMEM bf16: tile's pair query vectors
     qn_ref,            # (PT, 1) VMEM f32: tile's pair query norms
@@ -86,14 +87,19 @@ def _grouped_kernel(
     RW: int = 0,
 ):
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     bs = tile_bs_ref[t]
     nb = tile_nb_ref[t]
+    cs = tile_cs_ref[t]
     nchunks = jnp.minimum(lax.div(nb + CB - 1, CB), max_chunks)
     PT = qv_ref.shape[0]
 
-    def start_dma(c, slot):
-        # contiguous CB-block slice of the stream starting at bs + c*CB
-        off = bs + c * CB
+    # DMA slots are assigned by GLOBAL chunk parity (cs + c), so a tile's
+    # first chunk can be prefetched by the PREVIOUS tile's epilogue — the
+    # cold per-tile DMA wait otherwise serializes every tile boundary
+    # (tiles average only a few chunks at small nprobe, so that cold wait
+    # was ~1/3 of all stream DMAs).
+    def start_dma_at(off, slot):
         pltpu.make_async_copy(
             data_hbm.at[pl.ds(off, CB)], dbuf.at[slot], sems.at[slot, 0]
         ).start()
@@ -103,6 +109,20 @@ def _grouped_kernel(
         pltpu.make_async_copy(
             norms_hbm.at[pl.ds(off, CB)], nbuf.at[slot], sems.at[slot, 2]
         ).start()
+
+    def start_dma(c, slot):
+        # contiguous CB-block slice of the stream starting at bs + c*CB
+        start_dma_at(bs + c * CB, slot)
+
+    def slot_of(c):
+        return lax.rem(cs + c, 2)
+
+    def start_next_tile(slot):
+        # prefetch tile t+1's first chunk; skipped for empty successors
+        # (they issue no DMAs; an empty tile forwards the start itself)
+        @pl.when((t + 1 < nt) & (tile_nb_ref[t + 1] > 0))
+        def _():
+            start_dma_at(tile_bs_ref[t + 1], slot)
 
     def wait_dma(c, slot):
         off = bs + c * CB
@@ -116,9 +136,15 @@ def _grouped_kernel(
             norms_hbm.at[pl.ds(off, CB)], nbuf.at[slot], sems.at[slot, 2]
         ).wait()
 
-    @pl.when(nchunks > 0)
+    @pl.when((t == 0) & (nchunks > 0))
     def _():
-        start_dma(0, 0)
+        start_dma(0, slot_of(0))
+
+    @pl.when(nchunks == 0)
+    def _():
+        # empty tile: forward the cross-tile prefetch (parity unchanged:
+        # this tile contributes no chunks to the global count)
+        start_next_tile(slot_of(0))
 
     qv = qv_ref[:]                                    # (PT, d) bf16
     qn = qn_ref[:]                                    # (PT, 1) f32
@@ -127,11 +153,15 @@ def _grouped_kernel(
 
     def chunk_body(c, carry):
         bd, bp = carry                                # (PT, k) each
-        slot = lax.rem(c, 2)
+        slot = slot_of(c)
 
         @pl.when(c + 1 < nchunks)
         def _():
-            start_dma(c + 1, lax.rem(c + 1, 2))
+            start_dma(c + 1, slot_of(c + 1))
+
+        @pl.when(c + 1 == nchunks)
+        def _():
+            start_next_tile(slot_of(c + 1))
 
         wait_dma(c, slot)
         chunk = dbuf[slot]
@@ -372,13 +402,17 @@ def scan_invlists_fused(
     tile_bs = jnp.minimum(tile_bs, tile_be)          # empty tile -> 0 len
     tile_nb = tile_be - tile_bs
     max_chunks = int(-(-NB // CB)) + 1
+    # exclusive cumsum of per-tile chunk counts: global chunk parity for
+    # the cross-tile DMA slot scheme (must mirror the kernel's nchunks)
+    tile_nc = jnp.minimum((tile_nb + CB - 1) // CB, max_chunks)
+    tile_cs = (jnp.cumsum(tile_nc) - tile_nc).astype(jnp.int32)
 
     # ndis: rows scanned incl. block padding (IndexIVFStats.ndis analog)
     ndis = jnp.sum(jnp.where(l_flat >= 0,
                              nblk[jnp.maximum(l_flat, 0)], 0)) * B
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((1, PT, dp), lambda t, *_: (t, 0, 0)),
@@ -402,11 +436,11 @@ def scan_invlists_fused(
         ],
     )
 
-    def kern(tile_bs_ref, tile_nb_ref, qv_ref, qn_ref, ps_ref, pe_ref,
-             data_hbm, ids_hbm, norms_hbm, outd_ref, outp_ref,
-             dbuf, ibuf, nbuf, sems):
+    def kern(tile_bs_ref, tile_nb_ref, tile_cs_ref, qv_ref, qn_ref,
+             ps_ref, pe_ref, data_hbm, ids_hbm, norms_hbm,
+             outd_ref, outp_ref, dbuf, ibuf, nbuf, sems):
         _grouped_kernel(
-            tile_bs_ref, tile_nb_ref,
+            tile_bs_ref, tile_nb_ref, tile_cs_ref,
             qv_ref[0], qn_ref[0], ps_ref[0], pe_ref[0],
             data_hbm, ids_hbm, norms_hbm,
             outd_ref.at[0], outp_ref.at[0],
@@ -433,7 +467,7 @@ def scan_invlists_fused(
             jax.ShapeDtypeStruct((ntiles, kp, PT), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_bs.astype(jnp.int32), tile_nb.astype(jnp.int32),
+    )(tile_bs.astype(jnp.int32), tile_nb.astype(jnp.int32), tile_cs,
       qv_t, qn_t, ps_t, pe_t, data, ids, norms)
 
     # ---- un-sort pairs, merge per query ----------------------------------
