@@ -140,7 +140,15 @@ def _shard_bounds(n: int, nshard: int) -> np.ndarray:
 
 
 _WORKER_SRC = r"""
+import os
 import sys
+plat = os.environ.get("JAX_PLATFORMS")
+if plat:
+    # pin the platform BEFORE tpu_ann pulls in jax: the env var alone is
+    # not enough when a sitecustomize registers a remote backend whose
+    # init can block (see demos/_bootstrap.py)
+    import jax
+    jax.config.update("jax_platforms", plat)
 from tpu_ann.utils.offline_pipeline import shard_add_worker
 shard_add_worker(sys.argv[1], int(sys.argv[2]))
 """
@@ -210,10 +218,17 @@ class OfflineIVFPipeline:
 
     def _step_shard(self, i: int) -> None:
         if self.cfg.use_subprocess:
+            env = dict(os.environ)
+            import jax
+
+            if jax.default_backend() == "cpu":
+                # the parent was pinned to CPU (tests, dev boxes): the
+                # worker must not try to grab the accelerator backend
+                env["JAX_PLATFORMS"] = "cpu"
             subprocess.run(
                 [sys.executable, "-c", _WORKER_SRC, self.cfg.workdir,
                  str(i)],
-                check=True)
+                check=True, env=env)
         else:
             shard_add_worker(self.cfg.workdir, i)
 
