@@ -84,56 +84,65 @@ def main():
         return best
 
     # --- config 1: Flat bf16 + approx top-k + f32 refine -------------------
-    flat = IndexFlatL2(d)
-    flat.compute_dtype = "bfloat16"
-    flat.approx_topk = True
-    flat.refine_factor = 2
-    t2 = time.time()
-    flat.add(xb)
-    t_build_flat = time.time() - t2
-    Dv, Iv = flat.search(xq, k)  # compile + warm (incl. transfers)
-    rec = recall_k_at_k(Iv, gt, k)
-    t_dev = time_device(lambda: flat.search_device(xq_dev, k))
-    qps = nq / t_dev
-    ta = time.time()
-    flat.search(xq, k)
-    t_e2e = time.time() - ta
-    log(f"Flat(bf16,approx,refine2): recall@10={rec:.4f} "
-        f"qps(device)={qps:.0f} qps(incl-tunnel-copies)={nq/t_e2e:.0f} "
-        f"build={t_build_flat:.1f}s")
-    if rec >= 0.9:
-        results.append(("FlatL2 bf16+approx+refine2", rec, qps,
-                        t_build_flat))
-    flat.reset()
-    del flat
+    # each config is fenced: one config failing (e.g. a kernel-compile
+    # regression on a fresh toolchain) must not take the headline down
+    try:
+        flat = IndexFlatL2(d)
+        flat.compute_dtype = "bfloat16"
+        flat.approx_topk = True
+        flat.refine_factor = 2
+        t2 = time.time()
+        flat.add(xb)
+        t_build_flat = time.time() - t2
+        Dv, Iv = flat.search(xq, k)  # compile + warm (incl. transfers)
+        rec = recall_k_at_k(Iv, gt, k)
+        t_dev = time_device(lambda: flat.search_device(xq_dev, k))
+        qps = nq / t_dev
+        ta = time.time()
+        flat.search(xq, k)
+        t_e2e = time.time() - ta
+        log(f"Flat(bf16,approx,refine2): recall@10={rec:.4f} "
+            f"qps(device)={qps:.0f} qps(incl-tunnel-copies)={nq/t_e2e:.0f} "
+            f"build={t_build_flat:.1f}s")
+        if rec >= 0.9:
+            results.append(("FlatL2 bf16+approx+refine2", rec, qps,
+                            t_build_flat))
+        flat.reset()
+        del flat
+    except Exception as e:  # noqa: BLE001
+        log(f"Flat config failed: {e!r}")
 
     # --- config 2: IVF4096,Flat sweep --------------------------------------
-    t3 = time.time()
-    index = make_ivf_flat(d, nlist)
-    index.approx_topk = True     # hardware approx_max_k chunk selection
-    index.cp.niter = 10
-    index.train(xt)
-    t_train = time.time() - t3
-    t4 = time.time()
-    index.add(xb)
-    t_add = time.time() - t4
-    log(f"IVF train {t_train:.1f}s add {t_add:.1f}s "
-        f"imbalance {index.imbalance_factor():.2f}")
-    _, mnb = index._effective_params(None)
-    for nprobe in (4, 8, 16):
-        p = SearchParametersIVF(nprobe=nprobe)
-        Dv, Iv = index.search(xq, k, params=p)
-        rec = recall_k_at_k(Iv, gt, k)
-        t_dev = time_device(
-            lambda: index._search_device(xq_dev, k, nprobe, mnb))
-        qps = nq / t_dev
-        log(f"IVF nprobe={nprobe}: recall@10={rec:.4f} qps(device)={qps:.0f}")
-        if rec >= 0.9:
-            results.append((f"IVF{nlist},Flat nprobe={nprobe}", rec, qps,
-                            t_train + t_add))
+    try:
+        t3 = time.time()
+        index = make_ivf_flat(d, nlist)
+        index.approx_topk = True     # hardware approx_max_k chunk selection
+        index.cp.niter = 10
+        index.train(xt)
+        t_train = time.time() - t3
+        t4 = time.time()
+        index.add(xb)
+        t_add = time.time() - t4
+        log(f"IVF train {t_train:.1f}s add {t_add:.1f}s "
+            f"imbalance {index.imbalance_factor():.2f}")
+        _, mnb = index._effective_params(None)
+        for nprobe in (4, 8, 16):
+            p = SearchParametersIVF(nprobe=nprobe)
+            Dv, Iv = index.search(xq, k, params=p)
+            rec = recall_k_at_k(Iv, gt, k)
+            t_dev = time_device(
+                lambda: index._search_device(xq_dev, k, nprobe, mnb))
+            qps = nq / t_dev
+            log(f"IVF nprobe={nprobe}: recall@10={rec:.4f} "
+                f"qps(device)={qps:.0f}")
+            if rec >= 0.9:
+                results.append((f"IVF{nlist},Flat nprobe={nprobe}", rec,
+                                qps, t_train + t_add))
+    except Exception as e:  # noqa: BLE001
+        log(f"IVF config failed: {e!r}")
 
     if not results:
-        results.append(("none-reached-0.9", rec, qps, t_train + t_add))
+        results.append(("none-reached-0.9", 0.0, 0.0, 0.0))
     name, rec, qps, tb = max(results, key=lambda r: r[2])
     baseline = 10511.0
     print(json.dumps({
