@@ -362,6 +362,7 @@ def build_tiles_fused(
     *,
     order: Optional[np.ndarray] = None,
     b: int = 128,
+    verbose: bool = False,
 ) -> FusedTileGraph:
     """FusedTileGraph from vectors (node-id order) + level-0 graph.
     Same spatial layout as build_tiles; storage goes through
@@ -369,6 +370,9 @@ def build_tiles_fused(
     unchanged (tile i == list i, position == packed row)."""
     from .ivf_scan import pack_invlists
 
+    import time as _time
+
+    t0 = _time.time()
     x = np.ascontiguousarray(np.asarray(x), np.float32)
     n, d = x.shape
     if order is None:
@@ -383,6 +387,10 @@ def build_tiles_fused(
     xs = x[order]
     il = pack_invlists(xs, np.arange(n, dtype=np.int64), assign, T,
                        block_size=b)
+    if verbose:
+        print(f"build_tiles: pack+upload {_time.time()-t0:.1f}s",
+              flush=True)
+        t0 = _time.time()
 
     # tiles are contiguous position ranges: centroid = padded reshape-sum
     # (np.add.at is a serialized scatter — ~2 min at 1M)
@@ -404,6 +412,9 @@ def build_tiles_fused(
 
     orig_ids = np.full(T * b, -1, np.int32)
     orig_ids[:n] = order.astype(np.int32)
+    if verbose:
+        print(f"build_tiles: centroids+adjacency {_time.time()-t0:.1f}s",
+              flush=True)
 
     return FusedTileGraph(
         il=il,
