@@ -37,6 +37,9 @@ class IndexFlat(Index):
         # (ops/flat_knn_pallas.py — scores never leave VMEM); "xla":
         # always the blocked-GEMM path; "fused": always the kernel
         self.scan_mode = "auto"
+        # chunk-loop strategy of the fused kernel (see flat_knn_fused):
+        # 'fori' | 'grid' | 'pipe'
+        self.fused_schedule = "fori"
 
     # --- storage ----------------------------------------------------------
     def _ensure_capacity(self, n_new: int) -> None:
@@ -120,6 +123,7 @@ class IndexFlat(Index):
             valid_n=jnp.int32(self.ntotal), id_mask=id_mask,
             R=4096, W=1024,
             refine=max(4, self.refine_factor),
+            schedule=self.fused_schedule,
         )
 
     def search_device(self, xq_dev: jnp.ndarray, k: int):
