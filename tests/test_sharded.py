@@ -234,3 +234,31 @@ def test_sharded_fused_scan_matches_plain(mesh, rng):
     overlap = np.mean([len(set(I1[q]) & set(I0[q])) / k
                        for q in range(nq)])
     assert overlap >= 0.95, overlap
+
+
+def test_sharded_refine(mesh):
+    """sharded_refine == exact distances over the candidate set
+    (IndexRefineFlat's k_factor step on the mesh)."""
+    import jax.numpy as jnp
+
+    from tpu_ann.ops import distances as D
+    from tpu_ann.parallel import sharded_refine
+
+    rs = np.random.RandomState(4)
+    n, d, nq, k, R = 256, 16, 8, 5, 12
+    xb = rs.randn(n, d).astype(np.float32)
+    xq = rs.randn(nq, d).astype(np.float32)
+    # candidate pool: random ids + some -1 holes
+    cand = rs.randint(0, n, size=(nq, R)).astype(np.int32)
+    cand[:, -1] = -1
+    Dv, Iv = sharded_refine(jnp.asarray(xq), jnp.asarray(cand),
+                            jnp.asarray(xb), k, mesh=mesh)
+    Dv, Iv = np.asarray(Dv), np.asarray(Iv)
+    # oracle: exact L2 over the candidate set per query
+    for q in range(nq):
+        ids = cand[q][cand[q] >= 0]
+        dis = ((xq[q][None] - xb[ids]) ** 2).sum(1)
+        order = np.argsort(dis)[:k]
+        np.testing.assert_allclose(np.sort(Dv[q]), np.sort(dis[order]),
+                                   rtol=1e-4, atol=1e-4)
+        assert set(Iv[q]) == set(ids[order])

@@ -8,4 +8,5 @@ from .sharded import (  # noqa: F401
     sharded_ivf_scan_pq,
     sharded_kmeans_iter,
     sharded_knn,
+    sharded_refine,
 )

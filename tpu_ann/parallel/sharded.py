@@ -319,6 +319,63 @@ def sharded_ivf_scan_pq(
               list_nblocks, pq_centroids, coarse_centroids)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "mesh"))
+def sharded_refine(
+    xq: jnp.ndarray,
+    cand_ids: jnp.ndarray,
+    xb: jnp.ndarray,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    mesh: Mesh,
+):
+    """Exact re-rank of candidate ids against row-sharded full-precision
+    storage — IndexRefineFlat's k_factor step at mesh scale (the sharded
+    coded scan supplies the candidates; IndexRefine.h semantics).
+
+    Each shard scores only the candidates whose rows it owns (the rest
+    contribute worst-value), an all_gather-min combines ownership, and
+    top-k runs on the replica-split queries. xb must be evenly
+    divisible by the shard axis (shard_rows); cand_ids is (nq, R)
+    GLOBAL ids with -1 = empty slot. Returns replicated (D, I)."""
+    n_shards = mesh.shape["shard"]
+    shard_size = xb.shape[0] // n_shards
+    similarity = D.is_similarity_metric(metric)
+    worst = D.worst_value(metric)
+
+    def local(xq_l, cand_l, xb_l):
+        base = lax.axis_index("shard") * shard_size
+        lid = cand_l - base
+        ok = (cand_l >= 0) & (lid >= 0) & (lid < shard_size)
+        rows = xb_l[jnp.clip(lid, 0, shard_size - 1)]     # (nq_l, R, d)
+        if similarity:
+            dis = jnp.einsum("qd,qrd->qr", xq_l, rows)
+        else:
+            dif = xq_l[:, None, :] - rows
+            dis = jnp.sum(dif * dif, axis=-1)
+        dis = jnp.where(ok, dis, worst)
+        # every candidate id is owned by exactly one shard
+        dg = lax.all_gather(dis, "shard")                 # (S, nq_l, R)
+        dis = dg.max(0) if similarity else dg.min(0)
+        kk = min(k, cand_l.shape[1])
+        nd, sel = lax.top_k(dis if similarity else -dis, kk)
+        d_m = nd if similarity else -nd
+        i_m = jnp.take_along_axis(cand_l, sel, axis=1)
+        i_m = jnp.where(d_m == worst, -1, i_m)
+        d_all = lax.all_gather(d_m, "replica", axis=0, tiled=True)
+        i_all = lax.all_gather(i_m, "replica", axis=0, tiled=True)
+        return d_all, i_all
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("replica", None), P("replica", None),
+                  P("shard", None)),
+        out_specs=(P(None, None), P(None, None)),
+    )
+    return fn(xq, cand_ids, xb)
+
+
 def kmeans_distributed(
     x: np.ndarray,
     k: int,
