@@ -119,10 +119,14 @@ def _grouped_kernel(
 
     def start_next_tile(slot):
         # prefetch tile t+1's first chunk; skipped for empty successors
-        # (they issue no DMAs; an empty tile forwards the start itself)
-        @pl.when((t + 1 < nt) & (tile_nb_ref[t + 1] > 0))
+        # (they issue no DMAs; an empty tile forwards the start itself).
+        # Index clamped: both & operands evaluate, so a bare t+1 would
+        # read past the scalar array on the last tile.
+        t_next = jnp.minimum(t + 1, nt - 1)
+
+        @pl.when((t + 1 < nt) & (tile_nb_ref[t_next] > 0))
         def _():
-            start_dma_at(tile_bs_ref[t + 1], slot)
+            start_dma_at(tile_bs_ref[t_next], slot)
 
     def wait_dma(c, slot):
         off = bs + c * CB
