@@ -75,3 +75,46 @@ def test_range_search_max_results_no_tighten(data):
     lims0, D0, I0 = idx.range_search(xq, r0)
     np.testing.assert_array_equal(lims, lims0)
     np.testing.assert_array_equal(np.sort(I), np.sort(I0))
+
+
+def test_index_api_conveniences(data):
+    """assign / reconstruct_batch / search_and_reconstruct / merge_from
+    (faiss/Index.h:104,231,244 + Index::merge_from)."""
+    idx = index_factory(24, "Flat")
+    idx.add(data[:2000])
+
+    lab = idx.assign(data[:5], k=3)
+    assert lab.shape == (5, 3) and (lab[:, 0] == np.arange(5)).all()
+
+    rb = idx.reconstruct_batch([3, 7, 1])
+    np.testing.assert_allclose(rb, data[[3, 7, 1]], rtol=1e-6)
+
+    D, I, R = idx.search_and_reconstruct(data[:4], 2)
+    assert R.shape == (4, 2, 24)
+    np.testing.assert_allclose(R[:, 0], data[:4], rtol=1e-5, atol=1e-5)
+
+    other = index_factory(24, "Flat")
+    other.add(data[2000:2500])
+    idx.merge_from(other)
+    assert idx.ntotal == 2500 and other.ntotal == 0
+    np.testing.assert_allclose(idx.reconstruct(2400), data[2400],
+                               rtol=1e-6)
+
+
+def test_ivf_merge_from(data):
+    from tpu_ann.models.ivf import make_ivf_flat
+
+    a = make_ivf_flat(24, 16)
+    a.cp.niter = 4
+    a.train(data[:1500])
+    b = make_ivf_flat(24, 16)
+    b.quantizer = a.quantizer          # shared trained quantizer
+    b.is_trained = True
+    b._cent_dev = getattr(a, "_cent_dev", None)
+    a.add_with_ids(data[:1000], np.arange(1000, dtype=np.int64))
+    b.add_with_ids(data[1000:1600],
+                   np.arange(1000, 1600, dtype=np.int64))
+    a.merge_from(b)
+    assert a.ntotal == 1600 and b.ntotal == 0
+    D, I = a.search(data[1200:1210], 1)
+    assert (I[:, 0] == np.arange(1200, 1210)).all()

@@ -126,6 +126,11 @@ class Index:
                             list_scan_us=t.us)
         return D, I, stats
 
+    def assign(self, x, k: int = 1) -> np.ndarray:
+        """Labels only (faiss/Index.h:104 Index::assign)."""
+        _, labels = self.search(x, k)
+        return labels
+
     def reset(self) -> None:
         raise NotImplementedError
 
@@ -134,6 +139,40 @@ class Index:
 
     def reconstruct_n(self, i0: int, ni: int) -> np.ndarray:
         return np.stack([self.reconstruct(i) for i in range(i0, i0 + ni)])
+
+    def reconstruct_batch(self, keys) -> np.ndarray:
+        """Reconstruct arbitrary keys (faiss/Index.h:231). Default loops
+        reconstruct(), like the reference's fallback."""
+        keys = np.asarray(keys, np.int64).reshape(-1)
+        if len(keys) == 0:
+            return np.zeros((0, self.d), np.float32)
+        return np.stack([self.reconstruct(int(kk)) for kk in keys])
+
+    def search_and_reconstruct(self, x, k: int):
+        """(D, I, R) with R (nq, k, d) reconstructed result vectors;
+        R rows for -1 labels are zero (faiss/Index.h:244)."""
+        D_, I_ = self.search(x, k)
+        flat = np.asarray(I_, np.int64).reshape(-1)
+        ok = flat >= 0
+        R = np.zeros((len(flat), self.d), np.float32)
+        if ok.any():
+            R[ok] = self.reconstruct_batch(flat[ok])
+        return D_, I_, R.reshape(len(I_), k, self.d)
+
+    def merge_from(self, other, add_id: int = 0) -> None:
+        """Move other's vectors into self (faiss Index::merge_from).
+        Default: reconstruct-and-re-add (valid for any index that can
+        reconstruct); IVF indexes override with a list-level merge."""
+        if type(other) is not type(self):
+            raise ValueError("merge_from: index types differ")
+        if other.ntotal:
+            x = other.reconstruct_n(0, other.ntotal)
+            if hasattr(self, "add_with_ids") and add_id:
+                self.add_with_ids(
+                    x, np.arange(add_id, add_id + len(x), dtype=np.int64))
+            else:
+                self.add(x)
+        other.reset()
 
     # --- codec API (faiss/Index.h:217-244) ------------------------------
     def sa_code_size(self) -> int:

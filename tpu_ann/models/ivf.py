@@ -644,6 +644,20 @@ class IndexIVF(Index):
             nlist_visited=len(x) * probes_dev.shape[1])
         return Dv, Iv, stats
 
+    def merge_from(self, other, add_id: int = 0) -> None:
+        """List-level merge (IndexIVF::merge_from): moves other's chunks
+        into self without re-encoding; both must share the trained
+        quantizer. add_id is unsupported at the list level (the
+        reference applies it to flat codes only) — re-add with offset
+        ids instead."""
+        if add_id:
+            raise ValueError("IndexIVF.merge_from: add_id unsupported; "
+                             "use add_with_ids with offset ids")
+        from ..utils.contrib import merge_indexes
+
+        merge_indexes(self, [other])
+        other.reset()
+
     def remove_ids(self, sel) -> int:
         """Remove stored ids matching an IDSelector
         (IndexIVF::remove_ids via DirectMap). O(affected) device work:
