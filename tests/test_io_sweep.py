@@ -159,6 +159,10 @@ def _build(name, xt, xb):
         idx = M.IndexBinaryHash(D_, 8)
         idx.add(np.packbits(xb > 0, axis=1)[:, : D_ // 8])
         return idx
+    if name == "IndexBinaryMultiHash":
+        idx = M.IndexBinaryMultiHash(D_, 2, 8)
+        idx.add(np.packbits(xb > 0, axis=1)[:, : D_ // 8])
+        return idx
     if name == "IndexBinaryFromFloat":
         idx = M.IndexBinaryFromFloat(M.IndexFlat(D_))
         idx.add(np.packbits(xb > 0, axis=1)[:, : D_ // 8])

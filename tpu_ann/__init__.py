@@ -87,6 +87,7 @@ from .models.binary import (  # noqa: F401
     IndexBinaryHash,
     IndexBinaryHNSW,
     IndexBinaryIVF,
+    IndexBinaryMultiHash,
 )
 from .models.extra import (  # noqa: F401
     Index2Layer,
@@ -123,7 +124,7 @@ from .utils.autotune import (  # noqa: F401
     OperatingPoints,
     ParameterSpace,
 )
-from .utils.factory import index_factory  # noqa: F401
+from .utils.factory import index_binary_factory, index_factory  # noqa: F401
 from .utils.index_io import read_index, write_index  # noqa: F401
 from .utils.interrupt import InterruptCallback, TimeoutGuard  # noqa: F401
 

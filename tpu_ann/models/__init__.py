@@ -46,6 +46,7 @@ from .binary import (  # noqa: F401
     IndexBinaryHash,
     IndexBinaryHNSW,
     IndexBinaryIVF,
+    IndexBinaryMultiHash,
 )
 from .extra import (  # noqa: F401
     Index2Layer,

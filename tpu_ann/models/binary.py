@@ -20,6 +20,24 @@ from ..ops import hamming as H
 from ..ops.kmeans import ClusteringParameters, kmeans
 
 
+_POPCNT_LUT = np.array([bin(v).count("1") for v in range(256)], np.int32)
+
+
+def _csr_from_hits(nq, hits_d, hits_i):
+    """Compact per-query hit lists into the (lims, D, I) CSR triple
+    (faiss RangeSearchResult; distances int32 for binary indexes)."""
+    lims = np.zeros(nq + 1, np.int64)
+    for i in range(nq):
+        lims[i + 1] = lims[i] + sum(len(h) for h in hits_d[i])
+    dd = np.zeros(lims[-1], np.int32)
+    ii = np.zeros(lims[-1], np.int64)
+    for i in range(nq):
+        if lims[i + 1] > lims[i]:
+            dd[lims[i]: lims[i + 1]] = np.concatenate(hits_d[i])
+            ii[lims[i]: lims[i + 1]] = np.concatenate(hits_i[i])
+    return lims, dd, ii
+
+
 def _check_codes(x, d: int) -> np.ndarray:
     x = np.ascontiguousarray(x, np.uint8)
     if x.ndim == 1:
@@ -79,6 +97,52 @@ class IndexBinaryFlat(IndexBinary):
     def reconstruct(self, key: int) -> np.ndarray:
         return np.asarray(self._codes[key])
 
+    def range_search(self, x, radius: int):
+        """All database codes with Hamming distance < radius
+        (IndexBinaryFlat::range_search -> hamming_range_search_*,
+        utils/hamming.cpp:307 keeps ``dis < radius``)."""
+        x = _check_codes(x, self.d)
+        nq = len(x)
+        if self.ntotal == 0:
+            return (np.zeros(nq + 1, np.int64), np.zeros(0, np.int32),
+                    np.zeros(0, np.int64))
+        import jax.lax as lax
+
+        hits_d = [[] for _ in range(nq)]
+        hits_i = [[] for _ in range(nq)]
+        db_block = 131072
+        for q0 in range(0, nq, 1024):
+            q1 = min(q0 + 1024, nq)
+            xq = jnp.asarray(x[q0:q1])
+            for b0 in range(0, self.ntotal, db_block):
+                b1 = min(b0 + db_block, self.ntotal)
+                xor = self._codes[b0:b1][None, :, :] ^ xq[:, None, :]
+                dis = np.asarray(jnp.sum(
+                    lax.population_count(xor).astype(jnp.int32), axis=-1))
+                qi, bi = np.nonzero(dis < radius)
+                for row in np.unique(qi):
+                    sel = qi == row
+                    hits_d[q0 + row].append(dis[row, bi[sel]])
+                    hits_i[q0 + row].append(b0 + bi[sel])
+        return _csr_from_hits(nq, hits_d, hits_i)
+
+    def remove_ids(self, sel) -> int:
+        """Remove matching codes; survivors renumber sequentially
+        (IndexBinaryFlat::remove_ids / IndexFlatCodes semantics). `sel`
+        is an IDSelector or an array of positions."""
+        if self.ntotal == 0:
+            return 0
+        if hasattr(sel, "make_bitmap"):
+            keep = sel.make_bitmap(self.ntotal) == 0
+        else:
+            keep = np.ones(self.ntotal, bool)
+            keep[np.asarray(sel, np.int64)] = False
+        codes = np.asarray(self._codes)[keep]
+        removed = self.ntotal - len(codes)
+        self._codes = jnp.asarray(codes) if len(codes) else None
+        self.ntotal = len(codes)
+        return removed
+
     def reset(self) -> None:
         self._codes, self.ntotal = None, 0
 
@@ -134,13 +198,17 @@ class IndexBinaryIVF(IndexBinary):
             codes, ids, assign.astype(np.int64), self.nlist, block_size=64
         )
 
-    def search(self, x, k: int):
-        x = _check_codes(x, self.d)
+    def _probed_distances(self, x: np.ndarray):
+        """Hamming distances over the probed blocks: (nq, P*B) int32
+        distances (32767 at padding) and matching ids. Shared by search
+        and range_search (role of BinaryInvertedListScanner)."""
+        import jax.lax as lax
+
         _, probes = self.quantizer.search(x, min(self.nprobe, self.nlist))
         il = self.invlists
         xq = jnp.asarray(x)
-        # gather probed blocks, popcount distances, top-k (small-scale
-        # Hamming scan; block layout shared with the float IVF)
+        # gather probed blocks, popcount distances (small-scale Hamming
+        # scan; block layout shared with the float IVF)
         starts = np.asarray(il.list_block_start)[probes]
         nblk = np.asarray(il.list_nblocks)[probes]
         mnb = il.max_nblocks_per_list
@@ -152,17 +220,36 @@ class IndexBinaryIVF(IndexBinary):
         vids = il.ids[jnp.asarray(blk)]
         nq, P, B, nbytes = codes.shape
         xor = codes ^ xq[:, None, None, :]
-        import jax.lax as lax
-
         dis = jnp.sum(lax.population_count(xor).astype(jnp.int32), axis=-1)
         dis = jnp.where(vids >= 0, dis, 32767)
-        dis = dis.reshape(nq, P * B)
-        vids = vids.reshape(nq, P * B)
+        return dis.reshape(nq, P * B), vids.reshape(nq, P * B)
+
+    def search(self, x, k: int):
+        import jax.lax as lax
+
+        x = _check_codes(x, self.d)
+        dis, vids = self._probed_distances(x)
         nv, pos = lax.top_k(-dis, min(k, dis.shape[1]))
         Dv = -np.asarray(nv)
         Iv = np.asarray(jnp.take_along_axis(vids, pos, axis=1), np.int64)
         Iv[Dv >= 32767] = -1
         return Dv, Iv
+
+    def range_search(self, x, radius: int):
+        """Hits with Hamming distance < radius over the probed lists
+        (IndexBinaryIVF::range_search)."""
+        x = _check_codes(x, self.d)
+        nq = len(x)
+        dis, vids = (np.asarray(a) for a in self._probed_distances(x))
+        vids = np.asarray(vids, np.int64)
+        hits_d = [[] for _ in range(nq)]
+        hits_i = [[] for _ in range(nq)]
+        for i in range(nq):
+            m = (dis[i] < radius) & (vids[i] >= 0)
+            if m.any():
+                hits_d[i].append(dis[i][m])
+                hits_i[i].append(vids[i][m])
+        return _csr_from_hits(nq, hits_d, hits_i)
 
     def reset(self) -> None:
         self._codes_host, self._ids_host = [], []
@@ -284,7 +371,6 @@ class IndexBinaryHash(IndexBinary):
         Dv = np.full((nq, k), 32767, np.int32)
         Iv = np.full((nq, k), -1, np.int64)
         hashes = self._hash(x)
-        lut = np.array([bin(v).count("1") for v in range(256)], np.int32)
         for i in range(nq):
             cand: List[int] = []
             for h in self._candidate_buckets(int(hashes[i])):
@@ -292,14 +378,142 @@ class IndexBinaryHash(IndexBinary):
             if not cand:
                 continue
             cand_a = np.asarray(cand)
-            dis = lut[np.bitwise_xor(self._codes[cand_a],
-                                     x[i][None, :])].sum(1)
+            dis = _POPCNT_LUT[np.bitwise_xor(self._codes[cand_a],
+                                             x[i][None, :])].sum(1)
             order = np.argsort(dis)[:k]
             Dv[i, : len(order)] = dis[order]
             Iv[i, : len(order)] = cand_a[order]
         return Dv, Iv
 
+    def range_search(self, x, radius: int):
+        """Hits with Hamming distance < radius among the candidate
+        buckets (IndexBinaryHash::range_search,
+        IndexBinaryHash.cpp:204)."""
+        x = _check_codes(x, self.d)
+        nq = len(x)
+        hits_d = [[] for _ in range(nq)]
+        hits_i = [[] for _ in range(nq)]
+        hashes = self._hash(x)
+        for i in range(nq):
+            cand: List[int] = []
+            for h in self._candidate_buckets(int(hashes[i])):
+                cand.extend(self._buckets.get(h, ()))
+            if not cand:
+                continue
+            cand_a = np.asarray(cand)
+            dis = _POPCNT_LUT[np.bitwise_xor(self._codes[cand_a],
+                                             x[i][None, :])].sum(1)
+            m = dis < radius
+            if m.any():
+                hits_d[i].append(dis[m].astype(np.int32))
+                hits_i[i].append(cand_a[m].astype(np.int64))
+        return _csr_from_hits(nq, hits_d, hits_i)
+
     def reset(self) -> None:
         self._codes = None
         self._buckets = {}
+        self.ntotal = 0
+
+
+class IndexBinaryMultiHash(IndexBinary):
+    """nhash independent prefix-hash tables over consecutive b-bit slices
+    of the code (faiss IndexBinaryMultiHash, IndexBinaryHash.h:83-123):
+    each vector is registered in every map; search takes the deduplicated
+    union of candidates within `nflip` bit flips per map and Hamming-scans
+    it against the flat storage."""
+
+    def __init__(self, d: int, nhash: int, b: int):
+        super().__init__(d)
+        if b > 24:
+            raise ValueError("hash prefix b too large (max 24)")
+        if nhash * b > d:
+            raise ValueError("nhash * b must be <= d")
+        self.nhash = int(nhash)
+        self.b = int(b)
+        self.nflip = 1
+        self.storage = IndexBinaryFlat(d)
+        self._maps: List[dict] = [{} for _ in range(self.nhash)]
+
+    def _hashes(self, codes: np.ndarray) -> np.ndarray:
+        """(n, nhash) int64: hash h is bits [h*b, (h+1)*b)."""
+        bits = np.asarray(H.unpack_bits(jnp.asarray(codes)))
+        weights = (1 << np.arange(self.b)).astype(np.int64)
+        out = np.empty((len(codes), self.nhash), np.int64)
+        for h in range(self.nhash):
+            sl = bits[:, h * self.b: (h + 1) * self.b]
+            out[:, h] = (sl.astype(np.int64) * weights[None, :]).sum(1)
+        return out
+
+    def add(self, x) -> None:
+        x = _check_codes(x, self.d)
+        base = self.ntotal
+        self.storage.add(x)
+        hv = self._hashes(x)
+        for i in range(len(x)):
+            for h in range(self.nhash):
+                self._maps[h].setdefault(int(hv[i, h]), []).append(base + i)
+        self.ntotal += len(x)
+
+    def _flips(self, h: int) -> List[int]:
+        out = [h]
+        if self.nflip >= 1:
+            out += [h ^ (1 << i) for i in range(self.b)]
+        if self.nflip >= 2:
+            out += [h ^ (1 << i) ^ (1 << j)
+                    for i in range(self.b) for j in range(i + 1, self.b)]
+        return out
+
+    def _candidates(self, hv_row: np.ndarray) -> np.ndarray:
+        cand: set = set()
+        for h in range(self.nhash):
+            for hh in self._flips(int(hv_row[h])):
+                cand.update(self._maps[h].get(hh, ()))
+        return np.fromiter(cand, np.int64, len(cand))
+
+    def _scan(self, x, radius=None, k=None):
+        nq = len(x)
+        codes = np.asarray(self.storage._codes) if self.ntotal else None
+        hv = self._hashes(x)
+        hits_d = [[] for _ in range(nq)]
+        hits_i = [[] for _ in range(nq)]
+        for i in range(nq):
+            cand_a = self._candidates(hv[i])
+            if not len(cand_a):
+                continue
+            dis = _POPCNT_LUT[np.bitwise_xor(codes[cand_a],
+                                             x[i][None, :])].sum(1)
+            if radius is not None:
+                m = dis < radius
+                cand_a, dis = cand_a[m], dis[m]
+            else:
+                order = np.argsort(dis)[:k]
+                cand_a, dis = cand_a[order], dis[order]
+            if len(cand_a):
+                hits_d[i].append(dis.astype(np.int32))
+                hits_i[i].append(cand_a)
+        return hits_d, hits_i
+
+    def search(self, x, k: int):
+        x = _check_codes(x, self.d)
+        nq = len(x)
+        hits_d, hits_i = self._scan(x, k=k)
+        Dv = np.full((nq, k), 32767, np.int32)
+        Iv = np.full((nq, k), -1, np.int64)
+        for i in range(nq):
+            if hits_d[i]:
+                n = len(hits_d[i][0])
+                Dv[i, :n] = hits_d[i][0]
+                Iv[i, :n] = hits_i[i][0]
+        return Dv, Iv
+
+    def range_search(self, x, radius: int):
+        x = _check_codes(x, self.d)
+        return _csr_from_hits(len(x), *self._scan(x, radius=radius))
+
+    def hashtable_size(self) -> int:
+        return sum(len(m) for m in self._maps)
+
+    def reset(self) -> None:
+        self.storage.reset()
+        self._maps = [{} for _ in range(self.nhash)]
         self.ntotal = 0

@@ -251,6 +251,37 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
 _SQ_NAMES = {v: k for k, v in _SQ_TYPES.items()}
 
 
+def index_binary_factory(d: int, spec: str):
+    """Binary index factory (index_factory.cpp:907-944
+    ``index_binary_factory``): BFlat / BIVF{n} / BIVF{n}_HNSW{M} /
+    BHNSW{M} / BHash{b} / BHash{nhash}x{b}."""
+    import re
+
+    from ..models.binary import (IndexBinaryFlat, IndexBinaryHash,
+                                 IndexBinaryHNSW, IndexBinaryIVF,
+                                 IndexBinaryMultiHash)
+
+    m = re.fullmatch(r"BIVF(\d+)_HNSW(\d+)", spec)
+    if m:
+        return IndexBinaryIVF(IndexBinaryHNSW(d, int(m.group(2))), d,
+                              int(m.group(1)))
+    m = re.fullmatch(r"BIVF(\d+)", spec)
+    if m:
+        return IndexBinaryIVF(IndexBinaryFlat(d), d, int(m.group(1)))
+    m = re.fullmatch(r"BHNSW(\d+)", spec)
+    if m:
+        return IndexBinaryHNSW(d, int(m.group(1)))
+    m = re.fullmatch(r"BHash(\d+)x(\d+)", spec)
+    if m:
+        return IndexBinaryMultiHash(d, int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"BHash(\d+)", spec)
+    if m:
+        return IndexBinaryHash(d, int(m.group(1)))
+    if spec == "BFlat":
+        return IndexBinaryFlat(d)
+    raise ValueError(f"description {spec!r} did not generate a binary index")
+
+
 def get_code_size(d: int, spec: str) -> int:
     """Per-vector storage bytes implied by a factory string
     (contrib/factory_tools.py:get_code_size role; own grammar walk)."""

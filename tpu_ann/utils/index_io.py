@@ -979,6 +979,26 @@ def _load_binhash(meta, arrays):
     return idx
 
 
+def _dump_binmultihash(index):
+    meta = {"tag": "BxMH", "d": index.d, "ntotal": index.ntotal,
+            "nhash": index.nhash, "b": index.b, "nflip": index.nflip}
+    arrays = {}
+    if index.storage._codes is not None:
+        arrays["codes"] = np.asarray(index.storage._codes)
+    return meta, arrays
+
+
+def _load_binmultihash(meta, arrays):
+    from ..models.binary import IndexBinaryMultiHash
+
+    idx = IndexBinaryMultiHash(int(meta["d"]), int(meta["nhash"]),
+                               int(meta["b"]))
+    idx.nflip = int(meta["nflip"])
+    if "codes" in arrays:
+        idx.add(np.asarray(arrays["codes"]))  # rebuilds the maps
+    return idx
+
+
 def _dump_binfromfloat(index):
     meta = {"tag": "BxFF", "d": index.d, "ntotal": index.ntotal}
     arrays = {}
@@ -1397,6 +1417,8 @@ _register("IndexBinaryFlat", "BxFl", _dump_binflat, _load_binflat)
 _register("IndexBinaryIVF", "BwFl", _dump_binivf, _load_binivf)
 _register("IndexBinaryHNSW", "BxHN", _dump_binhnsw, _load_binhnsw)
 _register("IndexBinaryHash", "BxHs", _dump_binhash, _load_binhash)
+_register("IndexBinaryMultiHash", "BxMH", _dump_binmultihash,
+          _load_binmultihash)
 _register("IndexBinaryFromFloat", "BxFF", _dump_binfromfloat,
           _load_binfromfloat)
 _register("IndexLSH", "IxLs", _dump_lsh, _load_lsh)
