@@ -131,3 +131,61 @@ def test_sift_surrogate_stats():
     ds = SiftSurrogateDataset(nt=500, nb=2000, nq=50)
     gt = ds.get_groundtruth(5)
     assert gt.shape == (50, 5)
+
+
+def test_range_search_evaluation(small_ds):
+    """range_PR / filter_range_results / check_ref_range_results
+    (contrib/evaluation.py:30-292) on an exact-vs-partial-probe pair."""
+    from tpu_ann.models.flat import IndexFlat
+    from tpu_ann.models.ivf import make_ivf_flat
+    from tpu_ann.utils.evaluation import (
+        check_ref_knn_with_draws, check_ref_range_results,
+        filter_range_results, range_PR, range_PR_multiple_thresholds)
+
+    xt, xb, xq = (small_ds.get_train(), small_ds.get_database(),
+                  small_ds.get_queries())
+    d = xb.shape[1]
+    flat = IndexFlat(d)
+    flat.add(xb)
+    Dq, _ = flat.search(xq, 10)
+    radius = float(np.median(Dq[:, 9]))
+    Lr, Dr, Ir = flat.range_search(xq, radius)
+    assert Lr[-1] > 0
+
+    # exact result vs itself: perfect PR, and the checker passes
+    p, r = range_PR(Lr, Ir, Lr, Ir)
+    assert p == 1.0 and r == 1.0
+    check_ref_range_results(Lr, Dr, Ir, Lr, Dr, Ir)
+
+    # partial-probe IVF: every hit is true (precision 1), recall < 1 ok
+    ivf = make_ivf_flat(d, nlist=16)
+    ivf.cp.niter = 4
+    ivf.train(xt)
+    ivf.add(xb)
+    ivf.nprobe = 4
+    Ln, Dn, In = ivf.range_search(xq, radius)
+    p, r = range_PR(Lr, Ir, Ln, In, mode="overall")
+    assert p == 1.0 and 0.3 < r <= 1.0
+    pa, ra = range_PR(Lr, Ir, Ln, In, mode="average")
+    assert pa == 1.0 and 0.3 < ra <= 1.0
+
+    # filtering at a smaller threshold only keeps closer hits
+    t2 = radius * 0.5
+    Lf, Df, If = filter_range_results(Ln, Dn, In, t2)
+    assert (Df < t2).all() and Lf[-1] <= Ln[-1]
+
+    # multiple thresholds: recall grows with the threshold
+    pr = range_PR_multiple_thresholds(
+        Lr, Ir, Ln, Dn, In, [t2, radius])
+    assert pr[0, 1] <= pr[1, 1]
+
+    # ties-aware knn comparison: permuting a tie group must pass
+    Dk, Ik = flat.search(xq, 5)
+    Ik2 = Ik.copy()
+    Dk2 = Dk.copy()
+    check_ref_knn_with_draws(Dk, Ik, Dk2, Ik2)
+    # introduce a mismatch -> must raise
+    Ik2[0, 0] = -7
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        check_ref_knn_with_draws(Dk, Ik, Dk2, Ik2)

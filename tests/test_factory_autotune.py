@@ -182,3 +182,28 @@ def test_factory_lsh():
     assert isinstance(idx, IndexLSH) and idx.nbits == 64
     idx = index_factory(64, "LSH128rt")
     assert idx.nbits == 128 and idx.rotate_data and idx.train_thresholds
+
+
+def test_operating_points_with_ranges():
+    """contrib/evaluation.py:357 OperatingPointsWithRanges: cno
+    enumeration, dominance, prediction bounds, range restriction."""
+    from tpu_ann.utils.autotune import OperatingPointsWithRanges
+
+    ops = OperatingPointsWithRanges()
+    ops.add_range("nprobe", [1, 4, 16])
+    ops.add_range("efSearch", [16, 64])
+    assert ops.num_experiments() == 6
+    keys = [ops.cno_to_key(c) for c in range(6)]
+    assert len(set(keys)) == 6 and keys[0] == (0, 0)
+    assert ops.get_parameters((2, 1)) == {"nprobe": 16, "efSearch": 64}
+    assert ops.compare_keys((2, 1), (0, 0)) == 1
+    assert ops.compare_keys((0, 0), (2, 1)) == -1
+    assert ops.compare_keys((2, 0), (0, 1)) == 0
+    # measured: cheap low-recall and expensive high-recall points
+    ops.add(0.5, 0.01, (0, 0))
+    ops.add(0.9, 0.10, (2, 1))
+    max_perf, min_time = ops.predict_bounds((1, 0))
+    assert max_perf == 0.9      # dominated by the (2,1) measurement
+    assert min_time == 0.01     # dominates the (0,0) measurement
+    ops.restrict_range("nprobe", 16)
+    assert ops.num_experiments() == 4

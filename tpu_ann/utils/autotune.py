@@ -98,6 +98,75 @@ class OperatingPoints:
         return out
 
 
+class OperatingPointsWithRanges(OperatingPoints):
+    """Operating points over named parameter ranges, experiments indexed
+    by an integer combination number (contrib/evaluation.py:357
+    ``OperatingPointsWithRanges``): keys are per-parameter value-index
+    tuples, dominance is elementwise (search parameters are assumed
+    monotone — larger value => higher perf, higher cost), and
+    ``predict_bounds`` gives (max-perf, min-time) bounds from already
+    measured dominating/dominated points for sweep pruning."""
+
+    def __init__(self):
+        super().__init__()
+        self.ranges: List[tuple] = []   # (name, [values...])
+
+    def add_range(self, name: str, values) -> None:
+        self.ranges.append((name, list(values)))
+
+    def restrict_range(self, name: str, max_val) -> None:
+        """Drop values >= max_val from a range
+        (contrib OperatingPointsWithRanges.restrict_range)."""
+        for i, (n, vals) in enumerate(self.ranges):
+            if n == name:
+                self.ranges[i] = (n, [v for v in vals if v < max_val])
+                return
+        raise ValueError(f"unknown parameter {name!r}")
+
+    def num_experiments(self) -> int:
+        n = 1
+        for _, vals in self.ranges:
+            n *= len(vals)
+        return n
+
+    def cno_to_key(self, cno: int):
+        """Mixed-radix decode: combination number -> per-parameter value
+        indices (first range varies fastest)."""
+        key = []
+        for _, vals in self.ranges:
+            key.append(cno % len(vals))
+            cno //= len(vals)
+        return tuple(key)
+
+    def get_parameters(self, key) -> Dict[str, float]:
+        return {name: vals[k]
+                for (name, vals), k in zip(self.ranges, key)}
+
+    @staticmethod
+    def compare_keys(k1, k2) -> int:
+        """1 if k1 dominates k2 (>= elementwise), -1 if dominated,
+        0 if incomparable or equal."""
+        ge = all(a >= b for a, b in zip(k1, k2))
+        le = all(a <= b for a, b in zip(k1, k2))
+        if ge and not le:
+            return 1
+        if le and not ge:
+            return -1
+        return 0
+
+    def predict_bounds(self, key):
+        """(max_perf, min_time) bounds for an unmeasured key from the
+        monotonicity assumption over measured points."""
+        max_perf, min_time = 1.0, 0.0
+        for p in self.all_pts:
+            cmp = self.compare_keys(p.key, key)
+            if cmp > 0:       # p dominates key
+                max_perf = min(max_perf, p.perf)
+            elif cmp < 0:     # key dominates p
+                min_time = max(min_time, p.t)
+        return max_perf, min_time
+
+
 # ---------------------------------------------------------------------------
 # parameter space (AutoTune.h:131-205)
 # ---------------------------------------------------------------------------
