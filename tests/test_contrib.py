@@ -189,3 +189,34 @@ def test_range_search_evaluation(small_ds):
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         check_ref_knn_with_draws(Dk, Ik, Dk2, Ik2)
+
+
+def test_extra_wrappers():
+    """kmin/kmax/bucket_sort/rand_smooth_vectors
+    (python/extra_wrappers.py roles)."""
+    from tpu_ann.utils.contrib import (bucket_sort, kmax, kmin,
+                                       rand_smooth_vectors)
+
+    rs = np.random.RandomState(0)
+    D = rs.randn(10, 50).astype(np.float32)
+    vals, idx = kmin(D, 5)
+    ref = np.sort(D, axis=1)[:, :5]
+    assert np.allclose(vals, ref)
+    assert np.allclose(np.take_along_axis(D, idx, 1), vals)
+    vals, idx = kmax(D, 5)
+    assert np.allclose(vals, -np.sort(-D, axis=1)[:, :5])
+
+    tab = rs.randint(0, 8, 100)
+    lims, perm = bucket_sort(tab, 8)
+    assert lims[-1] == 100
+    for b in range(8):
+        seg = perm[lims[b]:lims[b + 1]]
+        assert (tab[seg] == b).all()
+        assert (np.diff(seg) > 0).all()   # stable order
+
+    x = rand_smooth_vectors(100, 32)
+    assert np.allclose(np.linalg.norm(x, axis=1), 1.0, atol=1e-5)
+    # smooth: adjacent-dim correlation far above iid
+    adj = np.mean([np.corrcoef(x[i, :-1], x[i, 1:])[0, 1]
+                   for i in range(100)])
+    assert adj > 0.5

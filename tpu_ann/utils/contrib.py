@@ -351,3 +351,55 @@ def range_search_max_results(
     return (cur_radius, lims,
             np.concatenate(Dout) if Dout else np.zeros(0, np.float32),
             np.concatenate(Iout) if Iout else np.zeros(0, np.int64))
+
+
+# ---------------------------------------------------------------------------
+# small array utilities (python/extra_wrappers.py: kmin/kmax, bucket_sort,
+# rand_smooth_vectors) — device top-k with a numpy fallback.
+# ---------------------------------------------------------------------------
+
+def kmin(D: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row k smallest values and their indices, ascending
+    (extra_wrappers.py ``kmin``)."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    vals, idx = lax.top_k(-jnp.asarray(D), k)
+    return np.asarray(-vals), np.asarray(idx, np.int64)
+
+
+def kmax(D: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row k largest values and their indices, descending
+    (extra_wrappers.py ``kmax``)."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    vals, idx = lax.top_k(jnp.asarray(D), k)
+    return np.asarray(vals), np.asarray(idx, np.int64)
+
+
+def bucket_sort(tab: np.ndarray, nbucket: Optional[int] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Counting sort (extra_wrappers.py ``bucket_sort``): returns
+    (lims (nbucket+1,), perm) with perm[lims[i]:lims[i+1]] = the positions
+    j where tab[j] == i, in increasing j order."""
+    tab = np.asarray(tab).ravel()
+    if nbucket is None:
+        nbucket = int(tab.max(initial=-1)) + 1
+    counts = np.bincount(tab, minlength=nbucket)
+    lims = np.zeros(nbucket + 1, np.int64)
+    np.cumsum(counts[:nbucket], out=lims[1:])
+    perm = np.argsort(tab, kind="stable").astype(np.int64)
+    return lims, perm
+
+
+def rand_smooth_vectors(n: int, d: int, seed: int = 1234) -> np.ndarray:
+    """Random vectors with smooth (low-frequency) structure along the
+    dimension axis, L2-normalized (extra_wrappers.py
+    ``rand_smooth_vectors`` role: more realistic than iid gaussian for
+    recall tests)."""
+    rs = np.random.RandomState(seed)
+    x = np.cumsum(rs.randn(n, d).astype(np.float32), axis=1)
+    x -= x.mean(axis=1, keepdims=True)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
