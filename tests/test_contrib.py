@@ -220,3 +220,161 @@ def test_extra_wrappers():
     adj = np.mean([np.corrcoef(x[i, :-1], x[i, 1:])[0, 1]
                    for i in range(100)])
     assert adj > 0.5
+
+
+def test_two_level_clustering(small_ds):
+    """contrib/clustering.py:24 two_level_clustering +
+    train_ivf_index_with_2level: exact centroid count, balanced budgets,
+    and recall parity with flat k-means training."""
+    from tpu_ann.models.ivf import make_ivf_flat
+    from tpu_ann.models.transforms import IndexPreTransform, PCAMatrix
+    from tpu_ann.utils.contrib import (two_level_clustering,
+                                       train_ivf_index_with_2level)
+    from tpu_ann.utils.evaluation import recall_at_r
+
+    xt = small_ds.get_train()
+    xb = small_ds.get_database()
+    xq = small_ds.get_queries()
+    gt = small_ds.get_groundtruth(10)
+    d = small_ds.d
+
+    cent = two_level_clustering(xt, 4, 32, clustering_niter=5)
+    assert cent.shape == (32, d) and np.isfinite(cent).all()
+    cent_nb = two_level_clustering(xt, 4, 32, rebalance=False,
+                                   clustering_niter=5)
+    assert cent_nb.shape == (32, d)
+
+    # train an IVF with the 2-level path and compare recall to flat kmeans
+    idx2 = make_ivf_flat(d, nlist=32)
+    train_ivf_index_with_2level(idx2, xt, clustering_niter=5)
+    assert idx2.is_trained and idx2.quantizer.ntotal == 32
+    idx2.add(xb)
+    idx2.nprobe = 8
+    _, I2 = idx2.search(xq, 10)
+    r2 = recall_at_r(I2, gt, 10)
+
+    idx1 = make_ivf_flat(d, nlist=32)
+    idx1.cp.niter = 5
+    idx1.train(xt)
+    idx1.add(xb)
+    idx1.nprobe = 8
+    _, I1 = idx1.search(xq, 10)
+    r1 = recall_at_r(I1, gt, 10)
+    assert r2 > r1 - 0.1, (r1, r2)
+
+    # PreTransform chain handling
+    pt = IndexPreTransform(PCAMatrix(d, d // 2), make_ivf_flat(d // 2, 16))
+    train_ivf_index_with_2level(pt, xt, clustering_niter=4)
+    assert pt.is_trained
+    pt.add(xb)
+    pt.index.nprobe = 16
+    _, I3 = pt.search(xq, 10)
+    assert recall_at_r(I3, gt, 10) > 0.3
+
+
+def test_permute_and_sort_invlists(small_ds):
+    """ivf_tools permute_invlists / sort_invlists_by_size /
+    range_search_preassigned: results invariant under relayout."""
+    from tpu_ann.utils.contrib import (permute_invlists,
+                                       range_search_preassigned,
+                                       sort_invlists_by_size)
+
+    idx = make_ivf_flat(small_ds.d, 16)
+    idx.cp.niter = 5
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.nprobe = 4
+    xq = small_ds.get_queries()
+    D0, I0 = idx.search(xq, 5)
+    sizes0 = np.sort(contrib.get_invlist_sizes(idx))
+
+    rs = np.random.RandomState(0)
+    perm = rs.permutation(16)
+    permute_invlists(idx, perm)
+    D1, I1 = idx.search(xq, 5)
+    assert np.array_equal(I0, I1) and np.allclose(D0, D1)
+
+    sp = sort_invlists_by_size(idx)
+    sizes = contrib.get_invlist_sizes(idx)
+    assert (np.diff(sizes) >= 0).all()
+    assert np.array_equal(np.sort(sizes), sizes0)
+    D2, I2 = idx.search(xq, 5)
+    assert np.array_equal(I0, I2)
+
+    # preassigned range search == plain range search at same probes
+    radius = float(np.median(D0[:, 4]))
+    probes = idx.coarse_assign(xq, 4)
+    L1_, Dr1, Ir1 = range_search_preassigned(idx, xq, radius, probes)
+    L2_, Dr2, Ir2 = idx.range_search(xq, radius)
+    assert np.array_equal(L1_, L2_)
+    from tpu_ann.utils.evaluation import check_ref_range_results
+    check_ref_range_results(L1_, Dr1, Ir1, L2_, Dr2, Ir2)
+
+
+def test_inspect_tools_extras(small_ds):
+    """inspect_tools remainder: flat data/codes, AQ codebooks, NSG
+    neighbors, explicit LinearTransform."""
+    from tpu_ann.models.pq import IndexPQ
+    from tpu_ann.models.rq import IndexResidualQuantizer
+    from tpu_ann.models.nsg import IndexNSGFlat
+    from tpu_ann.utils.contrib import (
+        get_additive_quantizer_codebooks, get_flat_codes, get_flat_data,
+        get_NSG_neighbors, make_LinearTransform_matrix)
+
+    xb = small_ds.get_database()
+    d = small_ds.d
+    flat = IndexFlat(d)
+    flat.add(xb)
+    assert np.allclose(get_flat_data(flat), xb, atol=1e-6)
+
+    pq = IndexPQ(d, 4, 4)
+    pq.train(small_ds.get_train())
+    pq.add(xb[:500])
+    codes = get_flat_codes(pq)
+    assert codes.shape[0] == 500 and codes.dtype == np.uint8
+
+    rq = IndexResidualQuantizer(d, 2, 4)
+    rq.train(small_ds.get_train())
+    books = get_additive_quantizer_codebooks(rq)
+    assert books.shape == (2, 16, d)
+
+    nsg = IndexNSGFlat(d, 16)
+    nsg.add(xb[:800])
+    nbrs = get_NSG_neighbors(nsg)
+    assert nbrs.shape[0] == 800
+
+    A = np.random.RandomState(0).randn(8, d).astype(np.float32)
+    b = np.ones(8, np.float32)
+    vt = make_LinearTransform_matrix(A, b)
+    y = vt.apply(xb[:10])
+    assert np.allclose(y, xb[:10] @ A.T + b, atol=1e-4)
+
+
+def test_range_ground_truth_and_iterators(small_ds):
+    """exhaustive_search remainder: blockwise range GT equals the
+    single-shot range search; exponential query batches cover xq."""
+    from tpu_ann.utils.contrib import (exponential_query_iterator,
+                                       range_ground_truth)
+    from tpu_ann.utils.datasets import dataset_from_name
+    from tpu_ann.utils.evaluation import check_ref_range_results
+
+    xb = small_ds.get_database()
+    xq = small_ds.get_queries()[:20]
+    flat = IndexFlat(small_ds.d)
+    flat.add(xb)
+    D0, _ = flat.search(xq, 10)
+    radius = float(np.median(D0[:, 9]))
+    Lr, Dr, Ir = flat.range_search(xq, radius)
+
+    blocks = [xb[i: i + 1000] for i in range(0, len(xb), 1000)]
+    Lg, Dg, Ig = range_ground_truth(xq, iter(blocks), radius)
+    check_ref_range_results(Lr, Dr, Ir, Lg, Dg, Ig)
+
+    batches = list(exponential_query_iterator(xq, start_bs=2, max_bs=8))
+    assert sum(len(b) for b in batches) == len(xq)
+    assert [len(b) for b in batches[:3]] == [2, 4, 8]
+
+    ds = dataset_from_name("synthetic-16-100-500-10")
+    assert ds.d == 16 and ds.nb == 500
+    ds2 = dataset_from_name("sift-surrogate-100-400-10")
+    assert ds2.get_database().shape == (400, 128)

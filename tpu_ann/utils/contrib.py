@@ -403,3 +403,255 @@ def rand_smooth_vectors(n: int, d: int, seed: int = 1234) -> np.ndarray:
     x -= x.mean(axis=1, keepdims=True)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     return x
+
+
+# ---------------------------------------------------------------------------
+# two-level clustering (contrib/clustering.py:24-127): train a big-nlist
+# coarse quantizer as sqrt(nlist) first-level clusters, then sub-cluster
+# each first-level cell. Much cheaper than flat k-means at nlist >= 64k
+# because each Lloyd iteration assigns against nc1 + ~nc2/nc1 centroids
+# instead of nc2.
+# ---------------------------------------------------------------------------
+
+def two_level_clustering(xt: np.ndarray, nc1: int, nc2: int, *,
+                         rebalance: bool = True, clustering_niter: int = 25,
+                         cp=None, verbose: bool = False) -> np.ndarray:
+    """Returns (nc2, d) float32 centroids. `rebalance` sizes each cell's
+    sub-cluster budget by its first-level population (the reference's
+    cumulative-share split); otherwise budgets are equal."""
+    from ..ops.kmeans import ClusteringParameters, kmeans
+    from ..ops import distances as D
+
+    xt = np.ascontiguousarray(xt, np.float32)
+    cp1 = ClusteringParameters(niter=clustering_niter,
+                               max_points_per_centroid=2000)
+    if verbose:
+        print(f"2-level clustering {xt.shape}: nc1={nc1} total nc2={nc2}")
+    centroids1, _ = kmeans(xt, nc1, cp1)
+
+    # assign the full training set to the first level (exact GEMM knn)
+    _, assign1 = D.knn(xt, centroids1, 1)
+    assign1 = np.asarray(assign1)[:, 0]
+    bc = np.bincount(assign1, minlength=nc1)
+    order = np.argsort(assign1, kind="stable")
+
+    if rebalance:
+        # cumulative-share split: cell budgets proportional to population
+        bc_sum = np.cumsum(bc)
+        all_nc2 = bc_sum * nc2 // max(int(bc_sum[-1]), 1)
+        all_nc2[1:] -= all_nc2[:-1]
+    else:
+        cc = np.arange(nc1 + 1) * nc2 // nc1
+        all_nc2 = cc[1:] - cc[:-1]
+    assert int(all_nc2.sum()) == nc2
+
+    cp2 = cp or ClusteringParameters(niter=10)
+    out: list = []
+    short = 0
+    i0 = 0
+    for c1 in range(nc1):
+        i1 = i0 + int(bc[c1])
+        sub = xt[order[i0:i1]]
+        i0 = i1
+        k = int(all_nc2[c1])
+        if k == 0:
+            continue
+        if len(sub) <= k:
+            # degenerate cell: every point is a centroid; make up the
+            # shortfall from the global pool afterwards
+            out.append(sub)
+            short += k - len(sub)
+            continue
+        c, _ = kmeans(sub, k, cp2)
+        out.append(c)
+        if verbose and c1 % max(1, nc1 // 10) == 0:
+            print(f"  sub-cluster {c1}/{nc1} (k={k}, n={len(sub)})")
+    if short:
+        rs = np.random.RandomState(cp2.seed)
+        out.append(xt[rs.choice(len(xt), short, replace=False)])
+    centroids = np.vstack(out).astype(np.float32)
+    assert len(centroids) == nc2, (len(centroids), nc2)
+    return centroids
+
+
+def train_ivf_index_with_2level(index, xt, **kw) -> None:
+    """Train an IVF index's coarse quantizer with two_level_clustering
+    (contrib/clustering.py:95 ``train_ivf_index_with_2level``); handles
+    IndexPreTransform chains."""
+    from ..models.transforms import IndexPreTransform
+
+    xt = np.ascontiguousarray(xt, np.float32)
+    if isinstance(index, IndexPreTransform):
+        for vt in index.chain:
+            vt.train(xt)
+            xt = vt.apply(xt)
+        train_ivf_index_with_2level(index.index, xt, **kw)
+        index.is_trained = True
+        return
+    nc1 = kw.pop("nc1", None) or int(np.sqrt(index.nlist))
+    centroids = two_level_clustering(xt, nc1, index.nlist, **kw)
+    index.quantizer.reset()
+    index.quantizer.train(centroids)
+    index.quantizer.add(centroids)
+    index.quantizer_trains_alone = 1
+    index.train(xt)
+
+
+# ---------------------------------------------------------------------------
+# invlist surgery (contrib/ivf_tools.py:60-148): preassigned range search,
+# list permutation, size-sorted relayout.
+# ---------------------------------------------------------------------------
+
+def range_search_preassigned(index_ivf, x, radius, list_nos):
+    """IVF range search with caller-provided probe lists
+    (ivf_tools.py:60 ``range_search_preassigned``)."""
+    from ..ops.range_search import range_search_ivf
+
+    index_ivf._maybe_repack()
+    x = index_ivf._check_input(x)
+    list_nos = np.ascontiguousarray(list_nos, np.int32)
+    assert list_nos.shape[0] == len(x)
+    _, mnb = index_ivf._effective_params(None)
+    res = range_search_ivf(
+        x, list_nos, index_ivf.invlists, radius,
+        index_ivf.metric_type, max_nblocks=mnb,
+    )
+    return res.lims, res.distances, index_ivf._map_ids(res.labels)
+
+
+def permute_invlists(index_ivf, perm) -> None:
+    """Renumber inverted lists: new list i holds old list perm[i], and
+    the quantizer's centroid i moves with it (ivf_tools.py:122
+    ``permute_invlists``; search results are invariant)."""
+    perm = np.ascontiguousarray(perm, np.int64)
+    nlist = index_ivf.nlist
+    assert perm.shape == (nlist,)
+    assert (np.bincount(perm, minlength=nlist) == 1).all(), \
+        "perm is not a permutation"
+    cent = index_ivf.quantizer.reconstruct_n(0, nlist)[perm]
+    q = index_ivf.quantizer
+    q.reset()
+    q.train(cent)
+    q.add(cent)
+    # remap cached assignments old->new; chunks without a cached
+    # assignment are recomputed against the permuted quantizer, which
+    # yields the same (remapped) lists
+    inv = np.empty(nlist, np.int64)
+    inv[perm] = np.arange(nlist)
+    for j, a in enumerate(index_ivf._assign_host):
+        if a is not None:
+            index_ivf._assign_host[j] = inv[a]
+    index_ivf._repack()
+
+
+def sort_invlists_by_size(index_ivf) -> np.ndarray:
+    """Relayout lists in increasing size order (ivf_tools.py:145);
+    returns the applied permutation."""
+    perm = np.argsort(get_invlist_sizes(index_ivf), kind="stable")
+    permute_invlists(index_ivf, perm)
+    return perm
+
+
+# ---------------------------------------------------------------------------
+# inspect tools (contrib/inspect_tools.py remainder): raw data/codes/
+# codebook/graph extraction as numpy, plus a field printer.
+# ---------------------------------------------------------------------------
+
+def get_flat_data(index_flat) -> np.ndarray:
+    """(ntotal, d) float32 stored vectors (inspect_tools.py:95)."""
+    return np.asarray(index_flat.vectors, np.float32)
+
+
+def get_flat_codes(index_flat_codes) -> np.ndarray:
+    """(ntotal, code_size) raw codes of a flat-codec index
+    (inspect_tools.py:101)."""
+    return np.asarray(index_flat_codes._codes[: index_flat_codes.ntotal])
+
+
+def get_additive_quantizer_codebooks(index_aq) -> np.ndarray:
+    """(M, ksub, d) codebooks of an RQ/LSQ index
+    (inspect_tools.py:85)."""
+    codec = getattr(index_aq, "codec", None) or getattr(index_aq, "rq", None)
+    return np.asarray(codec.codebooks, np.float32)
+
+
+def get_NSG_neighbors(index_nsg) -> np.ndarray:
+    """(ntotal, R) neighbor table, -1 padded (inspect_tools.py:107)."""
+    return np.asarray(index_nsg.graph, np.int64)
+
+
+def make_LinearTransform_matrix(A: np.ndarray, b: Optional[np.ndarray] = None):
+    """Build a LinearTransform from an explicit (d_out, d_in) matrix and
+    optional bias (inspect_tools.py:71)."""
+    from ..models.transforms import LinearTransform
+
+    A = np.ascontiguousarray(A, np.float32)
+    d_out, d_in = A.shape
+    vt = LinearTransform(d_in, d_out)
+    vt.A = A
+    vt.b = (np.zeros(d_out, np.float32) if b is None
+            else np.ascontiguousarray(b, np.float32))
+    vt.is_trained = True
+    return vt
+
+
+def print_object_fields(obj) -> None:
+    """Print the public scalar fields of an index/quantizer
+    (inspect_tools.py:49)."""
+    for name in sorted(vars(obj)):
+        if name.startswith("_"):
+            continue
+        v = getattr(obj, name)
+        if isinstance(v, (int, float, bool, str, type(None))):
+            print(f"{name} = {v!r}")
+        else:
+            print(f"{name} = <{type(v).__name__}>")
+
+
+def range_ground_truth(xq, db_iterator, threshold: float,
+                       metric_type: int = 1) -> Tuple[np.ndarray, ...]:
+    """Exact range-search ground truth computed blockwise over a database
+    iterator (contrib/exhaustive_search.py:152 ``range_ground_truth``):
+    returns the (lims, D, I) CSR triple with global ids."""
+    import jax.numpy as jnp
+
+    from ..ops import distances as D
+    from ..ops.range_search import range_search_blocked
+
+    nq = len(xq)
+    hits_d = [[] for _ in range(nq)]
+    hits_i = [[] for _ in range(nq)]
+    i0 = 0
+    for block in db_iterator:
+        block = np.ascontiguousarray(block, np.float32)
+        res = range_search_blocked(
+            xq, jnp.asarray(block), threshold, metric_type,
+            valid_n=len(block))
+        for q in range(nq):
+            s = slice(res.lims[q], res.lims[q + 1])
+            if res.lims[q + 1] > res.lims[q]:
+                hits_d[q].append(res.distances[s])
+                hits_i[q].append(res.labels[s] + i0)
+        i0 += len(block)
+    lims = np.zeros(nq + 1, np.int64)
+    for q in range(nq):
+        lims[q + 1] = lims[q] + sum(len(h) for h in hits_d[q])
+    dd = np.zeros(lims[-1], np.float32)
+    ii = np.zeros(lims[-1], np.int64)
+    for q in range(nq):
+        if lims[q + 1] > lims[q]:
+            dd[lims[q]: lims[q + 1]] = np.concatenate(hits_d[q])
+            ii[lims[q]: lims[q + 1]] = np.concatenate(hits_i[q])
+    return lims, dd, ii
+
+
+def exponential_query_iterator(xq, start_bs: int = 32,
+                               max_bs: int = 20000):
+    """Yield query batches of exponentially growing size
+    (contrib/exhaustive_search.py:355): small batches first so early
+    results come back fast, then large ones for throughput."""
+    i0, bs = 0, start_bs
+    while i0 < len(xq):
+        yield xq[i0: i0 + bs]
+        i0 += bs
+        bs = min(bs * 2, max_bs)

@@ -225,3 +225,30 @@ def load_sift1m(root: str) -> Dataset:
             return ivecs_read(os.path.join(self.root, "sift_groundtruth.ivecs"))[:, :k]
 
     return _SIFT()
+
+
+def dataset_from_name(name: str = "synthetic-64-10000-50000-500",
+                      basedir: Optional[str] = None) -> Dataset:
+    """Resolve a dataset by name (contrib/datasets.py:352
+    ``dataset_from_name``). Supported spellings:
+
+    - ``synthetic[-d-nt-nb-nq]`` — deterministic SyntheticDataset
+    - ``sift-surrogate[-nt-nb-nq]`` — calibrated SIFT-marginal surrogate
+    - ``sift1M`` — real SIFT1M fvecs under `basedir` (raises if absent)
+    """
+    parts = name.split("-")
+    if parts[0] == "synthetic":
+        d, nt, nb, nq = (int(p) for p in parts[1:5]) if len(parts) >= 5 \
+            else (64, 10000, 50000, 500)
+        return SyntheticDataset(d=d, nt=nt, nb=nb, nq=nq)
+    if name.startswith("sift-surrogate"):
+        if len(parts) >= 4:
+            nt, nb, nq = int(parts[-3]), int(parts[-2]), int(parts[-1])
+        else:
+            nt, nb, nq = 100000, 1000000, 10000
+        return SiftSurrogateDataset(nt=nt, nb=nb, nq=nq)
+    if name.lower() == "sift1m":
+        if basedir is None:
+            raise ValueError("sift1M needs basedir with the fvecs files")
+        return load_sift1m(basedir)
+    raise ValueError(f"unknown dataset {name!r}")
