@@ -115,3 +115,37 @@ def test_restricted_unpickler_refuses_classes():
     arr = np.arange(6, dtype=np.float32).reshape(2, 3)
     obj = rpc._loads(pickle.dumps(("ok", {"a": arr, "b": 3.5})))
     np.testing.assert_array_equal(obj[1]["a"], arr)
+
+
+def test_distributed_kmeans_over_rpc():
+    """Distributed k-means, reference style (contrib/clustering.py
+    DatasetAssign servers + distributed_kmeans client, validated on
+    localhost like benchs/distributed_ondisk 'Local tests'): each rpc
+    server owns a slice of the training set; the client's only data
+    access is the DatasetAssign protocol, fanned out by
+    DatasetAssignDispatch. Must match the single-process trajectory."""
+    from tpu_ann.utils.contrib import (DatasetAssign, DatasetAssignDispatch,
+                                       kmeans_assign)
+
+    rs = np.random.RandomState(11)
+    xt = rs.randn(3000, 24).astype(np.float32)
+    parts = np.array_split(xt, 3)
+
+    servers, clients = [], []
+    try:
+        for p in parts:
+            srv = rpc.Server(DatasetAssign(p), port=0)
+            srv.serve_in_background()
+            servers.append(srv)
+            clients.append(rpc.Client("127.0.0.1", srv.port))
+        # rpc.Client proxies count/dim/get_subset/assign_to transparently
+        disp = DatasetAssignDispatch(clients)
+        assert disp.count() == 3000 and disp.dim() == 24
+        c_rpc = kmeans_assign(12, disp, niter=5, seed=3)
+        c_loc = kmeans_assign(12, DatasetAssign(xt), niter=5, seed=3)
+        np.testing.assert_allclose(c_rpc, c_loc, atol=1e-3)
+    finally:
+        for c in clients:
+            c.close()
+        for s in servers:
+            s.shutdown()

@@ -378,3 +378,35 @@ def test_range_ground_truth_and_iterators(small_ds):
     assert ds.d == 16 and ds.nb == 500
     ds2 = dataset_from_name("sift-surrogate-100-400-10")
     assert ds2.get_database().shape == (400, 128)
+
+
+def test_dataset_assign_kmeans(small_ds):
+    """contrib/clustering.py DatasetAssign + pure-python kmeans driver:
+    converges like the device kmeans, and the dispatch wrapper (the
+    distributed-kmeans client role) gives identical per-iteration math."""
+    from tpu_ann.ops.kmeans import ClusteringParameters, kmeans
+    from tpu_ann.utils.contrib import (DatasetAssign, DatasetAssignDispatch,
+                                       kmeans_assign)
+
+    xt = small_ds.get_train()
+    k = 16
+    c1, st = kmeans_assign(k, DatasetAssign(xt), niter=8, seed=5,
+                           return_stats=True)
+    assert c1.shape == (k, small_ds.d)
+    assert st[-1]["obj"] <= st[0]["obj"]
+
+    # same seed, data split over 3 "servers": identical trajectory
+    parts = np.array_split(xt, 3)
+    disp = DatasetAssignDispatch([DatasetAssign(p) for p in parts])
+    assert disp.count() == len(xt)
+    c2 = kmeans_assign(k, disp, niter=8, seed=5)
+    assert np.allclose(c1, c2, atol=1e-3)
+
+    # objective comparable to the device Lloyd loop
+    cd, _ = kmeans(xt, k, ClusteringParameters(niter=8, seed=5))
+    def obj(c):
+        from tpu_ann.ops import distances as D
+        import jax.numpy as jnp
+        dis, _ = D.knn(jnp.asarray(xt), jnp.asarray(c), 1)
+        return float(np.asarray(dis).sum())
+    assert obj(c1) < obj(cd) * 1.25

@@ -655,3 +655,116 @@ def exponential_query_iterator(xq, start_bs: int = 32,
         yield xq[i0: i0 + bs]
         i0 += bs
         bs = min(bs * 2, max_bs)
+
+
+# ---------------------------------------------------------------------------
+# DatasetAssign + pure-Python k-means driver (contrib/clustering.py:130-283,
+# 346): the pluggable-assignment abstraction behind the reference's
+# distributed k-means. TPU redesign: assignment is a device GEMM knn and
+# the per-centroid sums are a one-hot MXU contraction (segment_sums), not
+# an np.add.at scatter.
+# ---------------------------------------------------------------------------
+
+class DatasetAssign:
+    """Training data behind the minimal k-means interface: count/dim/
+    get_subset/assign_to. Subclass to put the data elsewhere (another
+    process over rpc, a different device, a sparse matrix)."""
+
+    def __init__(self, x):
+        self.x = np.ascontiguousarray(x, np.float32)
+
+    def count(self) -> int:
+        return self.x.shape[0]
+
+    def dim(self) -> int:
+        return self.x.shape[1]
+
+    def get_subset(self, indices) -> np.ndarray:
+        return self.x[np.asarray(indices)]
+
+    def assign_to(self, centroids, weights=None):
+        """Returns (assign (n,), distances (n,), sum_per_centroid (k, d))."""
+        import jax.numpy as jnp
+
+        from ..ops import distances as D
+        from ..ops.kmeans import segment_sums
+
+        xd = jnp.asarray(self.x)
+        dis, idx = D.knn(xd, jnp.asarray(centroids, jnp.float32), 1)
+        a = idx[:, 0]
+        xw = xd if weights is None else xd * jnp.asarray(
+            weights, jnp.float32)[:, None]
+        sums, _ = segment_sums(xw, a, len(centroids))
+        return (np.asarray(a, np.int64), np.asarray(dis[:, 0]),
+                np.asarray(sums, np.float32))
+
+
+class DatasetAssignDispatch:
+    """Fan a DatasetAssign over several sub-assigners and sum their
+    partial results (the client half of the reference's distributed
+    k-means: contrib/clustering.py DatasetAssign servers +
+    benchs/distributed_ondisk/distributed_kmeans.py)."""
+
+    def __init__(self, assigners):
+        self.assigners = list(assigners)
+
+    def count(self) -> int:
+        return sum(a.count() for a in self.assigners)
+
+    def dim(self) -> int:
+        return self.assigners[0].dim()
+
+    def get_subset(self, indices) -> np.ndarray:
+        indices = np.asarray(indices)
+        sizes = np.cumsum([0] + [a.count() for a in self.assigners])
+        out = np.empty((len(indices), self.dim()), np.float32)
+        for j, a in enumerate(self.assigners):
+            m = (indices >= sizes[j]) & (indices < sizes[j + 1])
+            if m.any():
+                out[m] = a.get_subset(indices[m] - sizes[j])
+        return out
+
+    def assign_to(self, centroids, weights=None):
+        parts = [a.assign_to(centroids, None) for a in self.assigners]
+        assign = np.concatenate([p[0] for p in parts])
+        dis = np.concatenate([p[1] for p in parts])
+        sums = np.sum([p[2] for p in parts], axis=0)
+        return assign, dis, sums
+
+
+def kmeans_assign(k: int, data: DatasetAssign, niter: int = 25,
+                  seed: int = 1234, verbose: bool = False,
+                  return_stats: bool = False):
+    """k-means over a DatasetAssign (contrib/clustering.py:346
+    ``kmeans``): Lloyd's with empty-cluster splitting, data access only
+    through the abstraction so the vectors may live anywhere."""
+    n, d = data.count(), data.dim()
+    rs = np.random.RandomState(seed)
+    centroids = data.get_subset(rs.choice(n, size=k, replace=False))
+    stats = []
+    for it in range(niter):
+        t0 = time.time()
+        assign, dis, sums = data.assign_to(centroids)
+        counts = np.bincount(assign, minlength=k)
+        obj = float(dis.sum())
+        # centroid update; empty clusters split the largest ones
+        # (Clustering.cpp split_clusters semantics)
+        nonempty = counts > 0
+        centroids = np.where(nonempty[:, None],
+                             sums / np.maximum(counts, 1)[:, None],
+                             centroids)
+        for ce in np.nonzero(~nonempty)[0]:
+            big = int(np.argmax(counts))
+            eps = 1.0 / 1024
+            centroids[ce] = centroids[big] * (1 + eps)
+            centroids[big] *= (1 - eps)
+            counts[ce] = counts[big] // 2
+            counts[big] -= counts[ce]
+        stats.append({"obj": obj, "time": time.time() - t0,
+                      "imbalance": float((counts.astype(np.float64) ** 2
+                                          ).sum() * k / max(n, 1) ** 2)})
+        if verbose:
+            print(f"kmeans iter {it}: obj {obj:.4g}")
+    if return_stats:
+        return centroids, stats
+    return centroids
