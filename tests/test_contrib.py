@@ -410,3 +410,44 @@ def test_dataset_assign_kmeans(small_ds):
         dis, _ = D.knn(jnp.asarray(xt), jnp.asarray(c), 1)
         return float(np.asarray(dis).sum())
     assert obj(c1) < obj(cd) * 1.25
+
+
+def test_dataset_zoo_file_loaders(tmp_path):
+    """bvecs IO + BigANN/GIST/Deep1B file-layout loaders
+    (contrib/datasets.py:171-351, vecs_io bvecs)."""
+    from tpu_ann.utils.datasets import (DatasetBigANN, bvecs_read,
+                                        bvecs_write, fvecs_write,
+                                        ivecs_write, load_gist1m)
+
+    rs = np.random.RandomState(2)
+    root = str(tmp_path)
+
+    # bvecs round-trip
+    xb8 = rs.randint(0, 256, (100, 16)).astype(np.uint8)
+    bvecs_write(os.path.join(root, "bigann_base.bvecs"), xb8)
+    assert np.array_equal(bvecs_read(
+        os.path.join(root, "bigann_base.bvecs")), xb8)
+    bvecs_write(os.path.join(root, "bigann_learn.bvecs"), xb8[:50])
+    bvecs_write(os.path.join(root, "bigann_query.bvecs"), xb8[:10])
+    os.makedirs(os.path.join(root, "gnd"), exist_ok=True)
+    ivecs_write(os.path.join(root, "gnd", "idx_1M.ivecs"),
+                rs.randint(0, 100, (10, 5)))
+
+    ds = DatasetBigANN(root, nb_M=1)
+    assert ds.d == 16
+    assert ds.get_queries().shape == (10, 16)
+    assert ds.get_database().dtype == np.float32
+    chunks = list(ds.database_iterator(bs=30))
+    assert sum(len(c) for c in chunks) == 100
+    assert np.allclose(np.vstack(chunks), xb8.astype(np.float32))
+    assert ds.get_groundtruth(5).shape == (10, 5)
+
+    # gist layout
+    xf = rs.randn(60, 24).astype(np.float32)
+    for name in ["gist_base.fvecs", "gist_learn.fvecs",
+                 "gist_query.fvecs"]:
+        fvecs_write(os.path.join(root, name), xf)
+    ivecs_write(os.path.join(root, "gist_groundtruth.ivecs"),
+                rs.randint(0, 60, (60, 10)))
+    g = load_gist1m(root)
+    assert g.d == 24 and np.allclose(g.get_queries(), xf)

@@ -172,6 +172,29 @@ def fvecs_write(fname: str, m: np.ndarray) -> None:
     ivecs_write(fname, np.ascontiguousarray(m, dtype=np.float32).view(np.int32))
 
 
+def bvecs_read(fname: str, maxn: Optional[int] = None) -> np.ndarray:
+    """Read .bvecs ([d:int32][d uint8 bytes] per row — BigANN format,
+    contrib/vecs_io.py bvecs_mmap)."""
+    with open(fname, "rb") as f:
+        d = int(np.fromfile(f, count=1, dtype=np.int32)[0])
+    rec = 4 + d
+    a = np.memmap(fname, dtype=np.uint8, mode="r")
+    n = len(a) // rec
+    if maxn is not None:
+        n = min(n, maxn)
+    return np.array(a[: n * rec].reshape(n, rec)[:, 4:])
+
+
+def bvecs_write(fname: str, m: np.ndarray) -> None:
+    m = np.ascontiguousarray(m, dtype=np.uint8)
+    n, d = m.shape
+    out = np.empty((n, 4 + d), np.uint8)
+    out[:, :4] = np.frombuffer(
+        np.full(n, d, np.int32).tobytes(), np.uint8).reshape(n, 4)
+    out[:, 4:] = m
+    out.tofile(fname)
+
+
 def read_fbin(fname: str, start_idx: int = 0, chunk_size: Optional[int] = None
               ) -> np.ndarray:
     """Read .fbin: [nvecs:int32][dim:int32][float32 data] (fork format,
@@ -225,6 +248,84 @@ def load_sift1m(root: str) -> Dataset:
             return ivecs_read(os.path.join(self.root, "sift_groundtruth.ivecs"))[:, :k]
 
     return _SIFT()
+
+
+class _FvecsDataset(Dataset):
+    """File-backed dataset over fvecs/ivecs files (shared by the GIST1M
+    and Deep1B loaders, contrib/datasets.py:211-351 layout)."""
+
+    def __init__(self, root: str, prefix: str, nt: int, nb: int):
+        self.root, self.prefix = root, prefix
+        xq = fvecs_read(os.path.join(root, f"{prefix}_query.fvecs"))
+        super().__init__(xq.shape[1], nt, nb, xq.shape[0])
+        self.xq = xq
+
+    def get_train(self, maxtrain: Optional[int] = None) -> np.ndarray:
+        xt = fvecs_read(os.path.join(self.root, f"{self.prefix}_learn.fvecs"))
+        return xt if maxtrain is None else xt[:maxtrain]
+
+    def get_database(self) -> np.ndarray:
+        return fvecs_read(
+            os.path.join(self.root, f"{self.prefix}_base.fvecs"))[: self.nb]
+
+    def get_queries(self) -> np.ndarray:
+        return self.xq
+
+    def get_groundtruth(self, k: int = 100) -> np.ndarray:
+        return ivecs_read(os.path.join(
+            self.root, f"{self.prefix}_groundtruth.ivecs"))[:, :k]
+
+
+def load_gist1m(root: str) -> Dataset:
+    """GIST1M (960d fvecs, DatasetGIST1M equivalent)."""
+    return _FvecsDataset(root, "gist", 500000, 1000000)
+
+
+def load_deep1b(root: str, nb: int = 10**9) -> Dataset:
+    """Deep1B/Deep10M/... fvecs slices (DatasetDeep1B equivalent;
+    gt file must match the slice)."""
+    return _FvecsDataset(root, "deep", 10**7, nb)
+
+
+class DatasetBigANN(Dataset):
+    """BigANN uint8 SIFT vectors in bvecs files
+    (contrib/datasets.py:171 DatasetBigANN): base/learn are .bvecs,
+    queries too; GT is per-slice ivecs (gnd/idx_{nb_M}M.ivecs)."""
+
+    def __init__(self, root: str, nb_M: int = 1000):
+        self.root, self.nb_M = root, int(nb_M)
+        xq = bvecs_read(os.path.join(root, "bigann_query.bvecs"))
+        super().__init__(xq.shape[1], 10**8, self.nb_M * 10**6, xq.shape[0])
+        self.xq = xq.astype(np.float32)
+
+    def get_train(self, maxtrain: Optional[int] = None) -> np.ndarray:
+        mt = maxtrain or self.nt
+        return bvecs_read(os.path.join(self.root, "bigann_learn.bvecs"),
+                          maxn=mt).astype(np.float32)
+
+    def get_database(self) -> np.ndarray:
+        return bvecs_read(os.path.join(self.root, "bigann_base.bvecs"),
+                          maxn=self.nb).astype(np.float32)
+
+    def database_iterator(self, bs: int = 10**6):
+        """Stream the base file in chunks (for GT / out-of-core adds)."""
+        path = os.path.join(self.root, "bigann_base.bvecs")
+        with open(path, "rb") as f:
+            d = int(np.fromfile(f, count=1, dtype=np.int32)[0])
+        rec = 4 + d
+        a = np.memmap(path, dtype=np.uint8, mode="r")
+        n = min(len(a) // rec, self.nb)
+        for i0 in range(0, n, bs):
+            i1 = min(i0 + bs, n)
+            yield np.array(a[i0 * rec: i1 * rec].reshape(i1 - i0, rec)
+                           [:, 4:]).astype(np.float32)
+
+    def get_queries(self) -> np.ndarray:
+        return self.xq
+
+    def get_groundtruth(self, k: int = 100) -> np.ndarray:
+        return ivecs_read(os.path.join(
+            self.root, "gnd", f"idx_{self.nb_M}M.ivecs"))[:, :k]
 
 
 def dataset_from_name(name: str = "synthetic-64-10000-50000-500",
