@@ -26,6 +26,30 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_devices(timeout_s: float = 180.0):
+    """Fail fast (exit 1, no JSON) if the accelerator backend does not
+    answer — a dead remote-TPU tunnel makes jax.devices() hang forever,
+    which would stall the whole bench run."""
+    import os
+    import threading
+
+    out: dict = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = jax.devices()
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" not in out:
+        log(f"bench: backend unreachable after {timeout_s:.0f}s "
+            "(remote TPU tunnel down?) — aborting without a result")
+        os._exit(1)   # a hung jax.devices() thread would block sys.exit
+    return out["devices"]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -34,6 +58,9 @@ def main():
     from tpu_ann.models.ivf import SearchParametersIVF, make_ivf_flat
     from tpu_ann.ops import distances as D
     from tpu_ann.utils.evaluation import recall_k_at_k
+
+    devices = _probe_devices()
+    log(f"backend ok: {devices}")
 
     t0 = time.time()
     d, nb, nt, nq, k = 128, 1_000_000, 100_000, 10_000, 10
