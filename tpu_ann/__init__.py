@@ -118,6 +118,11 @@ from .models.selectors import (  # noqa: F401
     IDSelectorRange,
     IDSelectorXOr,
 )
+from .ops.kmeans import (  # noqa: F401
+    ClusteringParameters,
+    Kmeans,
+    kmeans,
+)
 from .utils.autotune import (  # noqa: F401
     IntersectionCriterion,
     OneRecallAtRCriterion,
