@@ -186,7 +186,13 @@ class IndexBinaryIVF(IndexBinary):
         self._codes_host.append(x)
         self._ids_host.append(ids)
         self.ntotal += len(x)
-        self._repack()
+        self._dirty = True   # repack deferred to the next search (the
+        # float IVF's chunked-add contract: O(ntotal) once, not per add)
+
+    def _maybe_repack(self) -> None:
+        if getattr(self, "_dirty", False):
+            self._repack()
+            self._dirty = False
 
     def _repack(self) -> None:
         from ..ops.ivf_scan import pack_code_invlists
@@ -204,6 +210,7 @@ class IndexBinaryIVF(IndexBinary):
         and range_search (role of BinaryInvertedListScanner)."""
         import jax.lax as lax
 
+        self._maybe_repack()
         _, probes = self.quantizer.search(x, min(self.nprobe, self.nlist))
         il = self.invlists
         xq = jnp.asarray(x)
@@ -255,6 +262,7 @@ class IndexBinaryIVF(IndexBinary):
         self._codes_host, self._ids_host = [], []
         self.invlists = None
         self.ntotal = 0
+        self._dirty = False
 
 
 class IndexBinaryFromFloat(IndexBinary):
