@@ -451,3 +451,72 @@ def test_dataset_zoo_file_loaders(tmp_path):
                 rs.randint(0, 60, (60, 10)))
     g = load_gist1m(root)
     assert g.d == 24 and np.allclose(g.get_queries(), xf)
+
+
+def test_review_fixes():
+    """Regression cases from the round-3 code review: PR edge cases,
+    bucket_sort range check, dispatch weights, bounded fvecs reads."""
+    from tpu_ann.utils.contrib import (DatasetAssign, DatasetAssignDispatch,
+                                       bucket_sort)
+    from tpu_ann.utils.evaluation import counts_to_PR
+
+    # reference edge conventions (contrib/evaluation.py:80): empty
+    # result -> precision 1.0, recall 0.0 when GT is non-empty; empty GT
+    # -> recall (nres == 0); all-empty -> perfect
+    assert counts_to_PR([5], [0], [0], mode="average") == (1.0, 0.0)
+    assert counts_to_PR([0], [5], [0], mode="average") == (0.0, 0.0)
+    assert counts_to_PR([5], [0], [0], mode="overall") == (1.0, 0.0)
+    assert counts_to_PR([0], [0], [0], mode="average") == (1.0, 1.0)
+
+    with pytest.raises(ValueError, match="bucket_sort"):
+        bucket_sort(np.array([0, 5, 1]), 3)
+
+    # dispatched weighted sums match the single-assigner weighted sums
+    rs = np.random.RandomState(4)
+    x = rs.randn(300, 8).astype(np.float32)
+    w = rs.rand(300).astype(np.float32)
+    cents = rs.randn(4, 8).astype(np.float32)
+    a_all = DatasetAssign(x)
+    _, _, s_all = a_all.assign_to(cents, w)
+    disp = DatasetAssignDispatch(
+        [DatasetAssign(p) for p in np.array_split(x, 3)])
+    _, _, s_disp = disp.assign_to(cents, w)
+    np.testing.assert_allclose(s_all, s_disp, rtol=1e-4, atol=1e-4)
+
+    # bounded fvecs read
+    import tempfile, os as _os
+    from tpu_ann.utils.datasets import fvecs_read, fvecs_write
+    t = tempfile.mkdtemp()
+    p = _os.path.join(t, "x.fvecs")
+    fvecs_write(p, x)
+    assert np.array_equal(fvecs_read(p, maxn=7), x[:7])
+
+
+def test_binary_ivf_review_fixes():
+    """Empty binary IVF raises cleanly; -1 probe padding scans nothing."""
+    from tpu_ann.models.binary import IndexBinaryIVF
+
+    idx = IndexBinaryIVF(None, 64, 8)
+    rs = np.random.RandomState(1)
+    xb = rs.randint(0, 256, (500, 8)).astype(np.uint8)
+    idx.train(xb)
+    with pytest.raises(RuntimeError, match="empty"):
+        idx.search(xb[:2], 3)
+    with pytest.raises(RuntimeError, match="empty"):
+        idx.range_search(xb[:2], 10)
+    idx.add(xb)
+    idx.nprobe = 8
+    idx._maybe_repack()   # pack with the real quantizer before patching
+    # padded probes (simulate a quantizer returning -1s): monkeypatch
+    orig = idx.quantizer.search
+    def padded(x, k):
+        D_, I_ = orig(x, k)
+        I_ = np.array(I_)
+        I_[:, k // 2:] = -1          # half the probes unreached
+        return D_, I_
+    idx.quantizer.search = padded
+    D, I = idx.search(xb[:20], 5)
+    # no duplicate ids in any row (the -1 wrap bug produced dupes)
+    for row in I:
+        v = row[row >= 0]
+        assert len(np.unique(v)) == len(v)

@@ -23,19 +23,25 @@ from ..ops.kmeans import ClusteringParameters, kmeans
 _POPCNT_LUT = np.array([bin(v).count("1") for v in range(256)], np.int32)
 
 
+def _hash_flips(h: int, b: int, nflip: int) -> List[int]:
+    """Bucket keys within `nflip` bit flips of h over a b-bit prefix
+    (shared by IndexBinaryHash and IndexBinaryMultiHash)."""
+    out = [h]
+    if nflip >= 1:
+        out += [h ^ (1 << i) for i in range(b)]
+    if nflip >= 2:
+        out += [h ^ (1 << i) ^ (1 << j)
+                for i in range(b) for j in range(i + 1, b)]
+    return out
+
+
 def _csr_from_hits(nq, hits_d, hits_i):
     """Compact per-query hit lists into the (lims, D, I) CSR triple
     (faiss RangeSearchResult; distances int32 for binary indexes)."""
-    lims = np.zeros(nq + 1, np.int64)
-    for i in range(nq):
-        lims[i + 1] = lims[i] + sum(len(h) for h in hits_d[i])
-    dd = np.zeros(lims[-1], np.int32)
-    ii = np.zeros(lims[-1], np.int64)
-    for i in range(nq):
-        if lims[i + 1] > lims[i]:
-            dd[lims[i]: lims[i + 1]] = np.concatenate(hits_d[i])
-            ii[lims[i]: lims[i + 1]] = np.concatenate(hits_i[i])
-    return lims, dd, ii
+    from ..ops.range_search import csr_from_hits
+
+    res = csr_from_hits(nq, hits_d, hits_i, dtype=np.int32)
+    return res.lims, res.distances, res.labels
 
 
 def _check_codes(x, d: int) -> np.ndarray:
@@ -160,8 +166,8 @@ class IndexBinaryIVF(IndexBinary):
         self.cp = ClusteringParameters(niter=10)
         self._codes_host: List[np.ndarray] = []
         self._ids_host: List[np.ndarray] = []
-        # per-list membership kept host-side; scan gathers on device
-        self._list_codes: Optional[jnp.ndarray] = None
+        self._dirty = False
+        self.invlists = None
 
     def train(self, x) -> None:
         """Float k-means on unpacked bits, centroids binarized by majority
@@ -189,6 +195,11 @@ class IndexBinaryIVF(IndexBinary):
         self._dirty = True   # repack deferred to the next search (the
         # float IVF's chunked-add contract: O(ntotal) once, not per add)
 
+    def _check_ready(self) -> None:
+        self._maybe_repack()
+        if getattr(self, "invlists", None) is None:
+            raise RuntimeError("empty index")
+
     def _maybe_repack(self) -> None:
         if getattr(self, "_dirty", False):
             self._repack()
@@ -210,14 +221,19 @@ class IndexBinaryIVF(IndexBinary):
         and range_search (role of BinaryInvertedListScanner)."""
         import jax.lax as lax
 
-        self._maybe_repack()
+        self._check_ready()
         _, probes = self.quantizer.search(x, min(self.nprobe, self.nlist))
+        probes = np.asarray(probes, np.int64)
         il = self.invlists
         xq = jnp.asarray(x)
         # gather probed blocks, popcount distances (small-scale Hamming
-        # scan; block layout shared with the float IVF)
-        starts = np.asarray(il.list_block_start)[probes]
-        nblk = np.asarray(il.list_nblocks)[probes]
+        # scan; block layout shared with the float IVF). -1 probe padding
+        # (an HNSW quantizer that reached fewer than nprobe lists) scans
+        # zero blocks — same guard as the float scan (ops/ivf_scan.py).
+        valid = probes >= 0
+        safe = np.where(valid, probes, 0)
+        starts = np.asarray(il.list_block_start)[safe]
+        nblk = np.where(valid, np.asarray(il.list_nblocks)[safe], 0)
         mnb = il.max_nblocks_per_list
         NB = il.nblocks
         local = np.arange(mnb)[None, None, :]
@@ -365,13 +381,7 @@ class IndexBinaryHash(IndexBinary):
         self.ntotal += len(x)
 
     def _candidate_buckets(self, h: int) -> List[int]:
-        out = [h]
-        if self.nflip >= 1:
-            out += [h ^ (1 << i) for i in range(self.b)]
-        if self.nflip >= 2:
-            out += [h ^ (1 << i) ^ (1 << j)
-                    for i in range(self.b) for j in range(i + 1, self.b)]
-        return out
+        return _hash_flips(h, self.b, self.nflip)
 
     def search(self, x, k: int):
         x = _check_codes(x, self.d)
@@ -441,6 +451,10 @@ class IndexBinaryMultiHash(IndexBinary):
         self.nflip = 1
         self.storage = IndexBinaryFlat(d)
         self._maps: List[dict] = [{} for _ in range(self.nhash)]
+        # host-side mirror of the storage codes: the bucket scan touches
+        # only candidate rows, so pulling the whole device array per
+        # query batch would dominate it
+        self._codes_np: List[np.ndarray] = []
 
     def _hashes(self, codes: np.ndarray) -> np.ndarray:
         """(n, nhash) int64: hash h is bits [h*b, (h+1)*b)."""
@@ -456,31 +470,28 @@ class IndexBinaryMultiHash(IndexBinary):
         x = _check_codes(x, self.d)
         base = self.ntotal
         self.storage.add(x)
+        self._codes_np.append(x)
         hv = self._hashes(x)
         for i in range(len(x)):
             for h in range(self.nhash):
                 self._maps[h].setdefault(int(hv[i, h]), []).append(base + i)
         self.ntotal += len(x)
 
-    def _flips(self, h: int) -> List[int]:
-        out = [h]
-        if self.nflip >= 1:
-            out += [h ^ (1 << i) for i in range(self.b)]
-        if self.nflip >= 2:
-            out += [h ^ (1 << i) ^ (1 << j)
-                    for i in range(self.b) for j in range(i + 1, self.b)]
-        return out
-
     def _candidates(self, hv_row: np.ndarray) -> np.ndarray:
         cand: set = set()
         for h in range(self.nhash):
-            for hh in self._flips(int(hv_row[h])):
+            for hh in _hash_flips(int(hv_row[h]), self.b, self.nflip):
                 cand.update(self._maps[h].get(hh, ()))
         return np.fromiter(cand, np.int64, len(cand))
 
     def _scan(self, x, radius=None, k=None):
         nq = len(x)
-        codes = np.asarray(self.storage._codes) if self.ntotal else None
+        if self.ntotal:
+            if len(self._codes_np) > 1:
+                self._codes_np = [np.concatenate(self._codes_np)]
+            codes = self._codes_np[0]
+        else:
+            codes = None
         hv = self._hashes(x)
         hits_d = [[] for _ in range(nq)]
         hits_i = [[] for _ in range(nq)]
@@ -524,4 +535,5 @@ class IndexBinaryMultiHash(IndexBinary):
     def reset(self) -> None:
         self.storage.reset()
         self._maps = [{} for _ in range(self.nhash)]
+        self._codes_np = []
         self.ntotal = 0

@@ -92,6 +92,12 @@ def pack_invlists(
     n, d = x.shape
     xids = np.asarray(xids, np.int32)
     assign = np.asarray(assign, np.int64)
+    if n and (assign.min() < 0 or assign.max() >= nlist):
+        # see pack_code_invlists: protects the native scatter from an
+        # out-of-bounds write (segfault) on a bad assignment
+        raise ValueError(
+            f"pack_invlists: assignments must be in [0, {nlist}); "
+            f"got [{assign.min()}, {assign.max()}]")
     B = block_size
 
     from ..utils import native as _native
@@ -535,6 +541,12 @@ def pack_code_invlists(
     n, cw = codes.shape
     xids = np.asarray(xids, np.int32)
     assign = np.asarray(assign, np.int64)
+    if n and (assign.min() < 0 or assign.max() >= nlist):
+        # an out-of-range assignment would make the native counting-sort
+        # scatter write out of bounds (process segfault, not an exception)
+        raise ValueError(
+            f"pack_code_invlists: assignments must be in [0, {nlist}); "
+            f"got [{assign.min()}, {assign.max()}]")
     B = block_size
 
     from ..utils import native as _native

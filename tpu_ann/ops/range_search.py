@@ -31,6 +31,23 @@ class RangeSearchResult:
         return len(self.lims) - 1
 
 
+def csr_from_hits(nq: int, hits_d, hits_i,
+                  dtype=np.float32) -> RangeSearchResult:
+    """Compact per-query hit lists into the (lims, D, I) CSR triple —
+    the BufferList→RangeSearchResult step, shared by every range-search
+    producer (float blocked/IVF scans, binary scans, blockwise GT)."""
+    lims = np.zeros(nq + 1, np.int64)
+    for i in range(nq):
+        lims[i + 1] = lims[i] + sum(len(h) for h in hits_d[i])
+    dd = np.zeros(lims[-1], dtype)
+    ii = np.zeros(lims[-1], np.int64)
+    for i in range(nq):
+        if lims[i + 1] > lims[i]:
+            dd[lims[i]: lims[i + 1]] = np.concatenate(hits_d[i])
+            ii[lims[i]: lims[i + 1]] = np.concatenate(hits_i[i])
+    return RangeSearchResult(lims=lims, distances=dd, labels=ii)
+
+
 def range_search_blocked(
     xq: np.ndarray,
     xb_dev: jnp.ndarray,
@@ -61,16 +78,7 @@ def range_search_blocked(
                 hits_d[q0 + row].append(dis[row, bi[sel]])
                 hits_i[q0 + row].append(b0 + bi[sel])
 
-    lims = np.zeros(nq + 1, np.int64)
-    for i in range(nq):
-        lims[i + 1] = lims[i] + sum(len(h) for h in hits_d[i])
-    dd = np.zeros(lims[-1], np.float32)
-    ii = np.zeros(lims[-1], np.int64)
-    for i in range(nq):
-        if lims[i + 1] > lims[i]:
-            dd[lims[i] : lims[i + 1]] = np.concatenate(hits_d[i])
-            ii[lims[i] : lims[i + 1]] = np.concatenate(hits_i[i])
-    return RangeSearchResult(lims=lims, distances=dd, labels=ii)
+    return csr_from_hits(nq, hits_d, hits_i)
 
 
 def range_search_ivf(
@@ -124,13 +132,4 @@ def range_search_ivf(
             hits_d[row].append(dis[row, ci[sel], bi[sel]])
             hits_i[row].append(vids[row, ci[sel], bi[sel]])
 
-    lims = np.zeros(nq + 1, np.int64)
-    for i in range(nq):
-        lims[i + 1] = lims[i] + sum(len(h) for h in hits_d[i])
-    dd = np.zeros(lims[-1], np.float32)
-    ii = np.zeros(lims[-1], np.int64)
-    for i in range(nq):
-        if lims[i + 1] > lims[i]:
-            dd[lims[i] : lims[i + 1]] = np.concatenate(hits_d[i])
-            ii[lims[i] : lims[i + 1]] = np.concatenate(hits_i[i])
-    return RangeSearchResult(lims=lims, distances=dd, labels=ii)
+    return csr_from_hits(nq, hits_d, hits_i)

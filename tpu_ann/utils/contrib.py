@@ -386,6 +386,10 @@ def bucket_sort(tab: np.ndarray, nbucket: Optional[int] = None
     tab = np.asarray(tab).ravel()
     if nbucket is None:
         nbucket = int(tab.max(initial=-1)) + 1
+    if len(tab) and (tab.min() < 0 or tab.max() >= nbucket):
+        raise ValueError(
+            f"bucket_sort: values must be in [0, {nbucket}); got "
+            f"[{tab.min()}, {tab.max()}]")
     counts = np.bincount(tab, minlength=nbucket)
     lims = np.zeros(nbucket + 1, np.int64)
     np.cumsum(counts[:nbucket], out=lims[1:])
@@ -633,16 +637,10 @@ def range_ground_truth(xq, db_iterator, threshold: float,
                 hits_d[q].append(res.distances[s])
                 hits_i[q].append(res.labels[s] + i0)
         i0 += len(block)
-    lims = np.zeros(nq + 1, np.int64)
-    for q in range(nq):
-        lims[q + 1] = lims[q] + sum(len(h) for h in hits_d[q])
-    dd = np.zeros(lims[-1], np.float32)
-    ii = np.zeros(lims[-1], np.int64)
-    for q in range(nq):
-        if lims[q + 1] > lims[q]:
-            dd[lims[q]: lims[q + 1]] = np.concatenate(hits_d[q])
-            ii[lims[q]: lims[q + 1]] = np.concatenate(hits_i[q])
-    return lims, dd, ii
+    from ..ops.range_search import csr_from_hits
+
+    res = csr_from_hits(nq, hits_d, hits_i)
+    return res.lims, res.distances, res.labels
 
 
 def exponential_query_iterator(xq, start_bs: int = 32,
@@ -725,7 +723,15 @@ class DatasetAssignDispatch:
         return out
 
     def assign_to(self, centroids, weights=None):
-        parts = [a.assign_to(centroids, None) for a in self.assigners]
+        if weights is None:
+            wslices = [None] * len(self.assigners)
+        else:
+            weights = np.asarray(weights, np.float32)
+            lims = np.cumsum([0] + [a.count() for a in self.assigners])
+            wslices = [weights[lims[j]: lims[j + 1]]
+                       for j in range(len(self.assigners))]
+        parts = [a.assign_to(centroids, w)
+                 for a, w in zip(self.assigners, wslices)]
         assign = np.concatenate([p[0] for p in parts])
         dis = np.concatenate([p[1] for p in parts])
         sums = np.sum([p[2] for p in parts], axis=0)

@@ -149,14 +149,21 @@ class SiftSurrogateDataset(Dataset):
 # ([nvecs:i32][dim:i32][data]) used by every 19x harness.
 # ---------------------------------------------------------------------------
 
-def ivecs_read(fname: str) -> np.ndarray:
-    a = np.fromfile(fname, dtype=np.int32)
-    d = a[0]
-    return a.reshape(-1, d + 1)[:, 1:].copy()
+def ivecs_read(fname: str, maxn: Optional[int] = None) -> np.ndarray:
+    """`maxn` bounds the read via memmap (a Deep1B-scale base file must
+    not be np.fromfile'd whole just to take a slice)."""
+    if maxn is None:
+        a = np.fromfile(fname, dtype=np.int32)
+        d = a[0]
+        return a.reshape(-1, d + 1)[:, 1:].copy()
+    mm = np.memmap(fname, dtype=np.int32, mode="r")
+    d = int(mm[0])
+    n = min(len(mm) // (d + 1), maxn)
+    return np.array(mm[: n * (d + 1)].reshape(n, d + 1)[:, 1:])
 
 
-def fvecs_read(fname: str) -> np.ndarray:
-    return ivecs_read(fname).view(np.float32)
+def fvecs_read(fname: str, maxn: Optional[int] = None) -> np.ndarray:
+    return ivecs_read(fname, maxn).view(np.float32)
 
 
 def ivecs_write(fname: str, m: np.ndarray) -> None:
@@ -261,12 +268,14 @@ class _FvecsDataset(Dataset):
         self.xq = xq
 
     def get_train(self, maxtrain: Optional[int] = None) -> np.ndarray:
-        xt = fvecs_read(os.path.join(self.root, f"{self.prefix}_learn.fvecs"))
-        return xt if maxtrain is None else xt[:maxtrain]
+        return fvecs_read(
+            os.path.join(self.root, f"{self.prefix}_learn.fvecs"),
+            maxn=maxtrain)
 
     def get_database(self) -> np.ndarray:
         return fvecs_read(
-            os.path.join(self.root, f"{self.prefix}_base.fvecs"))[: self.nb]
+            os.path.join(self.root, f"{self.prefix}_base.fvecs"),
+            maxn=self.nb)
 
     def get_queries(self) -> np.ndarray:
         return self.xq

@@ -71,14 +71,18 @@ def counts_to_PR(ngt, nres, ninter, mode="overall"):
     ngt = np.asarray(ngt, np.float64)
     nres = np.asarray(nres, np.float64)
     ninter = np.asarray(ninter, np.float64)
+    # the reference's exact edge conventions (contrib/evaluation.py:80):
+    # an empty result set has precision 1.0 (it asserted nothing wrong);
+    # an empty GT has recall 1.0 only if the result is also empty.
     if mode == "overall":
         ngt_s, nres_s, ninter_s = ngt.sum(), nres.sum(), ninter.sum()
         precision = ninter_s / nres_s if nres_s > 0 else 1.0
-        recall = ninter_s / ngt_s if ngt_s > 0 else 1.0
+        recall = ninter_s / ngt_s if ngt_s > 0 else float(nres_s == 0)
         return float(precision), float(recall)
     if mode == "average":
         precision = np.where(nres > 0, ninter / np.maximum(nres, 1), 1.0)
-        recall = np.where(ngt > 0, ninter / np.maximum(ngt, 1), 1.0)
+        recall = np.where(ngt > 0, ninter / np.maximum(ngt, 1),
+                          (nres == 0).astype(np.float64))
         return float(precision.mean()), float(recall.mean())
     raise ValueError(f"unknown mode {mode!r}")
 
