@@ -290,3 +290,18 @@ def test_binary_multihash_io(tmp_path, bin_data):
     D1, I1 = idx.search(xq, 5)
     D2, I2 = idx2.search(xq, 5)
     assert np.array_equal(D1, D2) and np.array_equal(I1, I2)
+
+
+def test_knn_hamming_gemm_route(bin_data):
+    """The ±1-GEMM (MXU) Hamming route is exactly equal to xor+popcount,
+    including tie order (both derive ids from concat position)."""
+    d, xb, xq = bin_data
+    Dx, Ix = H.knn_hamming(jnp.asarray(xq), jnp.asarray(xb), 10, via="xor")
+    Dg, Ig = H.knn_hamming(jnp.asarray(xq), jnp.asarray(xb), 10,
+                           via="gemm")
+    assert np.array_equal(np.asarray(Dx), np.asarray(Dg))
+    assert np.array_equal(np.asarray(Ix), np.asarray(Ig))
+    # blocked (multi-block fori path) too
+    Db, Ib = H.knn_hamming(jnp.asarray(xq), jnp.asarray(xb), 10,
+                           via="gemm", db_block=256)
+    assert np.array_equal(np.asarray(Dx), np.asarray(Db))
