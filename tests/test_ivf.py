@@ -376,3 +376,22 @@ def test_add_after_incremental_remove(small_ds):
     # add() assigns sequential ids from the post-removal ntotal (faiss
     # semantics), so the first re-added row carries id 2997
     assert 2997 in idx.search(xb[3000:3001], 1)[1]
+
+
+def test_compute_residual(small_ds):
+    """Index::compute_residual{,_n} (Index.h:245): x - reconstruct(key),
+    and residual of a centroid w.r.t. itself is zero."""
+    from tpu_ann.models.ivf import make_ivf_flat
+
+    xt = small_ds.get_train()
+    idx = make_ivf_flat(small_ds.d, 8)
+    idx.cp.niter = 4
+    idx.train(xt)
+    q = idx.quantizer
+    c0 = q.reconstruct(0)
+    assert np.allclose(q.compute_residual(c0, 0), 0.0, atol=1e-6)
+    keys = np.array([0, 3, 5])
+    x = xt[:3]
+    r = q.compute_residual_n(x, keys)
+    ref = x - np.stack([q.reconstruct(int(k)) for k in keys])
+    assert np.allclose(r, ref, atol=1e-6)

@@ -148,6 +148,16 @@ class Index:
             return np.zeros((0, self.d), np.float32)
         return np.stack([self.reconstruct(int(kk)) for kk in keys])
 
+    def compute_residual(self, x, key: int) -> np.ndarray:
+        """x - reconstruct(key) (faiss Index::compute_residual,
+        Index.h:245 — the quantization residual used by IVF encoders)."""
+        return np.asarray(x, np.float32) - self.reconstruct(int(key))
+
+    def compute_residual_n(self, x, keys) -> np.ndarray:
+        """Batched residuals (faiss Index::compute_residual_n)."""
+        x = np.asarray(x, np.float32)
+        return x - self.reconstruct_batch(keys)
+
     def search_and_reconstruct(self, x, k: int):
         """(D, I, R) with R (nq, k, d) reconstructed result vectors;
         R rows for -1 labels are zero (faiss/Index.h:244)."""
