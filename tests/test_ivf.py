@@ -395,3 +395,27 @@ def test_compute_residual(small_ds):
     r = q.compute_residual_n(x, keys)
     ref = x - np.stack([q.reconstruct(int(k)) for k in keys])
     assert np.allclose(r, ref, atol=1e-6)
+
+
+def test_global_indexivf_stats(small_ds):
+    """The cumulative indexIVF_stats singleton (faiss.cvar role,
+    IndexIVF.h:567-583): accumulated by every *_stats search, reset
+    between phases."""
+    import tpu_ann
+    from tpu_ann.models.ivf import make_ivf_flat
+
+    tpu_ann.indexIVF_stats.reset()
+    idx = make_ivf_flat(small_ds.d, 8)
+    idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    idx.nprobe = 4
+    xq = small_ds.get_queries()
+    _, _, s1 = idx.search_stats(xq, 5)
+    _, _, s2 = idx.search_stats(xq, 5)
+    g = tpu_ann.indexIVF_stats
+    assert g.nq == s1.nq + s2.nq
+    assert g.ndis == s1.ndis + s2.ndis
+    assert g.total_us >= s1.total_us
+    tpu_ann.indexIVF_stats.reset()
+    assert tpu_ann.indexIVF_stats.nq == 0

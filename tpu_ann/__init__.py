@@ -80,7 +80,7 @@ from .models.transforms import (  # noqa: F401
     PCAMatrix,
     RandomRotationMatrix,
 )
-from .models.base import SearchParameters  # noqa: F401
+from .models.base import SearchParameters, indexIVF_stats  # noqa: F401
 from .models.binary import (  # noqa: F401
     IndexBinaryFlat,
     IndexBinaryFromFloat,

@@ -52,6 +52,22 @@ class SearchStats:
     def as_dict(self):
         return dataclasses.asdict(self)
 
+    def accumulate(self, other: "SearchStats") -> None:
+        for f in dataclasses.fields(self):
+            setattr(self, f.name,
+                    getattr(self, f.name) + getattr(other, f.name))
+
+    def reset(self) -> None:
+        for f in dataclasses.fields(self):
+            setattr(self, f.name, type(getattr(self, f.name))(0))
+
+
+# Global cumulative counters, the role of faiss's `indexIVF_stats`
+# singleton read via faiss.cvar (IndexIVF.h:567-583; the fork's
+# 190-series harness reads it after each batch, 190-...test.py:1530).
+# Every *_stats search accumulates into it; reset() between phases.
+indexIVF_stats = SearchStats()
+
 
 class Timer:
     """Context-manager wall timer in microseconds (fork's Timer struct,
@@ -124,6 +140,7 @@ class Index:
             D, I = self.search(x, k, params=params)
         stats = SearchStats(nq=len(np.atleast_2d(x)), total_us=t.us,
                             list_scan_us=t.us)
+        indexIVF_stats.accumulate(stats)
         return D, I, stats
 
     def assign(self, x, k: int = 1) -> np.ndarray:

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..ops import distances as D
 from ..ops import hnsw as H
+from . import base
 from .base import Index, SearchStats, Timer
 from .flat import IndexFlat
 
@@ -413,6 +414,7 @@ class IndexHNSW(Index):
             nq=len(x), total_us=t.us, quantization_us=0.0, list_scan_us=t.us,
             ndis=int(st["ndis"]), nlist_visited=int(st["nhops"]),
         )
+        base.indexIVF_stats.accumulate(stats)
         return Dv, Iv, stats
 
     def reconstruct(self, key: int) -> np.ndarray:

@@ -24,6 +24,7 @@ import numpy as np
 from ..ops import distances as D
 from ..ops import ivf_scan
 from ..ops.kmeans import ClusteringParameters, kmeans
+from . import base
 from .base import Index, SearchStats, Timer
 from .flat import IndexFlat
 
@@ -585,6 +586,7 @@ class IndexIVF(Index):
             ndis=int(ndis),
             nlist_visited=len(x) * nprobe,
         )
+        base.indexIVF_stats.accumulate(stats)
         return Dv, Iv, stats
 
     def range_search(self, x, radius: float):
@@ -642,6 +644,7 @@ class IndexIVF(Index):
             nq=len(x), total_us=t_s.us, quantization_us=0,
             list_scan_us=t_s.us,
             nlist_visited=len(x) * probes_dev.shape[1])
+        base.indexIVF_stats.accumulate(stats)
         return Dv, Iv, stats
 
     def merge_from(self, other, add_id: int = 0) -> None:

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..ops import distances as D
 from ..ops import ivf_scan
+from . import base
 from .base import Index, SearchStats, Timer
 from .flat import IndexFlat
 from .ivf import IndexIVF, SearchParametersIVF
@@ -141,6 +142,7 @@ class IndexIVFSpectralHash(IndexIVF):
             quantization_us=t_q.us, list_scan_us=t_s.us,
             ndis=int(ndis), nlist_visited=len(x) * nprobe,
         )
+        base.indexIVF_stats.accumulate(stats)
         return Dv, Iv, stats
 
 

@@ -19,6 +19,7 @@ from ..ops import distances as D
 from ..ops import ivf_scan
 from ..ops import pq as PQ
 from ..ops import sq as SQ
+from . import base
 from .base import SearchStats, Timer
 from .flat import IndexFlat
 from .ivf import IndexIVF, SearchParametersIVF
@@ -201,6 +202,7 @@ class IndexIVFPQ(IndexIVF):
             quantization_us=t_q.us, list_scan_us=t_s.us,
             ndis=int(ndis), nlist_visited=len(x) * nprobe,
         )
+        base.indexIVF_stats.accumulate(stats)
         return Dv, Iv, stats
 
     def reconstruct(self, key: int) -> np.ndarray:
@@ -332,6 +334,7 @@ class IndexIVFPQR(IndexIVFPQ):
             quantization_us=t_q.us, list_scan_us=t_s.us,
             ndis=int(ndis), nlist_visited=len(x) * nprobe,
         )
+        base.indexIVF_stats.accumulate(stats)
         return Dv, Iv, stats
 
 
@@ -448,6 +451,7 @@ class IndexIVFScalarQuantizer(IndexIVF):
             quantization_us=t_q.us, list_scan_us=t_s.us,
             ndis=int(ndis), nlist_visited=len(x) * nprobe,
         )
+        base.indexIVF_stats.accumulate(stats)
         return Dv, Iv, stats
 
 
