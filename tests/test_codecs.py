@@ -726,3 +726,46 @@ def test_index_pq_decoded_cache_matches_gather(small_ds):
     idx2.add(xb[1000:])
     D2, I2 = idx2.search(small_ds.get_queries(), 10)
     assert (I2 == Id).mean() > 0.97
+
+
+def test_residual_coarse_quantizer(small_ds):
+    """AdditiveCoarseQuantizer family (IndexAdditiveQuantizer.h:150-260):
+    virtual ksub^M centroid database; beam search vs exact enumeration;
+    used as an IVF coarse quantizer through the factory grammar
+    IVF{n}(RCQ{M}x{b})."""
+    import tpu_ann
+    from tpu_ann import ResidualCoarseQuantizer
+    from tpu_ann.utils.evaluation import recall_at_r
+
+    xt = small_ds.get_train()
+    xb = small_ds.get_database()
+    xq = small_ds.get_queries()
+    d = small_ds.d
+
+    rcq = ResidualCoarseQuantizer(d, 2, 4)   # 256 virtual centroids
+    rcq.train(xt)
+    assert rcq.ntotal == 256
+    Db, Ib = rcq.search(xq, 4)
+    rcq.set_beam_factor(-1)                  # exact enumeration
+    De, Ie = rcq.search(xq, 4)
+    assert (Ib[:, 0] == Ie[:, 0]).mean() > 0.95
+    # returned distances are exact L2^2 to the decoded centroid
+    c = rcq.reconstruct_batch(Ie[:5, 0])
+    ref = ((xq[:5] - c) ** 2).sum(1)
+    assert np.allclose(ref, De[:5, 0], rtol=1e-3, atol=1e-3)
+    # add is forbidden (virtual database)
+    with pytest.raises(RuntimeError):
+        rcq.add(xb)
+
+    # factory: IVF256(RCQ2x4),Flat end-to-end
+    ivf = tpu_ann.index_factory(d, "IVF256(RCQ2x4),Flat")
+    assert ivf.quantizer_trains_alone == 1
+    ivf.train(xt)
+    ivf.add(xb)
+    ivf.nprobe = 16
+    _, I = ivf.search(xq, 10)
+    rec = recall_at_r(I, small_ds.get_groundtruth(10), 10)
+    assert rec > 0.5, rec
+    # nlist mismatch is rejected
+    with pytest.raises(ValueError):
+        tpu_ann.index_factory(d, "IVF100(RCQ2x4),Flat")

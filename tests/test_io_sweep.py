@@ -141,6 +141,14 @@ def _build(name, xt, xb):
             IndexFlat(D_), D_, 8, 2, 2, 4)
         idx.cp.niter = 4
         return _trained_added(idx, xt, xb)
+    if name == "ResidualCoarseQuantizer":
+        idx = M.ResidualCoarseQuantizer(D_, 2, 3)
+        idx.train(xt)
+        return idx
+    if name == "LocalSearchCoarseQuantizer":
+        idx = M.LocalSearchCoarseQuantizer(D_, 2, 3)
+        idx.train(xt)
+        return idx
     if name == "IndexBinaryFlat":
         idx = M.IndexBinaryFlat(D_)
         idx.add((xb > 0).astype(np.uint8)[:, : D_ // 8])
@@ -245,6 +253,7 @@ def test_every_model_class_is_registered():
 
     skip = {
         "Index", "IndexBinary",            # abstract bases
+        "AdditiveCoarseQuantizer",         # abstract (no codec trainer)
         "IndexNeuralNetCodec",             # abstract codec base
     }
     missing = []

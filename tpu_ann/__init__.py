@@ -73,6 +73,8 @@ from .models.rq import (  # noqa: F401
     IndexAdditiveQuantizer,
     IndexIVFResidualQuantizer,
     IndexResidualQuantizer,
+    LocalSearchCoarseQuantizer,
+    ResidualCoarseQuantizer,
 )
 from .models.transforms import (  # noqa: F401
     IndexPreTransform,

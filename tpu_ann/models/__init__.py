@@ -29,6 +29,7 @@ from .ivf_pq import (  # noqa: F401
 from .pq import IndexPQ, IndexScalarQuantizer  # noqa: F401
 from .refine import IndexRefine, IndexRefineFlat  # noqa: F401
 from .rq import (  # noqa: F401
+    AdditiveCoarseQuantizer,
     IndexAdditiveQuantizer,
     IndexIVFLocalSearchQuantizer,
     IndexIVFProductLocalSearchQuantizer,
@@ -38,6 +39,8 @@ from .rq import (  # noqa: F401
     IndexProductLocalSearchQuantizer,
     IndexProductResidualQuantizer,
     IndexResidualQuantizer,
+    LocalSearchCoarseQuantizer,
+    ResidualCoarseQuantizer,
 )
 from .binary import (  # noqa: F401
     IndexBinary,

@@ -224,7 +224,14 @@ class IndexIVF(Index):
             ef = max(q.hnsw.efSearch, self.coarse_ef_factor * nprobe)
             return q.search_device(xq_dev, nprobe,
                                    params=SearchParametersHNSW(efSearch=ef))
-        return q.search_device(xq_dev, nprobe)
+        if hasattr(q, "search_device"):
+            return q.search_device(xq_dev, nprobe)
+        # host-API quantizer (e.g. an AdditiveCoarseQuantizer whose
+        # "database" is virtual): round-trip through its search()
+        import jax.numpy as _jnp
+
+        cd, probes = q.search(np.asarray(xq_dev), nprobe)
+        return _jnp.asarray(cd), _jnp.asarray(probes, _jnp.int32)
 
     def _assign(self, x: np.ndarray) -> np.ndarray:
         if self._use_exact_coarse():

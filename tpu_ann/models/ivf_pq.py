@@ -55,9 +55,7 @@ class IndexIVFPQ(IndexIVF):
         """PQ on residuals (IndexIVFPQ::train_encoder)."""
         if self.by_residual and self.metric_type == D.METRIC_L2:
             assign = self._assign(x)
-            cent = np.asarray(self.quantizer.vectors
-                              if hasattr(self.quantizer, "vectors")
-                              else self.quantizer.storage.vectors)
+            cent = np.asarray(self._coarse_centroids())
             xt = x - cent[assign]
         else:
             xt = x
@@ -67,7 +65,16 @@ class IndexIVFPQ(IndexIVF):
     # --- encoding / packing ----------------------------------------------
     def _coarse_centroids(self) -> jnp.ndarray:
         q = self.quantizer
-        vecs = q.vectors if hasattr(q, "vectors") else q.storage.vectors
+        if hasattr(q, "vectors"):
+            vecs = q.vectors
+        elif hasattr(q, "storage"):
+            vecs = q.storage.vectors
+        else:
+            # virtual quantizer (AdditiveCoarseQuantizer): materialize
+            # by decoding — bounded by its own enumeration guard
+            import numpy as _np
+
+            vecs = q.reconstruct_batch(_np.arange(self.nlist))
         return jnp.asarray(vecs)
 
     def _encode(self, x: np.ndarray, assign: np.ndarray) -> np.ndarray:

@@ -442,3 +442,124 @@ def _ivf_rq_search(xq, probes, codes_t, ids_t, lbs, lnb, NB, books, cent,
 
     bd, bi = lax.fori_loop(0, nprobe, probe_body, (bd, bi))
     return bd, bi
+
+
+class AdditiveCoarseQuantizer(Index):
+    """An additive quantizer used as a coarse quantizer: the "database"
+    is the implicit set of all ksub^M codebook combinations
+    (IndexAdditiveQuantizer.h:150-193 ``AdditiveCoarseQuantizer``); no
+    vectors are ever added. ntotal = ksub^M after train; search returns
+    composite centroid ids (mixed-radix over the stage codes);
+    reconstruct decodes an id back into its centroid. Lets an IVF reach
+    huge nlist (2^24+) with a quantizer whose memory is M codebooks."""
+
+    def __init__(self, d: int, M: int, nbits: int,
+                 metric: int = D.METRIC_L2):
+        if metric != D.METRIC_L2:
+            raise ValueError("additive coarse quantizers are L2-only")
+        super().__init__(d, metric)
+        self.M, self.nbits = int(M), int(nbits)
+        self.ksub = 1 << self.nbits
+        self.beam_factor: float = 4.0
+        self.rq = None
+        self._books: Optional[jnp.ndarray] = None
+        self.is_trained = False
+
+    # --- training -----------------------------------------------------
+    def _train_codec(self, x):
+        raise NotImplementedError
+
+    def train(self, x) -> None:
+        x = self._check_input(x)
+        self.rq = self._train_codec(x)
+        self._books = jnp.asarray(self.rq.codebooks)
+        self.ntotal = self.ksub ** self.M
+        self.is_trained = True
+
+    # --- id <-> stage codes (mixed radix, stage 0 most significant) ----
+    def _codes_to_ids(self, codes: np.ndarray) -> np.ndarray:
+        ids = np.zeros(codes.shape[:-1], np.int64)
+        for m in range(self.M):
+            ids = ids * self.ksub + codes[..., m].astype(np.int64)
+        return ids
+
+    def _ids_to_codes(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids, np.int64)
+        codes = np.zeros(ids.shape + (self.M,), np.uint8)
+        for m in range(self.M - 1, -1, -1):
+            codes[..., m] = (ids % self.ksub).astype(np.uint8)
+            ids = ids // self.ksub
+        return codes
+
+    def add(self, x) -> None:
+        raise RuntimeError(
+            "AdditiveCoarseQuantizer is a virtual database — nothing to "
+            "add (reconstruct/search only)")
+
+    def reset(self) -> None:
+        pass
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return self.reconstruct_batch(np.array([key]))[0]
+
+    def reconstruct_batch(self, keys) -> np.ndarray:
+        codes = self._ids_to_codes(np.asarray(keys, np.int64).reshape(-1))
+        return np.asarray(RQ.rq_decode(jnp.asarray(codes), self._books))
+
+    def _all_centroids(self) -> jnp.ndarray:
+        if self.ntotal > (1 << 22):
+            raise ValueError(
+                f"exact centroid enumeration of {self.ntotal} is too "
+                "large; use beam search (beam_factor >= 0)")
+        return jnp.asarray(
+            RQ.rq_decode(jnp.asarray(self._ids_to_codes(
+                np.arange(self.ntotal))), self._books))
+
+    def search(self, x, k: int, *, params=None):
+        """k nearest implicit centroids. beam_factor < 0 -> exact
+        (enumerate + GEMM knn, small vocabularies only); else residual
+        beam search with beam = max(beam_factor * k, k)
+        (ResidualCoarseQuantizer::search semantics)."""
+        x = self._check_input(x)
+        if not self.is_trained:
+            raise RuntimeError("train() first")
+        if self.beam_factor < 0:
+            Dv, Iv = D.knn(jnp.asarray(x), self._all_centroids(), k)
+            return np.asarray(Dv), np.asarray(Iv, np.int64)
+        beam = max(int(self.beam_factor * k), k)
+        errs, codes = RQ.rq_encode_topk(jnp.asarray(x), self._books, k,
+                                        beam)
+        Dv = np.maximum(np.asarray(errs), 0.0)
+        Iv = self._codes_to_ids(np.asarray(codes))
+        if Dv.shape[1] < k:   # beam narrower than k (tiny codebooks)
+            padn = k - Dv.shape[1]
+            Dv = np.pad(Dv, ((0, 0), (0, padn)), constant_values=np.inf)
+            Iv = np.pad(Iv, ((0, 0), (0, padn)), constant_values=-1)
+        return Dv, Iv
+
+    def set_beam_factor(self, bf: float) -> None:
+        self.beam_factor = float(bf)
+
+
+class ResidualCoarseQuantizer(AdditiveCoarseQuantizer):
+    """RQ-trained coarse quantizer (IndexAdditiveQuantizer.h:198
+    ``ResidualCoarseQuantizer``)."""
+
+    def _train_codec(self, x):
+        return RQ.train_rq(x, self.M, self.nbits, verbose=self.verbose)
+
+
+class LocalSearchCoarseQuantizer(AdditiveCoarseQuantizer):
+    """LSQ-trained coarse quantizer (IndexAdditiveQuantizer.h:241
+    ``LocalSearchCoarseQuantizer``). LSQ codebooks are not residual-
+    hierarchical, so search defaults to exact centroid enumeration."""
+
+    def __init__(self, d: int, M: int, nbits: int,
+                 metric: int = D.METRIC_L2):
+        super().__init__(d, M, nbits, metric)
+        self.beam_factor = -1.0   # exact by default
+
+    def _train_codec(self, x):
+        from ..ops import lsq as LSQ
+
+        return LSQ.train_lsq(x, self.M, self.nbits, verbose=self.verbose)

@@ -115,6 +115,45 @@ def rq_encode(x: jnp.ndarray, codebooks: jnp.ndarray,
     return codes[:, 0, :]                                # best beam
 
 
+def rq_encode_topk(x: jnp.ndarray, codebooks: jnp.ndarray, k: int,
+                   beam: int) -> tuple:
+    """Beam-search to the k nearest *implicit centroids* (the
+    ResidualCoarseQuantizer search primitive,
+    IndexAdditiveQuantizer.h:195-239): same stage loop as rq_encode but
+    returns the k best final candidates as
+    (errs (n, k) residual energies == exact L2² to the centroid,
+    codes (n, k, M) uint8). beam >= k."""
+    n, d = x.shape
+    M, ksub, _ = codebooks.shape
+    x = x.astype(jnp.float32)
+    beam = max(int(beam), int(k))
+
+    resid = jnp.broadcast_to(x[:, None, :], (n, 1, d))
+    codes = jnp.zeros((n, 1, M), jnp.uint8)
+    errs = None
+    for m in range(M):
+        cb = codebooks[m]
+        ip = jnp.einsum("nbd,kd->nbk", resid, cb,
+                        precision=lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        cn = jnp.sum(cb * cb, axis=1)
+        rn = jnp.sum(resid * resid, axis=2)
+        err = rn[:, :, None] - 2.0 * ip + cn[None, None, :]
+        b = err.shape[1]
+        flat = err.reshape(n, b * ksub)
+        keep = min(beam, b * ksub)
+        nv, pos = lax.top_k(-flat, keep)
+        src_b = pos // ksub
+        src_k = (pos % ksub).astype(jnp.uint8)
+        rows = jnp.arange(n)[:, None]
+        resid = resid[rows, src_b] - cb[src_k.astype(jnp.int32)]
+        codes = codes[rows, src_b]
+        codes = codes.at[:, :, m].set(src_k)
+        errs = -nv
+    kk = min(k, codes.shape[1])
+    return errs[:, :kk], codes[:, :kk, :]
+
+
 @jax.jit
 def rq_decode(codes: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
     """(n, M) -> (n, d): sum of per-stage codewords."""

@@ -62,11 +62,35 @@ def _parse_transform(tok: str, d: int) -> Optional[VectorTransform]:
     return None
 
 
+def _make_coarse(spec: str, d: int, nlist: int, metric: int):
+    """Parenthesized coarse quantizer (index_factory.cpp coarse grammar):
+    RCQ{M}x{b} / LSCQ{M}x{b} — additive virtual-centroid quantizers whose
+    ksub^M must equal nlist."""
+    m = re.fullmatch(r"(RCQ|LSCQ)(\d+)x(\d+)", spec)
+    if not m:
+        raise ValueError(f"index_factory: bad coarse quantizer {spec!r}")
+    from ..models.rq import (LocalSearchCoarseQuantizer,
+                             ResidualCoarseQuantizer)
+
+    cls = (ResidualCoarseQuantizer if m.group(1) == "RCQ"
+           else LocalSearchCoarseQuantizer)
+    M, b = int(m.group(2)), int(m.group(3))
+    if (1 << (M * b)) != nlist:
+        raise ValueError(
+            f"index_factory: {spec} yields {1 << (M * b)} centroids, "
+            f"but nlist={nlist}")
+    return cls(d, M, b, metric)
+
+
 def _make_ivf(nlist: int, hnsw_m: int, code: str, d: int,
-              metric: int) -> Index:
+              metric: int, coarse: str = "") -> Index:
     if code == "Flat":
         if hnsw_m:
             idx = IndexIVFHNSW(d, nlist, metric, M=hnsw_m)
+        elif coarse:
+            idx = IndexIVFFlat(_make_coarse(coarse, d, nlist, metric), d,
+                               nlist, metric)
+            idx.quantizer_trains_alone = 1
         else:
             idx = IndexIVFFlat(IndexFlat(d, metric), d, nlist, metric)
         return idx
@@ -75,25 +99,34 @@ def _make_ivf(nlist: int, hnsw_m: int, code: str, d: int,
 
         return IndexIVFFlatDedup(IndexFlat(d, metric), d, nlist, metric)
     quant: Index
+    qta = 0
     if hnsw_m:
         quant = IndexHNSWFlat(d, hnsw_m, metric)
+    elif coarse:
+        quant = _make_coarse(coarse, d, nlist, metric)
+        qta = 1
     else:
         quant = IndexFlat(d, metric)
+    def _qta(idx):
+        if qta:
+            idx.quantizer_trains_alone = 1
+        return idx
+
     if m := re.fullmatch(r"PQ(\d+)\+(\d+)", code):
         # "PQ8+16" = IVFPQR: base PQ8 + 16-subquantizer refinement PQ
         # (faiss index_factory.cpp IVFPQR spelling)
         from ..models.ivf_pq import IndexIVFPQR
 
-        return IndexIVFPQR(quant, d, nlist, int(m.group(1)),
-                           8, int(m.group(2)), 8, metric)
+        return _qta(IndexIVFPQR(quant, d, nlist, int(m.group(1)),
+                                8, int(m.group(2)), 8, metric))
     if m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?)?", code):
         # "PQ32x4fs" = 4-bit packed fast-scan layout (our packed codes
         # are block-native already; the _bbs suffix is accepted/ignored)
-        return IndexIVFPQ(quant, d, nlist, int(m.group(1)),
-                          int(m.group(2) or 8), metric)
+        return _qta(IndexIVFPQ(quant, d, nlist, int(m.group(1)),
+                               int(m.group(2) or 8), metric))
     if code in _SQ_TYPES:
-        return IndexIVFScalarQuantizer(quant, d, nlist, _SQ_TYPES[code],
-                                       metric)
+        return _qta(IndexIVFScalarQuantizer(quant, d, nlist,
+                                            _SQ_TYPES[code], metric))
     if m := re.fullmatch(r"(RQ|LSQ)(\d+)x(\d+)", code):
         from ..models.rq import (
             IndexIVFLocalSearchQuantizer,
@@ -102,8 +135,8 @@ def _make_ivf(nlist: int, hnsw_m: int, code: str, d: int,
 
         cls = (IndexIVFResidualQuantizer if m.group(1) == "RQ"
                else IndexIVFLocalSearchQuantizer)
-        return cls(quant, d, nlist, int(m.group(2)), int(m.group(3)),
-                   metric)
+        return _qta(cls(quant, d, nlist, int(m.group(2)), int(m.group(3)),
+                        metric))
     if m := re.fullmatch(r"(PRQ|PLSQ)(\d+)x(\d+)x(\d+)", code):
         from ..models.rq import (
             IndexIVFProductLocalSearchQuantizer,
@@ -112,8 +145,8 @@ def _make_ivf(nlist: int, hnsw_m: int, code: str, d: int,
 
         cls = (IndexIVFProductResidualQuantizer if m.group(1) == "PRQ"
                else IndexIVFProductLocalSearchQuantizer)
-        return cls(quant, d, nlist, int(m.group(2)), int(m.group(3)),
-                   int(m.group(4)), metric)
+        return _qta(cls(quant, d, nlist, int(m.group(2)), int(m.group(3)),
+                        int(m.group(4)), metric))
     raise ValueError(f"index_factory: bad IVF code {code!r}")
 
 
@@ -151,12 +184,14 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
     head = toks[0]
     rest = toks[1:]
     index: Index
-    if m := re.fullmatch(r"IVF(\d+)(?:_HNSW(\d+))?", head):
+    if m := re.fullmatch(r"IVF(\d+)(?:_HNSW(\d+))?(?:\(([^)]+)\))?", head):
         nlist = int(m.group(1))
         hnsw_m = int(m.group(2) or 0)
+        coarse = m.group(3) or ""
         code = rest[0] if rest else "Flat"
         rest = rest[1:] if rest else rest
-        index = _make_ivf(nlist, hnsw_m, code, cur_d, metric)
+        index = _make_ivf(nlist, hnsw_m, code, cur_d, metric,
+                          coarse=coarse)
     elif m := re.fullmatch(r"HNSW(\d+)?", head):
         # parse_IndexHNSW grammar (index_factory.cpp:443-490): storage
         # code after the comma — Flat | PQ<M>[x<nbits>] | SQ* | <n>+PQ<m>
@@ -327,6 +362,11 @@ def _code_bytes(d: int, code: str) -> int:
         bits = {"SQ8": 8, "SQ6": 6, "SQ4": 4,
                 "SQfp16": 16, "SQbf16": 16}[code]
         return (d * bits + 7) // 8
+    def _qta(idx):
+        if qta:
+            idx.quantizer_trains_alone = 1
+        return idx
+
     if m := re.fullmatch(r"PQ(\d+)\+(\d+)", code):
         return int(m.group(1)) + int(m.group(2))
     if m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?)?", code):

@@ -1404,6 +1404,37 @@ def _load_replicas(meta, arrays):
     return idx
 
 
+def _dump_coarse_aq(index):
+    meta = {"tag": "IxCQ", "cls": type(index).__name__, "d": index.d,
+            "metric": index.metric_type, "M": index.M,
+            "nbits": index.nbits, "beam_factor": index.beam_factor,
+            "is_trained": index.is_trained}
+    arrays = {}
+    if index.rq is not None:
+        arrays["codebooks"] = np.asarray(index.rq.codebooks)
+    return meta, arrays
+
+
+def _load_coarse_aq(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models import rq as rqm
+    from ..ops.rq import RQCodec
+
+    cls = getattr(rqm, meta["cls"])
+    idx = cls(int(meta["d"]), int(meta["M"]), int(meta["nbits"]),
+              int(meta["metric"]))
+    idx.beam_factor = float(meta["beam_factor"])
+    if "codebooks" in arrays:
+        books = np.asarray(arrays["codebooks"])
+        idx.rq = RQCodec(codebooks=books, d=idx.d, M=idx.M,
+                         nbits=idx.nbits)
+        idx._books = jnp.asarray(books)
+        idx.ntotal = idx.ksub ** idx.M
+        idx.is_trained = True
+    return idx
+
+
 for _cls in ("IndexResidualQuantizer", "IndexAdditiveQuantizer",
              "IndexLocalSearchQuantizer", "IndexProductResidualQuantizer",
              "IndexProductLocalSearchQuantizer"):
@@ -1413,6 +1444,10 @@ for _cls in ("IndexIVFResidualQuantizer", "IndexIVFLocalSearchQuantizer",
              "IndexIVFProductLocalSearchQuantizer"):
     _register(_cls, "IwRQ", _dump_ivfrq, _load_ivfrq)
 _register("IndexIVFPQR", "IwPR", _dump_ivfpqr, _load_ivfpqr)
+_register("ResidualCoarseQuantizer", "IxCQ", _dump_coarse_aq,
+          _load_coarse_aq)
+_register("LocalSearchCoarseQuantizer", "IxCQ", _dump_coarse_aq,
+          _load_coarse_aq)
 _register("IndexBinaryFlat", "BxFl", _dump_binflat, _load_binflat)
 _register("IndexBinaryIVF", "BwFl", _dump_binivf, _load_binivf)
 _register("IndexBinaryHNSW", "BxHN", _dump_binhnsw, _load_binhnsw)
