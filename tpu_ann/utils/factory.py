@@ -8,6 +8,7 @@ framework; same spelling as the reference):
                L2norm, IDMap
   containers:  Flat, PQ<M>[x<nbits>], SQ8, SQfp16, SQbf16, HNSW<M>[,Flat],
                IVF<nlist>,<code>  IVF<nlist>_HNSW<M>,<code>
+               IVF<nlist>(RCQ<M>x<b> | LSCQ<M>x<b>),<code>
                (code = Flat | PQ<M> | SQ8 | SQfp16 | SQbf16)
   suffixes:    RFlat, Refine(Flat)
 
