@@ -207,3 +207,16 @@ def test_operating_points_with_ranges():
     assert min_time == 0.01     # dominates the (0,0) measurement
     ops.restrict_range("nprobe", 16)
     assert ops.num_experiments() == 4
+
+
+def test_fastscan_spellings_for_aq():
+    """index_factory accepts the reference's AQ fast-scan spellings
+    (Index{,IVF}AdditiveQuantizerFastScan grammar: RQ{M}x4fs[_bbs])."""
+    from tpu_ann import index_factory
+    from tpu_ann.models.rq import (IndexIVFResidualQuantizer,
+                                   IndexResidualQuantizer)
+
+    idx = index_factory(16, "RQ2x4fs_32")
+    assert isinstance(idx, IndexResidualQuantizer)
+    ivf = index_factory(16, "IVF16,RQ2x4fs")
+    assert isinstance(ivf, IndexIVFResidualQuantizer)

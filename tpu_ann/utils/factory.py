@@ -128,7 +128,7 @@ def _make_ivf(nlist: int, hnsw_m: int, code: str, d: int,
     if code in _SQ_TYPES:
         return _qta(IndexIVFScalarQuantizer(quant, d, nlist,
                                             _SQ_TYPES[code], metric))
-    if m := re.fullmatch(r"(RQ|LSQ)(\d+)x(\d+)", code):
+    if m := re.fullmatch(r"(RQ|LSQ)(\d+)x(\d+)(?:fs(?:_\d+)?)?", code):
         from ..models.rq import (
             IndexIVFLocalSearchQuantizer,
             IndexIVFResidualQuantizer,
@@ -230,7 +230,7 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
         index = IndexPQ(cur_d, int(m.group(1)), int(m.group(2) or 8), metric)
     elif head in _SQ_TYPES:
         index = IndexScalarQuantizer(cur_d, _SQ_TYPES[head], metric)
-    elif m := re.fullmatch(r"(RQ|LSQ)(\d+)x(\d+)", head):
+    elif m := re.fullmatch(r"(RQ|LSQ)(\d+)x(\d+)(?:fs(?:_\d+)?)?", head):
         from ..models.rq import (
             IndexLocalSearchQuantizer,
             IndexResidualQuantizer,
