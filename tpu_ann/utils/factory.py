@@ -434,6 +434,16 @@ def reverse_index_factory(index) -> str:
         prefix = f"IVF{index.nlist}"
         if isinstance(index.quantizer, IndexHNSW):
             prefix += f"_HNSW{get_hnsw_M(index.quantizer)}"
+        else:
+            from ..models.rq import (AdditiveCoarseQuantizer,
+                                     LocalSearchCoarseQuantizer)
+
+            if isinstance(index.quantizer, AdditiveCoarseQuantizer):
+                kind = ("LSCQ" if isinstance(index.quantizer,
+                                             LocalSearchCoarseQuantizer)
+                        else "RCQ")
+                prefix += (f"({kind}{index.quantizer.M}"
+                           f"x{index.quantizer.nbits})")
         if isinstance(index, IndexIVFPQR):
             return f"{prefix},PQ{index.M}+{index.M_refine}"
         if isinstance(index, IndexIVFPQ):
