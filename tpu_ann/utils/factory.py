@@ -346,7 +346,7 @@ def get_code_size(d: int, spec: str) -> int:
     if not toks:
         raise ValueError(f"get_code_size({spec!r}): no container")
     head, rest = toks[0], toks[1:]
-    if m := re.fullmatch(r"IVF(\d+)(?:_HNSW(\d+))?", head):
+    if m := re.fullmatch(r"IVF(\d+)(?:_HNSW(\d+))?(?:\([^)]+\))?", head):
         code = rest[0] if rest else "Flat"
         return size + _code_bytes(cur_d, code)
     if m := re.fullmatch(r"HNSW(\d+)?", head):
