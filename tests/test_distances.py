@@ -96,3 +96,86 @@ def test_merge_topk_axis(rng):
                                np.take_along_axis(flat_d, order, 1))
     np.testing.assert_array_equal(np.asarray(Iv),
                                   np.take_along_axis(flat_i, order, 1))
+
+
+def test_extra_metrics_oracle():
+    """utils/extra_distances roles: every extra metric matches a numpy
+    oracle; knn_extra_metrics orders correctly (min for distances, max
+    for Jaccard); IndexFlat routes extra metrics."""
+    import numpy as np
+
+    from tpu_ann.models.flat import IndexFlat
+    from tpu_ann.ops import extra_distances as XD
+
+    rs = np.random.RandomState(3)
+    xq = np.abs(rs.randn(20, 12)).astype(np.float32) + 0.1
+    xb = np.abs(rs.randn(200, 12)).astype(np.float32) + 0.1
+
+    def oracle(metric, arg=0.0):
+        out = np.zeros((len(xq), len(xb)), np.float32)
+        for i, x in enumerate(xq):
+            for j, y in enumerate(xb):
+                if metric == XD.METRIC_L1:
+                    out[i, j] = np.abs(x - y).sum()
+                elif metric == XD.METRIC_Linf:
+                    out[i, j] = np.abs(x - y).max()
+                elif metric == XD.METRIC_Lp:
+                    out[i, j] = (np.abs(x - y) ** arg).sum()
+                elif metric == XD.METRIC_Canberra:
+                    out[i, j] = (np.abs(x - y)
+                                 / (np.abs(x) + np.abs(y))).sum()
+                elif metric == XD.METRIC_BrayCurtis:
+                    out[i, j] = np.abs(x - y).sum() / np.abs(x + y).sum()
+                elif metric == XD.METRIC_JensenShannon:
+                    m = 0.5 * (x + y)
+                    out[i, j] = 0.5 * (-x * np.log(m / x)
+                                       - y * np.log(m / y)).sum()
+                elif metric == XD.METRIC_Jaccard:
+                    out[i, j] = (np.minimum(x, y).sum()
+                                 / np.maximum(x, y).sum())
+                elif metric == XD.METRIC_ABS_INNER_PRODUCT:
+                    out[i, j] = np.abs(x * y).sum()
+        return out
+
+    for metric, arg in [(XD.METRIC_L1, 0), (XD.METRIC_Linf, 0),
+                        (XD.METRIC_Lp, 1.5), (XD.METRIC_Canberra, 0),
+                        (XD.METRIC_BrayCurtis, 0),
+                        (XD.METRIC_JensenShannon, 0),
+                        (XD.METRIC_Jaccard, 0),
+                        (XD.METRIC_ABS_INNER_PRODUCT, 0)]:
+        got = XD.pairwise_extra_distances(xq, xb, metric, arg)
+        ref = oracle(metric, arg)
+        assert np.allclose(got, ref, rtol=2e-4, atol=2e-4), metric
+
+        import jax.numpy as jnp
+
+        D_, I_ = XD.knn_extra_metrics(jnp.asarray(xq), jnp.asarray(xb),
+                                      5, metric, jnp.float32(arg))
+        D_, I_ = np.asarray(D_), np.asarray(I_)
+        if XD.is_similarity_extra(metric):
+            ref_best = np.argsort(-ref, axis=1)[:, :5]
+        else:
+            ref_best = np.argsort(ref, axis=1)[:, :5]
+        assert (I_ == ref_best).mean() > 0.98, metric
+
+    # NaN-Euclidean: missing dims are skipped and rescaled
+    xn = xq.copy()
+    xn[0, 0] = np.nan
+    got = XD.pairwise_extra_distances(xn[:1], xb[:3],
+                                      XD.METRIC_NaNEuclidean)
+    ref0 = 12 / 11 * ((xn[0, 1:] - xb[:3, 1:]) ** 2).sum(1)
+    assert np.allclose(got[0], ref0, rtol=1e-4)
+
+    # IndexFlat routes extra metrics
+    idx = IndexFlat(12, XD.METRIC_L1)
+    idx.add(xb)
+    D1, I1 = idx.search(xq, 3)
+    ref = oracle(XD.METRIC_L1)
+    assert (I1 == np.argsort(ref, axis=1)[:, :3]).mean() > 0.98
+
+    idx = IndexFlat(12, XD.METRIC_Lp)
+    idx.metric_arg = 1.5
+    idx.add(xb)
+    D2, I2 = idx.search(xq, 3)
+    ref = oracle(XD.METRIC_Lp, 1.5)
+    assert (I2 == np.argsort(ref, axis=1)[:, :3]).mean() > 0.98

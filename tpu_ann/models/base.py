@@ -110,6 +110,7 @@ class Index:
             raise ValueError("d must be positive")
         self.d = int(d)
         self.metric_type = int(metric)
+        self.metric_arg = 0.0   # Lp exponent etc. (faiss Index::metric_arg)
         self.ntotal = 0
         self.is_trained = True
         self.verbose = False

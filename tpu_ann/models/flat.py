@@ -150,6 +150,16 @@ class IndexFlat(Index):
             bad = -np.inf if self.is_similarity else np.inf
             return (np.full((nq, k), bad, np.float32),
                     np.full((nq, k), -1, np.int64))
+        from ..ops import extra_distances as XD
+
+        if self.metric_type in XD.EXTRA_METRICS:
+            # L1/Linf/Lp/Canberra/... have no GEMM form; blocked VPU scan
+            # (utils/extra_distances.cpp knn_extra_metrics role)
+            Dv, Iv = XD.knn_extra_metrics(
+                jnp.asarray(x), self._xb[: self.ntotal], k,
+                self.metric_type, jnp.float32(self.metric_arg),
+                valid_n=jnp.int32(self.ntotal))
+            return np.asarray(Dv), np.asarray(Iv, np.int64)
         id_mask = None
         sel = getattr(params, "sel", None) if params is not None else None
         if sel is not None:
