@@ -38,6 +38,19 @@ from .ops.distances import (  # noqa: F401
     knn_l2sqr,
     pairwise_distances,
 )
+from .ops.extra_distances import (  # noqa: F401
+    METRIC_ABS_INNER_PRODUCT,
+    METRIC_BrayCurtis,
+    METRIC_Canberra,
+    METRIC_JensenShannon,
+    METRIC_Jaccard,
+    METRIC_L1,
+    METRIC_Linf,
+    METRIC_Lp,
+    METRIC_NaNEuclidean,
+    knn_extra_metrics,
+    pairwise_extra_distances,
+)
 from .models.base import Index, SearchStats  # noqa: F401
 from .models.flat import IndexFlat, IndexFlatIP, IndexFlatL2  # noqa: F401
 from .models.flat import IndexFlat1D  # noqa: F401
