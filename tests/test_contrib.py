@@ -520,3 +520,36 @@ def test_binary_ivf_review_fixes():
     for row in I:
         v = row[row >= 0]
         assert len(np.unique(v)) == len(v)
+
+
+def test_dataset_assign_sparse():
+    """contrib/clustering.py:249 DatasetAssignSparse: identical k-means
+    trajectory to the dense DatasetAssign on the same data."""
+    sp = pytest.importorskip("scipy.sparse")
+    from tpu_ann.utils.contrib import (DatasetAssign, DatasetAssignSparse,
+                                       kmeans_assign)
+
+    rs = np.random.RandomState(8)
+    dense = rs.rand(800, 24).astype(np.float32)
+    dense[dense < 0.7] = 0.0                  # ~70% sparse
+    xs = sp.csr_matrix(dense)
+
+    das = DatasetAssignSparse(xs)
+    assert das.count() == 800 and das.dim() == 24
+    assert np.allclose(das.get_subset([3, 7]), dense[[3, 7]])
+
+    a1, d1, s1 = DatasetAssign(dense).assign_to(dense[:8])
+    a2, d2, s2 = das.assign_to(dense[:8])
+    assert np.array_equal(a1, a2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-4)
+
+    # weighted sums agree too
+    w = rs.rand(800).astype(np.float32)
+    _, _, sw1 = DatasetAssign(dense).assign_to(dense[:8], w)
+    _, _, sw2 = das.assign_to(dense[:8], w)
+    np.testing.assert_allclose(sw1, sw2, rtol=1e-4, atol=1e-4)
+
+    c1 = kmeans_assign(8, DatasetAssign(dense), niter=5, seed=2)
+    c2 = kmeans_assign(8, das, niter=5, seed=2)
+    np.testing.assert_allclose(c1, c2, rtol=1e-3, atol=1e-3)

@@ -774,3 +774,47 @@ def kmeans_assign(k: int, data: DatasetAssign, niter: int = 25,
     if return_stats:
         return centroids, stats
     return centroids
+
+
+class DatasetAssignSparse(DatasetAssign):
+    """DatasetAssign over a scipy CSR matrix (contrib/clustering.py:249
+    ``DatasetAssignSparse``): k-means on sparse training data without
+    densifying — distances via the sparse-dense product
+    ||x||² - 2 x·cᵀ + ||c||², per-centroid sums via a one-hot CSR
+    product."""
+
+    def __init__(self, x_csr):
+        import scipy.sparse as sp
+
+        if not sp.issparse(x_csr):
+            raise TypeError("DatasetAssignSparse needs a scipy sparse "
+                            "matrix (use DatasetAssign for dense)")
+        self.x = x_csr.tocsr().astype(np.float32)
+        self._sq_norms = np.asarray(
+            self.x.multiply(self.x).sum(axis=1)).ravel()
+
+    def count(self) -> int:
+        return self.x.shape[0]
+
+    def dim(self) -> int:
+        return self.x.shape[1]
+
+    def get_subset(self, indices) -> np.ndarray:
+        return np.asarray(self.x[np.asarray(indices)].todense(),
+                          np.float32)
+
+    def assign_to(self, centroids, weights=None):
+        import scipy.sparse as sp
+
+        centroids = np.ascontiguousarray(centroids, np.float32)
+        ip = np.asarray(self.x @ centroids.T)             # (n, k) dense
+        cn = (centroids * centroids).sum(axis=1)
+        dis = self._sq_norms[:, None] - 2.0 * ip + cn[None, :]
+        a = np.argmin(dis, axis=1)
+        dmin = np.maximum(dis[np.arange(len(a)), a], 0.0)
+        n, k = self.x.shape[0], len(centroids)
+        w = (np.ones(n, np.float32) if weights is None
+             else np.asarray(weights, np.float32))
+        onehot = sp.csr_matrix((w, (a, np.arange(n))), shape=(k, n))
+        sums = np.asarray((onehot @ self.x).todense(), np.float32)
+        return a.astype(np.int64), dmin.astype(np.float32), sums
