@@ -553,3 +553,30 @@ def test_dataset_assign_sparse():
     c1 = kmeans_assign(8, DatasetAssign(dense), niter=5, seed=2)
     c2 = kmeans_assign(8, das, niter=5, seed=2)
     np.testing.assert_allclose(c1, c2, rtol=1e-3, atol=1e-3)
+
+
+def test_two_level_clustering_batched(small_ds):
+    """batched=True runs all second-level k-means as one vmapped device
+    program; objective parity with the sequential path."""
+    from tpu_ann.ops import distances as D
+    from tpu_ann.utils.contrib import two_level_clustering
+
+    import jax.numpy as jnp
+
+    xt = small_ds.get_train()
+
+    cb = two_level_clustering(xt, 4, 32, rebalance=False,
+                              clustering_niter=5, batched=True)
+    cs = two_level_clustering(xt, 4, 32, rebalance=False,
+                              clustering_niter=5)
+    assert cb.shape == cs.shape == (32, small_ds.d)
+    assert np.isfinite(cb).all()
+
+    def obj(c):
+        dis, _ = D.knn(jnp.asarray(xt), jnp.asarray(c), 1)
+        return float(np.asarray(dis).sum())
+    ob, os_ = obj(cb), obj(cs)
+    assert ob < os_ * 1.15, (ob, os_)
+
+    with pytest.raises(ValueError, match="batched"):
+        two_level_clustering(xt, 4, 32, batched=True)   # rebalance=True

@@ -419,10 +419,16 @@ def rand_smooth_vectors(n: int, d: int, seed: int = 1234) -> np.ndarray:
 
 def two_level_clustering(xt: np.ndarray, nc1: int, nc2: int, *,
                          rebalance: bool = True, clustering_niter: int = 25,
-                         cp=None, verbose: bool = False) -> np.ndarray:
+                         cp=None, verbose: bool = False,
+                         batched: bool = False) -> np.ndarray:
     """Returns (nc2, d) float32 centroids. `rebalance` sizes each cell's
     sub-cluster budget by its first-level population (the reference's
-    cumulative-share split); otherwise budgets are equal."""
+    cumulative-share split); otherwise budgets are equal.
+
+    `batched=True` (requires equal budgets, i.e. rebalance=False and
+    nc1 | nc2) runs all nc1 second-level k-means as one vmapped device
+    program — on a remote-attached TPU the sequential per-cell loop pays
+    a dispatch round-trip per cell, which dominates its wall time."""
     from ..ops.kmeans import ClusteringParameters, kmeans
     from ..ops import distances as D
 
@@ -450,6 +456,14 @@ def two_level_clustering(xt: np.ndarray, nc1: int, nc2: int, *,
     assert int(all_nc2.sum()) == nc2
 
     cp2 = cp or ClusteringParameters(niter=10)
+    if batched:
+        if rebalance or nc2 % nc1:
+            raise ValueError("batched two-level clustering needs equal "
+                             "cell budgets (rebalance=False, nc1 | nc2)")
+        lims = np.zeros(nc1 + 1, np.int64)
+        np.cumsum(bc, out=lims[1:])
+        return _batched_subkmeans(xt, order, lims, nc2 // nc1,
+                                  cp2.niter, cp2.seed)
     out: list = []
     short = 0
     i0 = 0
@@ -818,3 +832,58 @@ class DatasetAssignSparse(DatasetAssign):
         onehot = sp.csr_matrix((w, (a, np.arange(n))), shape=(k, n))
         sums = np.asarray((onehot @ self.x).todense(), np.float32)
         return a.astype(np.int64), dmin.astype(np.float32), sums
+
+
+def _batched_subkmeans(xt: np.ndarray, order: np.ndarray,
+                       lims: np.ndarray, k2: int, niter: int,
+                       seed: int) -> np.ndarray:
+    """All second-level k-means of two_level_clustering as ONE device
+    program: cells padded to the max population, a vmapped masked Lloyd
+    iterates every cell simultaneously (nc1 einsum contractions instead
+    of nc1 sequential kmeans dispatches — the sequential loop pays one
+    host->device round trip per cell, which dominates on a
+    remote-attached TPU). Empty sub-clusters keep their previous
+    centroid (the sequential path's split step matters only for
+    pathological cells). Returns (nc1 * k2, d) float32."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    nc1 = len(lims) - 1
+    d = xt.shape[1]
+    sizes = np.diff(lims)
+    Pmax = max(int(sizes.max()), k2)
+    X = np.zeros((nc1, Pmax, d), np.float32)
+    M = np.zeros((nc1, Pmax), np.float32)
+    for c in range(nc1):
+        s = int(sizes[c])
+        X[c, :s] = xt[order[lims[c]: lims[c + 1]]]
+        M[c, :s] = 1.0
+
+    X_d = jnp.asarray(X)
+    M_d = jnp.asarray(M)
+    # seeded init: k2 distinct valid rows per cell (random keys, invalid
+    # rows pushed to +inf, k2 smallest win)
+    keys = jax.random.uniform(jax.random.PRNGKey(seed), (nc1, Pmax))
+    keys = jnp.where(M_d > 0, keys, jnp.inf)
+    _, pick = lax.top_k(-keys, k2)                     # (nc1, k2)
+    cent0 = jnp.take_along_axis(X_d, pick[:, :, None], axis=1)
+
+    def body(_, cent):
+        # (nc1, Pmax, k2) cell-local squared distances
+        ip = jnp.einsum("cpd,ckd->cpk", X_d, cent,
+                        preferred_element_type=jnp.float32)
+        cn = jnp.sum(cent * cent, axis=2)              # (nc1, k2)
+        dis = cn[:, None, :] - 2.0 * ip
+        a = jnp.argmin(dis, axis=2)                    # (nc1, Pmax)
+        onehot = (jax.nn.one_hot(a, k2, dtype=jnp.float32)
+                  * M_d[:, :, None])                   # (nc1, Pmax, k2)
+        sums = jnp.einsum("cpk,cpd->ckd", onehot, X_d,
+                          preferred_element_type=jnp.float32)
+        counts = jnp.sum(onehot, axis=1)               # (nc1, k2)
+        return jnp.where(counts[:, :, None] > 0,
+                         sums / jnp.maximum(counts, 1.0)[:, :, None],
+                         cent)
+
+    cent = lax.fori_loop(0, niter, body, cent0)
+    return np.asarray(cent, np.float32).reshape(nc1 * k2, d)
