@@ -344,3 +344,23 @@ def test_clone_index_is_independent(data):
     idx.remove_ids(IDSelectorArray(I1[:, 0]))
     _, I3 = c.search(xq, 5)
     np.testing.assert_array_equal(I2, I3)    # clone unaffected
+
+
+def test_serialize_deserialize_buffer(data):
+    """serialize_index/deserialize_index byte-buffer round trip
+    (python/__init__.py:315-339 role)."""
+    xt, xb, xq = data
+    from tpu_ann import index_factory
+    from tpu_ann.utils.index_io import deserialize_index, serialize_index
+
+    idx = index_factory(D_, "IVF8,Flat")
+    idx.cp.niter = 3
+    idx.train(xt)
+    idx.add(xb)
+    idx.nprobe = 4
+    buf = serialize_index(idx)
+    assert buf.dtype == np.uint8 and buf.nbytes > 0
+    idx2 = deserialize_index(buf)
+    D1, I1 = idx.search(xq, 4)
+    D2, I2 = idx2.search(xq, 4)
+    assert np.array_equal(I1, I2)

@@ -145,7 +145,12 @@ from .utils.autotune import (  # noqa: F401
     ParameterSpace,
 )
 from .utils.factory import index_binary_factory, index_factory  # noqa: F401
-from .utils.index_io import read_index, write_index  # noqa: F401
+from .utils.index_io import (  # noqa: F401
+    deserialize_index,
+    read_index,
+    serialize_index,
+    write_index,
+)
 from .utils.interrupt import InterruptCallback, TimeoutGuard  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1485,3 +1485,25 @@ _register("IndexPreTransform", "IxPT", _dump_pretransform,
 _register("IndexIDMap", "IxMp", _dump_idmap, _load_idmap)
 _register("IndexRefine", "IxRF", _dump_refine, _load_refine)
 _register("IndexRefineFlat", "IxRF", _dump_refine, _load_refine)
+
+
+def serialize_index(index) -> np.ndarray:
+    """Index -> uint8 buffer (faiss serialize_index,
+    python/__init__.py:315-339): the container bytes in memory, e.g. for
+    shipping an index over a socket or storing it in a KV store."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "index.tann")
+        write_index(index, p)
+        return np.fromfile(p, dtype=np.uint8)
+
+
+def deserialize_index(buf: np.ndarray):
+    """uint8 buffer -> Index (faiss deserialize_index)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "index.tann")
+        np.asarray(buf, np.uint8).tofile(p)
+        return read_index(p)
