@@ -72,6 +72,88 @@ def _merge_groups(dis, av, ap, base, W, lane):
     return av, ap
 
 
+def _flat_kernel_unrolled(
+    qv_ref,        # (Q, dp) VMEM bf16: tile's queries, PRE-SCALED
+    data_hbm,      # (nchunks, R, dp) bf16 HBM; nchunks % U == 0
+    bias_hbm,      # (nchunks, 1, R) f32 HBM
+    outv_ref,      # (Q, W) VMEM f32 reservoir values
+    outp_ref,      # (Q, W) VMEM int32 reservoir row positions
+    dbuf,          # (2*U, R, dp) bf16 VMEM
+    bbuf,          # (2*U, 1, R) f32 VMEM
+    sems,          # DMA sems (2*U, 2)
+    *,
+    R: int,
+    W: int,
+    U: int,
+    nchunks: int,
+):
+    """schedule='fori', unroll=U>1: each fori iteration consumes U chunks
+    from its own U DMA slots while the other U slots prefetch the next
+    iteration's chunks.  Each in-iteration chunk j folds into its OWN
+    (av_j, ap_j) accumulator, so consecutive merges have no data
+    dependence — the scheduler can overlap chunk j+1's MXU dot with
+    chunk j's VPU merge — and the fori loop/DMA-issue overhead is paid
+    once per U chunks.  The U accumulators min-merge after the loop."""
+    Q = qv_ref.shape[0]
+    niter = nchunks // U
+
+    def start_dma(c, slot):
+        pltpu.make_async_copy(
+            data_hbm.at[c], dbuf.at[slot], sems.at[slot, 0]).start()
+        pltpu.make_async_copy(
+            bias_hbm.at[c], bbuf.at[slot], sems.at[slot, 1]).start()
+
+    def wait_dma(c, slot):
+        pltpu.make_async_copy(
+            data_hbm.at[c], dbuf.at[slot], sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            bias_hbm.at[c], bbuf.at[slot], sems.at[slot, 1]).wait()
+
+    for j in range(U):
+        start_dma(j, j)
+    qv = qv_ref[:]
+    lane = lax.broadcasted_iota(jnp.int32, (Q, W), 1)
+    init = tuple(
+        (jnp.full((Q, W), jnp.inf, jnp.float32),
+         jnp.full((Q, W), -1, jnp.int32))
+        for _ in range(U)
+    )
+
+    def iter_body(i, accs):
+        half = lax.rem(i, 2) * U
+        nxt = (lax.rem(i, 2) ^ 1) * U
+
+        @pl.when(i + 1 < niter)
+        def _():
+            for j in range(U):
+                start_dma((i + 1) * U + j, nxt + j)
+
+        out = []
+        for j in range(U):
+            av, ap = accs[j]
+            slot = half + j
+            c = i * U + j
+            wait_dma(c, slot)
+            ip = lax.dot_general(
+                qv, dbuf[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dis = bbuf[slot] + ip
+            out.append(_merge_groups(dis, av, ap, c * R, W, lane))
+        return tuple(out)
+
+    accs = lax.fori_loop(0, niter, iter_body, init)
+    av, ap = accs[0]
+    for j in range(1, U):
+        av2, ap2 = accs[j]
+        upd = av2 < av
+        av = jnp.where(upd, av2, av)
+        ap = jnp.where(upd, ap2, ap)
+    outv_ref[:] = av
+    outp_ref[:] = ap
+
+
 def _flat_kernel(
     qv_ref,        # (Q, dp) VMEM bf16: tile's queries, PRE-SCALED
     data_hbm,      # (nchunks, R, dp) bf16 HBM
@@ -198,7 +280,7 @@ def _flat_kernel_grid(qv_ref, bias_ref, data_ref, outv_ref, outp_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "Q", "R", "W", "refine", "schedule",
-                     "interpret"),
+                     "unroll", "interpret"),
 )
 def flat_knn_fused(
     xq: jnp.ndarray,
@@ -214,6 +296,7 @@ def flat_knn_fused(
     W: int = 1024,
     refine: int = 4,
     schedule: str = "fori",
+    unroll: int = 1,
     interpret: bool = False,
 ):
     """Fused brute-force k-NN (see module docstring).
@@ -232,6 +315,10 @@ def flat_knn_fused(
         auto-pipelined BlockSpec DMA, reservoir accumulated in the out
         refs), 'pipe' ('fori' with the chunk-c dot issued before the
         chunk-(c-1) merge so MXU and VPU work can overlap).
+      unroll: (schedule='fori' only) chunks per fori iteration; U>1 uses
+        2U DMA slots and U independent lane-min accumulators (merged
+        after the loop), amortizing loop/DMA-issue overhead U× and
+        removing the merge→merge dependence between in-iteration chunks.
     Returns (D, I): (nq, k) — L2 ascending distances / IP descending
       similarities, int32 ids (-1 for invalid).
     """
@@ -257,6 +344,10 @@ def flat_knn_fused(
         bias = jnp.where(id_mask != 0, bias, jnp.inf)
 
     nchunks = max(-(-nb // R), 1)
+    if schedule == "fori" and unroll > 1:
+        # unrolled body has no per-chunk validity guards: round the chunk
+        # count up and let the +inf-bias padding rows absorb the excess
+        nchunks = -(-nchunks // unroll) * unroll
     pad = nchunks * R - nb
     data = jnp.pad(xb.astype(jnp.bfloat16),
                    ((0, pad), (0, dp - d))).reshape(nchunks, R, dp)
@@ -294,10 +385,12 @@ def flat_knn_fused(
         )(qv_t, bias_p, data)
     else:
         assert schedule in ("fori", "pipe"), schedule
+        U = unroll if schedule == "fori" else 1
+        nslots = 2 * U if U > 1 else 2
         scratch = [
-            pltpu.VMEM((2, R, dp), jnp.bfloat16),
-            pltpu.VMEM((2, 1, R), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((nslots, R, dp), jnp.bfloat16),
+            pltpu.VMEM((nslots, 1, R), jnp.float32),
+            pltpu.SemaphoreType.DMA((nslots, 2)),
         ]
         if schedule == "pipe":
             scratch.append(pltpu.VMEM((Q, R), jnp.float32))
@@ -317,12 +410,21 @@ def flat_knn_fused(
             scratch_shapes=scratch,
         )
 
-        def kern(qv_ref, data_h, bias_h, outv_ref, outp_ref,
-                 dbuf, bbuf, sems, *maybe_dis):
-            _flat_kernel(qv_ref[0], data_h, bias_h,
-                         outv_ref.at[0], outp_ref.at[0], dbuf, bbuf, sems,
-                         maybe_dis[0] if maybe_dis else None,
-                         R=R, W=W, nchunks=nchunks)
+        if U > 1:
+            def kern(qv_ref, data_h, bias_h, outv_ref, outp_ref,
+                     dbuf, bbuf, sems):
+                _flat_kernel_unrolled(
+                    qv_ref[0], data_h, bias_h,
+                    outv_ref.at[0], outp_ref.at[0], dbuf, bbuf, sems,
+                    R=R, W=W, U=U, nchunks=nchunks)
+        else:
+            def kern(qv_ref, data_h, bias_h, outv_ref, outp_ref,
+                     dbuf, bbuf, sems, *maybe_dis):
+                _flat_kernel(qv_ref[0], data_h, bias_h,
+                             outv_ref.at[0], outp_ref.at[0],
+                             dbuf, bbuf, sems,
+                             maybe_dis[0] if maybe_dis else None,
+                             R=R, W=W, nchunks=nchunks)
 
         outv, outp = pl.pallas_call(
             kern,
