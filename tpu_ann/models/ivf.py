@@ -836,6 +836,63 @@ class IndexIVF(Index):
                 return xs[hit[0]]
         raise KeyError(key)
 
+    # --- standalone codec (faiss/IndexIVF.cpp sa_encode/sa_decode:
+    #     codes = encode_listno(list id, little-endian coarse_code_size
+    #     bytes) + the subclass's list payload) --------------------------
+    def coarse_code_size(self) -> int:
+        """Bytes needed to store a list id (IndexIVF::coarse_code_size)."""
+        nl, nbyte = self.nlist - 1, 0
+        while nl > 0:
+            nbyte += 1
+            nl >>= 8
+        return nbyte
+
+    def encode_listno(self, listnos) -> np.ndarray:
+        nbyte = self.coarse_code_size()
+        listnos = np.asarray(listnos, np.int64)
+        out = np.zeros((len(listnos), nbyte), np.uint8)
+        for b in range(nbyte):
+            out[:, b] = (listnos >> (8 * b)) & 0xFF
+        return out
+
+    def decode_listno(self, codes) -> np.ndarray:
+        codes = np.asarray(codes, np.uint8)
+        out = np.zeros(len(codes), np.int64)
+        for b in range(codes.shape[1]):
+            out |= codes[:, b].astype(np.int64) << (8 * b)
+        return out
+
+    def _sa_payload_size(self) -> int:
+        # Flat storage: raw little-endian f32 rows (IndexIVFFlat's
+        # code_size = 4*d; sa_decode is a memcpy in the reference too)
+        return 4 * self.d
+
+    def _sa_encode_payload(self, x: np.ndarray,
+                           assign: np.ndarray) -> np.ndarray:
+        raw = np.ascontiguousarray(np.asarray(x, dtype="<f4"))
+        return raw.view(np.uint8).reshape(len(x), 4 * self.d)
+
+    def _sa_decode_payload(self, payload: np.ndarray,
+                           listno: np.ndarray) -> np.ndarray:
+        raw = np.ascontiguousarray(payload).view("<f4")
+        return raw.reshape(len(payload), self.d).astype(np.float32)
+
+    def sa_code_size(self) -> int:
+        return self.coarse_code_size() + self._sa_payload_size()
+
+    def sa_encode(self, x) -> np.ndarray:
+        x = self._check_input(x)
+        assign = np.asarray(self.coarse_assign(x, 1))[:, 0]
+        return np.concatenate(
+            [self.encode_listno(assign),
+             self._sa_encode_payload(x, assign)], axis=1)
+
+    def sa_decode(self, codes) -> np.ndarray:
+        codes = np.ascontiguousarray(np.asarray(codes, np.uint8))
+        cs = self.coarse_code_size()
+        listno = self.decode_listno(codes[:, :cs])
+        return self._sa_decode_payload(codes[:, cs:], listno)
+
     @property
     def list_sizes(self) -> np.ndarray:
         """Per-list entry counts (InvertedLists::list_size for all lists).

@@ -100,6 +100,20 @@ class IndexIVFSpectralHash(IndexIVF):
         return ivf_scan.pack_code_invlists(codes, ids, assign, self.nlist,
                                            self.block_size)
 
+    # standalone codec: encode = listno + binarized code (the reference's
+    # encode_vectors(include_listnos)); the binarization is lossy and
+    # non-invertible, so decode is unsupported there too
+    def _sa_payload_size(self) -> int:
+        return (self.nbit + 7) // 8
+
+    def _sa_encode_payload(self, x, assign) -> np.ndarray:
+        z = self.vt.apply(np.asarray(x)).astype(np.float32)
+        return self._binarize(z, np.asarray(assign))
+
+    def _sa_decode_payload(self, payload, listno) -> np.ndarray:
+        raise NotImplementedError(
+            "IndexIVFSpectralHash codes cannot be decoded")
+
     def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
                        id_mask=None):
         _, probes = self._coarse_search_device(xq_dev, nprobe)

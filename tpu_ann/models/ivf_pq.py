@@ -221,6 +221,26 @@ class IndexIVFPQ(IndexIVF):
                 return xs[hit[0]]
         raise KeyError(key)
 
+    # --- standalone codec: listno prefix + PQ codes of the (residual)
+    #     vector (IndexIVFPQ::encode_vectors / sa_decode) ----------------
+    def _sa_payload_size(self) -> int:
+        return (self.M + 1) // 2 if self.nbits == 4 else self.M
+
+    def _sa_encode_payload(self, x, assign) -> np.ndarray:
+        return self._encode(np.asarray(x, np.float32),
+                            np.asarray(assign))
+
+    def _sa_decode_payload(self, payload, listno) -> np.ndarray:
+        codes = jnp.asarray(np.ascontiguousarray(payload))
+        if self.nbits == 4:
+            codes = PQ.unpack_codes_4bit(codes)[:, :self.M]
+        x = np.asarray(PQ.pq_decode(codes, self._pq_cent_dev),
+                       np.float32)
+        if self.by_residual and self.metric_type == D.METRIC_L2:
+            cent = np.asarray(self._coarse_centroids())
+            x = x + cent[np.asarray(listno)]
+        return x
+
 
 class IndexIVFPQR(IndexIVFPQ):
     """IVFPQ + second-level refinement PQ (faiss IndexIVFPQR,
@@ -401,6 +421,32 @@ class IndexIVFScalarQuantizer(IndexIVF):
         vdiff = (jnp.asarray(self.sq.vdiff) if self.sq.vdiff is not None
                  else jnp.ones((d,), jnp.float32))
         return vmin, vdiff
+
+    # --- standalone codec: listno prefix + SQ codes of the raw vector
+    #     (this class stores non-residual codes, see _pack) --------------
+    def _codec_or_default(self) -> "SQ.SQCodec":
+        return self.sq or SQ.SQCodec(qtype=self.qtype, d=self.d)
+
+    def _sa_payload_size(self) -> int:
+        return self._codec_or_default().code_size
+
+    def _sa_encode_payload(self, x, assign) -> np.ndarray:
+        codes = np.asarray(SQ.sq_encode(jnp.asarray(x), self.sq))
+        if codes.dtype != np.uint8:
+            # fp16/bf16 code dtypes: raw bytes on the wire
+            codes = np.ascontiguousarray(codes).view(np.uint8)
+        return codes.reshape(len(x), -1)
+
+    def _sa_decode_payload(self, payload, listno) -> np.ndarray:
+        codec = self._codec_or_default()
+        payload = np.ascontiguousarray(payload)
+        if codec.qtype == SQ.QT_FP16:
+            codes = jnp.asarray(payload.view(np.float16))
+        elif codec.qtype == SQ.QT_BF16:
+            codes = jnp.asarray(payload.view(np.dtype(jnp.bfloat16)))
+        else:
+            codes = jnp.asarray(payload)
+        return np.asarray(SQ.sq_decode(codes, codec), np.float32)
 
     def _search_device(self, xq_dev, k: int, nprobe: int, mnb: int,
                        id_mask=None):

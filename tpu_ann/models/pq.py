@@ -230,7 +230,10 @@ class IndexPQ(Index):
 
     # --- codec API --------------------------------------------------------
     def sa_code_size(self) -> int:
-        return self.pq.code_size
+        if self.pq is not None:
+            return self.pq.code_size
+        # known at construction (ProductQuantizer.h code_size)
+        return (self.M + 1) // 2 if self.nbits == 4 else self.M
 
     def sa_encode(self, x) -> np.ndarray:
         x = self._check_input(x)
@@ -295,13 +298,24 @@ class IndexScalarQuantizer(Index):
         self._codes, self.ntotal = None, 0
 
     def sa_code_size(self) -> int:
-        return self.sq.code_size
+        # known at construction (ScalarQuantizer.cpp set_derived_sizes)
+        return (self.sq or SQ.SQCodec(qtype=self.qtype, d=self.d)).code_size
 
     def sa_encode(self, x) -> np.ndarray:
         x = self._check_input(x)
-        return np.asarray(SQ.sq_encode(jnp.asarray(x), self.sq))
+        codes = np.asarray(SQ.sq_encode(jnp.asarray(x), self.sq))
+        if codes.dtype != np.uint8:
+            # fp16/bf16 code dtypes: sa codes are raw bytes
+            codes = np.ascontiguousarray(codes).view(np.uint8)
+        return codes
 
     def sa_decode(self, codes) -> np.ndarray:
+        codes = np.asarray(codes)
+        if codes.dtype == np.uint8 and self.qtype in (SQ.QT_FP16,
+                                                      SQ.QT_BF16):
+            codes = np.ascontiguousarray(codes).view(
+                np.float16 if self.qtype == SQ.QT_FP16
+                else np.dtype(jnp.bfloat16))
         return np.asarray(SQ.sq_decode(jnp.asarray(codes), self.sq))
 
     def reconstruct(self, key: int) -> np.ndarray:

@@ -116,15 +116,26 @@ class IndexResidualQuantizer(Index):
         self.ntotal = 0
 
     def sa_code_size(self) -> int:
-        return self.rq.code_size
+        # M stage bytes + f32 norm (ST_norm_float); known pre-train up to
+        # product-AQ stage expansion (train() refreshes self.M)
+        return (self.rq.code_size if self.rq is not None
+                else self.M + 4)
 
     def sa_encode(self, x) -> np.ndarray:
         x = self._check_input(x)
-        return np.asarray(self._encode(jnp.asarray(x)))
+        codes = np.asarray(self._encode(jnp.asarray(x)))
+        # ST_norm_float: the reconstruction norm rides as 4 trailing
+        # bytes so standalone codes match code_size (AdditiveQuantizer's
+        # sa layout; the flat index stores codes/norms separately)
+        recon = RQ.rq_decode(jnp.asarray(codes), self._books)
+        norms = np.asarray(jnp.sum(recon * recon, axis=1), np.float32)
+        return np.concatenate([codes, norms[:, None].view(np.uint8)],
+                              axis=1)
 
     def sa_decode(self, codes) -> np.ndarray:
+        codes = np.ascontiguousarray(codes, np.uint8)
         return np.asarray(RQ.rq_decode(
-            jnp.asarray(np.ascontiguousarray(codes, np.uint8)), self._books))
+            jnp.asarray(codes[:, :self.M]), self._books))
 
     def reconstruct(self, key: int) -> np.ndarray:
         return self.sa_decode(np.asarray(self._codes[key : key + 1]))[0]
@@ -281,6 +292,29 @@ class IndexIVFResidualQuantizer(IndexIVF):
             [np.asarray(codes), norms[:, None].view(np.uint8)], axis=1)
         return pack_code_invlists(payload, ids, assign, self.nlist,
                                   self.block_size)
+
+    # --- standalone codec: listno prefix + the invlist payload (AQ
+    #     stage bytes of the residual + f32 reconstruction norm) ---------
+    def _sa_payload_size(self) -> int:
+        return (self.rq.code_size if self.rq is not None
+                else self.M + 4)
+
+    def _sa_encode_payload(self, x, assign) -> np.ndarray:
+        cent = np.asarray(self._centroid_table())
+        resid = jnp.asarray(np.asarray(x, np.float32) - cent[assign])
+        codes = self._encode_residuals(resid)
+        recon = (RQ.rq_decode(codes, self._books)
+                 + jnp.asarray(cent[assign]))
+        norms = np.asarray(jnp.sum(recon * recon, axis=1), np.float32)
+        return np.concatenate(
+            [np.asarray(codes), norms[:, None].view(np.uint8)], axis=1)
+
+    def _sa_decode_payload(self, payload, listno) -> np.ndarray:
+        cent = np.asarray(self._centroid_table())
+        resid = np.asarray(RQ.rq_decode(
+            jnp.asarray(np.ascontiguousarray(payload[:, :self.M])),
+            self._books))
+        return (resid + cent[np.asarray(listno)]).astype(np.float32)
 
     def search(self, x, k: int, *, params=None):
         self._maybe_repack()

@@ -120,9 +120,11 @@ def _make_ivf(nlist: int, hnsw_m: int, code: str, d: int,
 
         return _qta(IndexIVFPQR(quant, d, nlist, int(m.group(1)),
                                 8, int(m.group(2)), 8, metric))
-    if m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?)?", code):
+    if m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?|np)?", code):
         # "PQ32x4fs" = 4-bit packed fast-scan layout (our packed codes
-        # are block-native already; the _bbs suffix is accepted/ignored)
+        # are block-native already; the _bbs suffix is accepted/ignored).
+        # "PQ8np" = no polysemous training (index_factory.cpp) — our
+        # IndexIVFPQ never polysemous-trains, so np maps to the default.
         return _qta(IndexIVFPQ(quant, d, nlist, int(m.group(1)),
                                int(m.group(2) or 8), metric))
     if code in _SQ_TYPES:
@@ -226,7 +228,8 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
                              f"{code!r}")
     elif head == "Flat":
         index = IndexFlat(cur_d, metric)
-    elif m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?)?", head):
+    elif m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?|np)?", head):
+        # np = no polysemous training (our IndexPQ default already)
         index = IndexPQ(cur_d, int(m.group(1)), int(m.group(2) or 8), metric)
     elif head in _SQ_TYPES:
         index = IndexScalarQuantizer(cur_d, _SQ_TYPES[head], metric)
