@@ -367,6 +367,17 @@ def flat_knn_fused(
         jax.ShapeDtypeStruct((ntiles, Q, W), jnp.float32),
         jax.ShapeDtypeStruct((ntiles, Q, W), jnp.int32),
     ]
+    def _params(scratch_bytes):
+        # Mosaic's default scoped-vmem check (16 MB) rejects deep-unroll /
+        # wide-R configurations whose buffers easily fit the 128 MB chip
+        # VMEM — size the limit from the actual scratch + block footprint
+        if interpret:
+            return None
+        blocks = (Q * dp * 2) + 2 * (Q * W * 4) + (Q * R * 4)
+        need = min(int(1.25 * (scratch_bytes + blocks)) + (8 << 20),
+                   128 << 20)
+        return pltpu.CompilerParams(vmem_limit_bytes=max(need, 32 << 20))
+
     if schedule == "grid":
         outv, outp = pl.pallas_call(
             functools.partial(_flat_kernel_grid, R=R, W=W),
@@ -381,6 +392,13 @@ def flat_knn_fused(
                 pl.BlockSpec((1, Q, W), lambda t, c: (t, 0, 0)),
             ],
             out_shape=out_shape,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                # query tiles are independent; the chunk dim accumulates
+                # into the out refs, so it must stay sequential
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=_params(
+                    2 * (R * dp * 2 + R * 4)).vmem_limit_bytes,
+            ),
             interpret=interpret,
         )(qv_t, bias_p, data)
     else:
@@ -426,10 +444,13 @@ def flat_knn_fused(
                              maybe_dis[0] if maybe_dis else None,
                              R=R, W=W, nchunks=nchunks)
 
+        scratch_bytes = (nslots * R * dp * 2 + nslots * R * 4
+                         + (Q * R * 4 if schedule == "pipe" else 0))
         outv, outp = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=out_shape,
+            compiler_params=_params(scratch_bytes),
             interpret=interpret,
         )(qv_t, data, bias_p)
 

@@ -109,13 +109,13 @@ def code_hamming(qcodes: jnp.ndarray, dbcodes: jnp.ndarray,
     return jnp.sum(lax.population_count(x).astype(jnp.int32), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "ht", "db_block"))
+@functools.partial(jax.jit, static_argnames=("k", "db_block"))
 def polysemous_knn(
     xq: jnp.ndarray,
     codes: jnp.ndarray,
     centroids: jnp.ndarray,
     k: int,
-    ht: int,
+    ht,  # dynamic: only feeds `ham <= ht`, so an ht sweep reuses one compile
     valid_n,
     db_block: int = 32768,
 ):

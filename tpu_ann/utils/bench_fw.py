@@ -1,14 +1,39 @@
-"""Descriptor-driven benchmark framework — the role of the reference's
-`benchs/bench_fw` (descriptors.py DatasetDescriptor/CodecDescriptor/
-IndexDescriptor, benchmark.py Train/Build/SearchOperator, benchmark_io.py
-file cache): reproducible experiment grids where every stage (trained
-codec, built index, ground truth, search sweep) is keyed by a
-deterministic descriptor name and cached on disk, so re-running a study
-only executes what changed.
+"""Descriptor-driven benchmarking framework — the role of the reference's
+`benchs/bench_fw/` (descriptors.py / benchmark_io.py / benchmark.py /
+optimize.py, ~3.6k LoC): datasets, codecs, and experiments are named by
+declarative descriptors; every expensive artifact (vectors, trained
+codec, populated index, ground truth, experiment results) is cached on
+disk under a descriptor-derived filename, so re-running a sweep only
+recomputes what changed.
 
-Compact TPU recast: one module, three descriptors + a Benchmark driver.
-Stages cache under `workdir/` as index files (utils.index_io) and JSON
-result rows; sweeps reuse autotune's Pareto frontier.
+Differences from the reference, by design:
+  * artifacts serialize through `utils.index_io` (one registry for every
+    index class) instead of per-type writers;
+  * the sweep measures on-device batched search (the TPU serving model)
+    rather than per-thread CPU loops;
+  * Pareto filtering reuses `utils.autotune.OperatingPoints` — the same
+    machinery the AutoTune layer uses, where the reference duplicates it
+    (bench_fw/optimize.py vs AutoTune.cpp).
+
+Typical use (mirrors bench_fw/benchmark.py's train/build/knn stages)::
+
+    io = BenchmarkIO(path="/tmp/bench_cache")
+    bm = Benchmark(
+        io=io,
+        training_vectors=DatasetDescriptor(namespace="syn",
+                                           tablename="64_123",
+                                           num_vectors=20000),
+        database_vectors=DatasetDescriptor(namespace="syn",
+                                           tablename="64_123",
+                                           num_vectors=50000, split="db"),
+        query_vectors=DatasetDescriptor(namespace="syn",
+                                        tablename="64_123",
+                                        num_vectors=500, split="q"),
+        index_descs=[IndexDescriptor(d=64, factory="IVF64,Flat",
+                                     search_params={"nprobe": [1, 4, 16]})],
+        k=10,
+    )
+    results = bm.benchmark()
 """
 
 from __future__ import annotations
@@ -17,213 +42,314 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from ..ops import distances as _D
+from . import index_io
+from .autotune import OperatingPoints, set_index_parameter
+from .factory import index_factory
 
-@dataclasses.dataclass(frozen=True)
+_METRICS = {"L2": _D.METRIC_L2, "IP": _D.METRIC_INNER_PRODUCT}
+
+
+@dataclasses.dataclass
 class DatasetDescriptor:
-    """Names a dataset deterministically (DatasetDescriptor in
-    descriptors.py:55 — there a blob-store path, here a generator spec or
-    file path)."""
+    """Names a vector set (bench_fw/descriptors.py:54 DatasetDescriptor).
 
-    kind: str = "synthetic"       # synthetic | surrogate | file
-    d: int = 32
-    nt: int = 10_000
-    nb: int = 100_000
-    nq: int = 1_000
-    seed: int = 7
-    path: Optional[str] = None    # kind == "file": fvecs/fbin stem
+    namespace:
+      * ``"syn"`` — deterministic synthetic vectors; ``tablename`` is
+        ``"{d}_{seed}"`` (the reference's 3rd convention) and
+        ``num_vectors`` the row count;
+      * ``"std_t" / "std_d" / "std_q"`` — train/database/query split of a
+        zoo dataset via `utils.datasets.dataset_from_name`;
+      * ``None`` — a local ``.npy`` file (``tablename``) under the
+        BenchmarkIO path.
+    """
 
-    def name(self) -> str:
-        if self.kind == "file":
-            base = os.path.basename(self.path or "data")
-            return f"file_{base}"
-        return (f"{self.kind}_d{self.d}_nt{self.nt}_nb{self.nb}"
-                f"_nq{self.nq}_s{self.seed}")
+    namespace: Optional[str] = None
+    tablename: Optional[str] = None
+    num_vectors: Optional[int] = None
+    # disambiguates descriptors drawing different rows of one synthetic
+    # pool (the reference separates them by seed only)
+    split: str = ""
+    desc_name: Optional[str] = None
 
-    def load(self):
-        from .datasets import SiftSurrogateDataset, SyntheticDataset
+    def __hash__(self):
+        return hash(self.get_filename())
 
-        if self.kind == "synthetic":
-            return SyntheticDataset(d=self.d, nt=self.nt, nb=self.nb,
-                                    nq=self.nq, seed=self.seed)
-        if self.kind == "surrogate":
-            return SiftSurrogateDataset(nt=self.nt, nb=self.nb,
-                                        nq=self.nq, seed=self.seed)
-        raise ValueError(f"unknown dataset kind {self.kind!r}")
-
-
-@dataclasses.dataclass(frozen=True)
-class CodecDescriptor:
-    """A trained codec = factory string + training budget
-    (CodecDescriptor, descriptors.py:211). Cached as an EMPTY trained
-    index file."""
-
-    factory: str
-    niter: int = 10
-    maxtrain: int = 0          # 0 = all of the train set
-
-    def name(self, ds: DatasetDescriptor) -> str:
-        spec = self.factory.replace(",", ".").replace("(", "_").replace(
-            ")", "_")
-        return f"{ds.name()}__{spec}_it{self.niter}_mt{self.maxtrain}"
+    def get_filename(self, prefix: Optional[str] = None) -> str:
+        """Descriptor-derived cache stem, '.'-terminated (reference
+        convention: callers append 'npy' / 'json' / 'codec')."""
+        if self.desc_name is None:
+            parts = []
+            if self.namespace:
+                parts.append(self.namespace)
+            assert self.tablename is not None
+            parts.append(str(self.tablename).replace("/", "_"))
+            if self.split:
+                parts.append(self.split)
+            if self.num_vectors is not None:
+                parts.append(str(self.num_vectors))
+            self.desc_name = "_".join(parts) + "."
+        name = self.desc_name
+        return f"{prefix}_{name}" if prefix else name
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass
 class IndexDescriptor:
-    """codec + database add (IndexDescriptor, descriptors.py:279).
-    Cached as a full index file."""
+    """Names one index configuration (bench_fw/descriptors.py:160
+    IndexDescriptorClassic): a factory string plus construction-time and
+    search-time parameters."""
 
-    codec: CodecDescriptor
+    d: int
+    factory: str
+    metric: str = "L2"
+    # applied once after construction, e.g. {"efConstruction": 80}
+    construction_params: Optional[Dict[str, Any]] = None
+    # swept at search time: name -> list of values, e.g.
+    # {"nprobe": [1, 4, 16], "k_factor": [2, 4]}
+    search_params: Optional[Dict[str, List[Any]]] = None
+    training_size: Optional[int] = None
+    desc_name: Optional[str] = None
 
-    def name(self, ds: DatasetDescriptor) -> str:
-        return self.codec.name(ds) + "__built"
+    def get_name(self) -> str:
+        if self.desc_name is None:
+            name = self.factory.replace(",", "_").replace("/", "_")
+            if self.construction_params:
+                cp = "_".join(f"{k}{v}" for k, v in
+                              sorted(self.construction_params.items()))
+                name += f".cp_{cp}"
+            self.desc_name = f"{name}.{self.metric}.d{self.d}."
+        return self.desc_name
+
+    def param_grid(self) -> List[Dict[str, Any]]:
+        """Cartesian sweep of search_params (bench_fw's
+        param_dict_list expansion), stable order."""
+        grid: List[Dict[str, Any]] = [{}]
+        for pname in sorted(self.search_params or {}):
+            grid = [dict(g, **{pname: v}) for g in grid
+                    for v in self.search_params[pname]]
+        return grid
 
 
-@dataclasses.dataclass(frozen=True)
-class KnnDescriptor:
-    """One search configuration over a built index (KnnDescriptor)."""
-
-    index: IndexDescriptor
-    k: int = 10
-    params: Tuple[Tuple[str, Any], ...] = ()    # (("nprobe", 8), ...)
-
-    def name(self, ds: DatasetDescriptor) -> str:
-        p = "_".join(f"{k}{v}" for k, v in self.params)
-        return f"{self.index.name(ds)}__k{self.k}_{p}"
+def _param_name(params: Dict[str, Any]) -> str:
+    return "_".join(f"{k}={v}" for k, v in sorted(params.items())) or "default"
 
 
-class Benchmark:
-    """Orchestrates train -> build -> ground truth -> search sweeps with
-    per-stage caching (benchmark.py Train/Build/SearchOperator +
-    benchmark_io.py). Results accumulate in `workdir/results.json`."""
+class BenchmarkIO:
+    """Disk + memory cache for benchmark artifacts
+    (bench_fw/benchmark_io.py role). Filenames come from descriptors;
+    anything already on disk is reused."""
 
-    def __init__(self, workdir: str, dataset: DatasetDescriptor,
-                 verbose: bool = False):
-        self.workdir = workdir
-        os.makedirs(workdir, exist_ok=True)
-        self.dsd = dataset
-        self.ds = dataset.load()
-        self.verbose = verbose
-        self._results_path = os.path.join(workdir, "results.json")
-        self.results: List[Dict[str, Any]] = []
-        if os.path.exists(self._results_path):
-            with open(self._results_path) as f:
-                self.results = json.load(f)
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._mem: Dict[str, Any] = {}
 
-    # --- stages -----------------------------------------------------------
-    def _path(self, name: str) -> str:
-        return os.path.join(self.workdir, name + ".tann")
+    # -- primitive artifacts ------------------------------------------------
+    def file_exist(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.path, name))
 
-    def train(self, cd: CodecDescriptor):
-        """TrainOperator.train_one: factory + train, cached."""
-        from . import index_io
-        from .factory import index_factory
+    def write_nparray(self, arr: np.ndarray, name: str) -> None:
+        np.save(os.path.join(self.path, name), arr, allow_pickle=False)
 
-        p = self._path(cd.name(self.dsd))
-        if os.path.exists(p):
-            return index_io.read_index(p)
-        idx = index_factory(self.ds.d, cd.factory)
-        inner = idx
-        while hasattr(inner, "base_index") or hasattr(inner, "index"):
-            inner = getattr(inner, "base_index", None) or inner.index
-        if hasattr(inner, "cp"):
-            inner.cp.niter = cd.niter
-        xt = self.ds.get_train(cd.maxtrain or None)
-        t0 = time.time()
-        idx.train(xt)
-        if self.verbose:
-            print(f"train[{cd.factory}]: {time.time()-t0:.1f}s")
-        index_io.write_index(idx, p)
-        return idx
+    def read_nparray(self, name: str) -> np.ndarray:
+        return np.load(os.path.join(self.path, name), allow_pickle=False)
 
-    def build(self, idd: IndexDescriptor):
-        """BuildOperator.build_one: train + add, cached."""
-        from . import index_io
+    def write_json(self, obj, name: str) -> None:
+        with open(os.path.join(self.path, name), "w") as f:
+            json.dump(obj, f, indent=1, default=float)
 
-        p = self._path(idd.name(self.dsd))
-        if os.path.exists(p):
-            return index_io.read_index(p)
-        idx = self.train(idd.codec)
-        t0 = time.time()
-        idx.add(self.ds.get_database())
-        if self.verbose:
-            print(f"build[{idd.codec.factory}]: {time.time()-t0:.1f}s")
-        index_io.write_index(idx, p)
-        return idx
+    def read_json(self, name: str):
+        with open(os.path.join(self.path, name)) as f:
+            return json.load(f)
 
-    def ground_truth(self, k: int) -> np.ndarray:
-        """SearchOperator.knn_ground_truth, cached."""
-        p = os.path.join(self.workdir, f"{self.dsd.name()}__gt{k}.npy")
-        if os.path.exists(p):
-            return np.load(p)
-        gt = self.ds.get_groundtruth(k)
-        np.save(p, gt)
+    def write_index(self, index, name: str) -> None:
+        index_io.write_index(index, os.path.join(self.path, name))
+
+    def read_index(self, name: str):
+        return index_io.read_index(os.path.join(self.path, name))
+
+    # -- datasets -----------------------------------------------------------
+    def get_dataset(self, desc: DatasetDescriptor) -> np.ndarray:
+        key = desc.get_filename()
+        if key in self._mem:
+            return self._mem[key]
+        fname = key + "npy"
+        if self.file_exist(fname):
+            x = self.read_nparray(fname)
+        else:
+            x = self._materialize(desc)
+            self.write_nparray(x, fname)
+        self._mem[key] = x
+        return x
+
+    def _materialize(self, desc: DatasetDescriptor) -> np.ndarray:
+        ns = desc.namespace
+        if ns == "syn":
+            d_str, seed_str = str(desc.tablename).split("_")
+            d, seed = int(d_str), int(seed_str)
+            n = desc.num_vectors or 10000
+            # one deterministic pool per (d, seed); splits draw disjoint
+            # row blocks so db/queries/train never alias
+            offset = {"": 0, "train": 0, "db": 1, "q": 2}.get(desc.split, 0)
+            rs = np.random.RandomState(seed + 100003 * offset)
+            d1 = 10
+            x = np.sin(np.dot(rs.normal(size=(n, d1)),
+                              rs.rand(d1, d)) * (rs.rand(d) * 4 + 0.1))
+            return np.ascontiguousarray(x, np.float32)
+        if ns in ("std_t", "std_d", "std_q"):
+            from .datasets import dataset_from_name
+            ds = dataset_from_name(str(desc.tablename))
+            x = {"std_t": ds.get_train, "std_d": ds.get_database,
+                 "std_q": ds.get_queries}[ns]()
+            return np.ascontiguousarray(
+                x[: desc.num_vectors] if desc.num_vectors else x, np.float32)
+        # local file
+        return self.read_nparray(str(desc.tablename))
+
+    # -- ground truth -------------------------------------------------------
+    def get_ground_truth(self, db: DatasetDescriptor, q: DatasetDescriptor,
+                         k: int, metric: str) -> np.ndarray:
+        name = (q.get_filename() + "gt_" + db.get_filename()
+                + f"{metric}_k{k}.")
+        fname = name + "npy"
+        if self.file_exist(fname):
+            return self.read_nparray(fname)
+        from .contrib import knn_ground_truth
+        xb, xq = self.get_dataset(db), self.get_dataset(q)
+        _, gt = knn_ground_truth(xq, iter([xb]), k,
+                                 metric=_METRICS[metric])
+        gt = np.asarray(gt)
+        self.write_nparray(gt, fname)
         return gt
 
-    def knn_search(self, kd: KnnDescriptor, *, repeat: int = 3
-                   ) -> Dict[str, Any]:
-        """One search experiment -> result row (cached by name)."""
+
+@dataclasses.dataclass
+class Benchmark:
+    """Staged train -> build -> sweep benchmark over index descriptors
+    (bench_fw/benchmark.py role). Every stage is cached through
+    BenchmarkIO; `benchmark()` returns the reference-shaped result dict
+    and writes it as JSON when `result_file` is given."""
+
+    io: BenchmarkIO
+    training_vectors: Optional[DatasetDescriptor]
+    database_vectors: DatasetDescriptor
+    query_vectors: DatasetDescriptor
+    index_descs: List[IndexDescriptor]
+    k: int = 10
+    verbose: bool = False
+
+    def _log(self, *a) -> None:
+        if self.verbose:
+            print("[bench_fw]", *a, flush=True)
+
+    # -- stages ------------------------------------------------------------
+    def train_one(self, desc: IndexDescriptor):
+        """Trained (empty) codec for a descriptor, cached as
+        '<name>codec' (bench_fw/index.py get_codec role)."""
+        name = desc.get_name()
+        codec_f, meta_f = name + "codec", name + "train.json"
+        if self.io.file_exist(codec_f) and self.io.file_exist(meta_f):
+            return (self.io.read_index(codec_f),
+                    self.io.read_json(meta_f)["train_time"])
+        index = index_factory(desc.d, desc.factory,
+                              _METRICS[desc.metric])
+        for pname, v in (desc.construction_params or {}).items():
+            set_index_parameter(index, pname, v)
+        t = 0.0
+        if self.training_vectors is not None:
+            xt = self.io.get_dataset(self.training_vectors)
+            if desc.training_size:
+                xt = xt[: desc.training_size]
+            t0 = time.time()
+            index.train(xt)
+            t = time.time() - t0
+        self.io.write_index(index, codec_f)
+        self.io.write_json({"train_time": t}, meta_f)
+        self._log(f"trained {name} in {t:.2f}s")
+        return index, t
+
+    def build_one(self, desc: IndexDescriptor):
+        """Populated index, cached as '<name>index'."""
+        name = desc.get_name()
+        index_f, meta_f = name + "index", name + "build.json"
+        if self.io.file_exist(index_f) and self.io.file_exist(meta_f):
+            return (self.io.read_index(index_f),
+                    self.io.read_json(meta_f)["add_time"])
+        index, _ = self.train_one(desc)
+        xb = self.io.get_dataset(self.database_vectors)
+        t0 = time.time()
+        index.add(xb)
+        t = time.time() - t0
+        self.io.write_index(index, index_f)
+        self.io.write_json({"add_time": t}, meta_f)
+        self._log(f"built {name} in {t:.2f}s")
+        return index, t
+
+    def benchmark_knn_one(self, desc: IndexDescriptor) -> Dict[str, Any]:
+        """Sweep the descriptor's search grid; one result row per
+        parameter combination (bench_fw/benchmark.py knn experiments)."""
         from .evaluation import recall_k_at_k
 
-        name = kd.name(self.dsd)
-        for r in self.results:
-            if r["name"] == name:
-                return r
-        idx = self.build(kd.index)
-        for key, val in kd.params:
-            # route through nested wrappers when needed
-            tgt = idx
-            while not hasattr(tgt, key) and (
-                    hasattr(tgt, "base_index") or hasattr(tgt, "index")):
-                tgt = getattr(tgt, "base_index", None) or tgt.index
-            setattr(tgt, key, val)
-        xq = self.ds.get_queries()
-        gt = self.ground_truth(kd.k)
-        Dv, Iv = idx.search(xq, kd.k)
-        rec = recall_k_at_k(np.asarray(Iv), gt, kd.k)
-        best = np.inf
-        for _ in range(repeat):
+        index, add_t = self.build_one(desc)
+        xq = self.io.get_dataset(self.query_vectors)
+        gt = self.io.get_ground_truth(self.database_vectors,
+                                      self.query_vectors, self.k,
+                                      desc.metric)
+        rows: Dict[str, Any] = {}
+        for params in desc.param_grid():
+            pkey = _param_name(params)
+            rname = desc.get_name() + f"knn.{pkey}.json"
+            if self.io.file_exist(rname):
+                rows[pkey] = self.io.read_json(rname)
+                continue
+            for pname, v in params.items():
+                set_index_parameter(index, pname, v)
+            index.search(xq, self.k)            # compile + warm
             t0 = time.time()
-            idx.search(xq, kd.k)
-            best = min(best, time.time() - t0)
-        row = {
-            "name": name, "factory": kd.index.codec.factory,
-            "k": kd.k, "params": dict(kd.params),
-            "recall": float(rec), "qps": len(xq) / best,
-            "ms_per_query": 1e3 * best / len(xq),
-        }
-        self.results.append(row)
-        with open(self._results_path, "w") as f:
-            json.dump(self.results, f, indent=1)
-        return row
-
-    # --- sweeps -----------------------------------------------------------
-    def sweep(self, idd: IndexDescriptor, k: int,
-              grid: Dict[str, Sequence[Any]], *, repeat: int = 3
-              ) -> List[Dict[str, Any]]:
-        """Cartesian sweep of search params (the reference's
-        search_benchmark experiment loop)."""
-        import itertools
-
-        keys = list(grid)
-        rows = []
-        for combo in itertools.product(*(grid[g] for g in keys)):
-            kd = KnnDescriptor(idd, k, tuple(zip(keys, combo)))
-            rows.append(self.knn_search(kd, repeat=repeat))
+            _, I = index.search(xq, self.k)
+            dt = max(time.time() - t0, 1e-9)
+            row = {
+                "recall": float(recall_k_at_k(I, gt, self.k)),
+                "time": dt / len(xq),
+                "qps": len(xq) / dt,
+                "k": self.k,
+                "search_params": params,
+                "add_time": add_t,
+            }
+            self.io.write_json(row, rname)
+            rows[pkey] = row
+            self._log(f"{desc.get_name()} {pkey}: "
+                      f"R@{self.k}={row['recall']:.4f} "
+                      f"QPS={row['qps']:.0f}")
         return rows
 
-    def pareto(self, rows: Optional[List[Dict[str, Any]]] = None
-               ) -> List[Dict[str, Any]]:
-        """Recall/time Pareto frontier (optimize.py's operating points,
-        via autotune.OperatingPoints)."""
-        from .autotune import OperatingPoints
-
-        rows = self.results if rows is None else rows
-        ops = OperatingPoints()
-        for r in rows:
-            ops.add(r["recall"], r["ms_per_query"], r["name"])
-        names = {op.key for op in ops.optimal_pts()}
-        return [r for r in rows if r["name"] in names]
+    def benchmark(self, result_file: Optional[str] = None) -> Dict[str, Any]:
+        """Run every descriptor; returns {'indices', 'experiments',
+        'optimal'} (the reference's benchmark result JSON shape plus the
+        Pareto filter that bench_fw/optimize.py applies separately)."""
+        results: Dict[str, Any] = {"indices": {}, "experiments": {}}
+        ops_pareto = OperatingPoints()
+        for desc in self.index_descs:
+            name = desc.get_name()
+            _, train_t = self.train_one(desc)
+            index, add_t = self.build_one(desc)
+            results["indices"][name] = {
+                "train_time": train_t,
+                "add_time": add_t,
+                "ntotal": int(getattr(index, "ntotal", 0)),
+            }
+            for pkey, row in self.benchmark_knn_one(desc).items():
+                ekey = f"{name}knn.{pkey}"
+                results["experiments"][ekey] = row
+                ops_pareto.add(row["recall"], row["time"], ekey)
+        results["optimal"] = [
+            {"key": p.key, "recall": p.perf, "time": p.t}
+            for p in ops_pareto.optimal_pts()
+        ]
+        if result_file:
+            self.io.write_json(results, result_file)
+        return results
