@@ -82,32 +82,6 @@ def main():
             best = min(best, time.time() - ta)
         return best, out
 
-    # ---------- C: graph build profile + tile search ----------------------
-    try:
-        from tpu_ann.ops.hnsw import build_graph_knn
-        from tpu_ann.ops.hnsw_tiles import build_tiles_fused, \
-            tile_search_fused
-        log("C: graph build profile (1M, M=16, efC=40)")
-        tb = time.time()
-        graph, assign = build_graph_knn(xb, 16, 40, verbose=True)
-        np.asarray(graph.neighbors0[:1, :1])
-        t_build = time.time() - tb
-        log(f"C: build total {t_build:.1f}s")
-        tb = time.time()
-        order = np.argsort(assign, kind="stable") if assign is not None \
-            else None
-        ftg = build_tiles_fused(xb, np.asarray(graph.neighbors0),
-                                order=order, verbose=True)
-        t_tiles = time.time() - tb
-        t, out = time_device(lambda: tile_search_fused(
-            ftg, xq_dev, k, nprobe0=12, hops=1, F=4))
-        rec = recall_k_at_k(np.asarray(out[1]), gt, k)
-        emit({"section": "C", "config": "build M=16 efC=40 @1M",
-              "build_s": t_build, "tiles_s": t_tiles,
-              "search_qps": nq / t, "recall@10": float(rec)})
-    except Exception:
-        log("C FAILED:\n" + traceback.format_exc())
-
     # ---------- D: polysemous ht curve -------------------------------------
     try:
         from tpu_ann.models.pq import IndexPQ
@@ -163,6 +137,32 @@ def main():
                 emit({"section": "B2", "config": tag, "error": repr(e)})
     except Exception:
         log("B2 FAILED:\n" + traceback.format_exc())
+
+    # ---------- C: graph build profile + tile search ----------------------
+    try:
+        from tpu_ann.ops.hnsw import build_graph_knn
+        from tpu_ann.ops.hnsw_tiles import build_tiles_fused, \
+            tile_search_fused
+        log("C: graph build profile (1M, M=16, efC=40)")
+        tb = time.time()
+        graph, assign = build_graph_knn(xb, 16, 40, verbose=True)
+        np.asarray(graph.neighbors0[:1, :1])
+        t_build = time.time() - tb
+        log(f"C: build total {t_build:.1f}s")
+        tb = time.time()
+        order = np.argsort(assign, kind="stable") if assign is not None \
+            else None
+        ftg = build_tiles_fused(xb, np.asarray(graph.neighbors0),
+                                order=order, verbose=True)
+        t_tiles = time.time() - tb
+        t, out = time_device(lambda: tile_search_fused(
+            ftg, xq_dev, k, nprobe0=12, hops=1, F=4))
+        rec = recall_k_at_k(np.asarray(out[1]), gt, k)
+        emit({"section": "C", "config": "build M=16 efC=40 @1M",
+              "build_s": t_build, "tiles_s": t_tiles,
+              "search_qps": nq / t, "recall@10": float(rec)})
+    except Exception:
+        log("C FAILED:\n" + traceback.format_exc())
 
     log("all sections done")
 

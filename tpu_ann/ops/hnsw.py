@@ -841,6 +841,25 @@ def _reverse_candidates(fwd: np.ndarray, fwd_dis: np.ndarray, cap: int):
     return rev_ids, rev_dis
 
 
+def _reverse_candidates_auto(fwd, fwd_dis, cap: int):
+    """Route the reverse-edge build: host (native counting scatter, or
+    the numpy sort fallback) for large edge sets, device for small ones.
+
+    Measured on v5e (2026-08-18): the device sort program WEDGES at 1M
+    nodes x 32 edges — >29 min with the runtime blocked on the execute
+    RPC (three ~50M-element sorts in one XLA program; the round-2 builds
+    that recorded 314 s total used the host path). The host path pays
+    one (n, m) table download + (n, cap) upload — seconds on a PCIe
+    host — and its compute is a parallel counting scatter
+    (native/tpu_ann_native.cpp reverse_edges)."""
+    E = int(fwd.shape[0]) * int(fwd.shape[1])
+    if E <= (1 << 22):
+        return _reverse_candidates_device(fwd, fwd_dis, cap)
+    rev_ids, rev_dis = _reverse_candidates(
+        np.asarray(fwd, np.int32), np.asarray(fwd_dis, np.float32), cap)
+    return jnp.asarray(rev_ids), jnp.asarray(rev_dis)
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _reverse_candidates_device(fwd: jnp.ndarray, fwd_dis: jnp.ndarray,
                                cap: int):
@@ -986,7 +1005,7 @@ def build_graph_knn(
     # 314 s vs 402 s at cap=m0 with recall@10 unchanged (0.9976 vs
     # 0.9977) — the merge prune keeps the same diverse subset either way
     rcap = int(reverse_cap) if reverse_cap else m
-    rev_ids, rev_dis = _reverse_candidates_device(fwd, fwd_dis, rcap)
+    rev_ids, rev_dis = _reverse_candidates_auto(fwd, fwd_dis, rcap)
     _mark("reverse-candidates", rev_dis)
     neighbors0 = _merge_prune(vec_dev, fwd, fwd_dis, rev_ids, rev_dis, m0,
                               metric, verbose, "/lvl0")
