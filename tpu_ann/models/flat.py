@@ -38,8 +38,12 @@ class IndexFlat(Index):
         # always the blocked-GEMM path; "fused": always the kernel
         self.scan_mode = "auto"
         # chunk-loop strategy of the fused kernel (see flat_knn_fused):
-        # 'fori' | 'grid' | 'pipe'
-        self.fused_schedule = "fori"
+        # 'fori' | 'grid' | 'pipe'. The v5e occupancy sweep
+        # (benchs/r3_queue2.py B2) measured grid fastest at every point
+        # tried (149k vs 132k QPS at 1M x 128-d): Mosaic's own BlockSpec
+        # double-buffering pipelines chunk DMAs better than the manual
+        # in-kernel fori loop.
+        self.fused_schedule = "grid"
 
     # --- storage ----------------------------------------------------------
     def _ensure_capacity(self, n_new: int) -> None:
@@ -115,13 +119,14 @@ class IndexFlat(Index):
     def _fused_search_device(self, xq_dev, k: int, id_mask=None):
         from ..ops.flat_knn_pallas import flat_knn_fused
 
-        # R=4096/W=1024 is the measured-fastest config that compiles on
-        # v5e (W=2048 variants exceed VMEM); k<=256 is guarded upstream
+        # Q=512/R=8192/W=1024 won the v5e occupancy sweep (149k QPS,
+        # 19.4% MFU at 1M x 128-d; W=2048 variants exceed VMEM); k<=256
+        # is guarded upstream
         return flat_knn_fused(
             xq_dev, self._xb, k, self.metric_type,
             xb_norms=self._norms if self.metric_type == METRIC_L2 else None,
             valid_n=jnp.int32(self.ntotal), id_mask=id_mask,
-            R=4096, W=1024,
+            Q=512, R=8192, W=1024,
             refine=max(4, self.refine_factor),
             schedule=self.fused_schedule,
         )

@@ -161,7 +161,9 @@ def polysemous_knn(
         ham = ((nbit_total - dot) * 0.5).astype(jnp.int32)
         ids = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
         ok = (ham <= ht) & (ids < valid_n)
-        npass = npass + jnp.sum(ok.astype(jnp.int64))
+        # f32 accumulator: without jax x64, int64 silently becomes int32
+        # and overflows at nq*ntotal > 2^31 (seen as negative pass fracs)
+        npass = npass + jnp.sum(ok.astype(jnp.float32), dtype=jnp.float32)
         dis = PQ.adc_scan_db(lut, blk)
         dis = jnp.where(ok, dis, jnp.inf)
         idb = jnp.broadcast_to(ids, dis.shape)
@@ -170,6 +172,6 @@ def polysemous_knn(
 
     init = (jnp.full((nq, k), jnp.inf, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32),
-            jnp.int64(0))
+            jnp.float32(0))
     bd, bi, npass = lax.fori_loop(0, nblocks, body, init)
     return bd, jnp.where(jnp.isfinite(bd), bi, -1), npass
