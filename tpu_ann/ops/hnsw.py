@@ -1032,7 +1032,16 @@ def _link_upper_levels(x: np.ndarray, levels: np.ndarray, m: int,
     """Link every upper level by exact kNN + diversity prune within the
     level's node subset (subsets shrink geometrically — 1/M per level —
     so exact MXU kNN is cheap). Returns (upper_ids (U,), upper_neighbors
-    (U, Lmax, m) with global-id values)."""
+    (U, Lmax, m) with global-id values).
+
+    Every level runs at ONE padded shape (the pow2 pad of the level-1
+    subset): the per-level subsets shrink geometrically, but compiling a
+    fresh knn/prune/merge chain per (ns,) shape costs far more than the
+    wasted FLOPs of running the small levels at the level-1 shape — the
+    round-3 profile attributed most of the 46-62 s upper-levels phase to
+    per-shape remote compiles, while a 64k x 64k bf16 GEMM is ~15 ms.
+    Pow2 padding also makes the chain's shapes reproducible across
+    builds, so repeated builds hit the compile cache."""
     max_level = int(levels.max(initial=0))
     upper_ids_np = np.nonzero(levels >= 1)[0].astype(np.int32)
     if len(upper_ids_np) == 0:
@@ -1041,29 +1050,43 @@ def _link_upper_levels(x: np.ndarray, levels: np.ndarray, m: int,
     else:
         lmax_tab = max(max_level, 1)
     u = len(upper_ids_np)
+    d = x.shape[1]
     upper_neighbors = np.full((u, lmax_tab, m), -1, np.int32)
+    n1 = int((levels >= 1).sum())
+    if n1 <= 1 or max_level < 1:
+        return upper_ids_np, upper_neighbors
+    P = 1 << max(int(np.ceil(np.log2(n1))), 7)
+    cu = int(min(max(m + 8, 32), P - 1))
     for lev in range(1, max_level + 1):
         sub = np.nonzero(levels >= lev)[0].astype(np.int32)
         ns = len(sub)
         if ns <= 1:
             continue
-        cu = int(min(max(m + 8, 32), ns - 1))
+        xp = np.zeros((P, d), np.float32)
+        xp[:ns] = x[sub]
+        xp_dev = jnp.asarray(xp)
         sd, si = D.knn(
-            jnp.asarray(x[sub]), jnp.asarray(x[sub]), min(cu + 1, ns),
-            metric, compute_dtype="bfloat16", approx=ns > 8192,
-            refine_factor=2,
+            xp_dev, xp_dev, min(cu + 1, P), metric,
+            valid_n=jnp.int32(ns), compute_dtype="bfloat16",
+            approx=P > 8192, refine_factor=2,
         )
         sd = np.asarray(sd)
         if similarity:
             sd = -sd
         sd, si = _drop_self(sd, np.asarray(si, np.int32), cu)
-        sub_dev = jnp.asarray(x[sub])
-        sfwd, sdis = _prune_all(sub_dev, si, sd, m, metric, verbose=False)
+        # rows >= ns are zero-vector pads whose finite candidates would
+        # otherwise leak reverse edges into real nodes; candidates with
+        # non-finite distance are valid_n-masked db rows
+        si = np.where(np.isfinite(sd), si, -1)
+        sfwd, sdis = _prune_all(xp_dev, si, sd, m, metric, verbose=False)
         # upper subsets are small (n/M per level): host copies are cheap
-        sfwd, sdis = np.asarray(sfwd), np.asarray(sdis)
+        sfwd = np.array(sfwd, np.int32)     # np.asarray of a jax array
+        sdis = np.array(sdis, np.float32)   # is read-only; copy to edit
+        sfwd[ns:] = -1
+        sdis[ns:] = np.inf
         srev, srd = _reverse_candidates(sfwd, sdis, m)
-        slinks = np.asarray(_merge_prune(sub_dev, sfwd, sdis, srev, srd,
-                                         m, metric, False, "/upper"))
+        slinks = np.asarray(_merge_prune(xp_dev, sfwd, sdis, srev, srd,
+                                         m, metric, False, "/upper"))[:ns]
         # subset rows -> global ids; store at the upper-table rows
         glob = np.where(slinks >= 0, sub[np.clip(slinks, 0, ns - 1)], -1)
         rows = np.searchsorted(upper_ids_np, sub)
