@@ -1034,14 +1034,15 @@ def _link_upper_levels(x: np.ndarray, levels: np.ndarray, m: int,
     so exact MXU kNN is cheap). Returns (upper_ids (U,), upper_neighbors
     (U, Lmax, m) with global-id values).
 
-    Every level runs at ONE padded shape (the pow2 pad of the level-1
-    subset): the per-level subsets shrink geometrically, but compiling a
-    fresh knn/prune/merge chain per (ns,) shape costs far more than the
-    wasted FLOPs of running the small levels at the level-1 shape — the
+    Levels run at pow2-padded shapes (4096 floor on big builds, so the
+    deep tiny levels share one shape): the per-level subsets shrink
+    geometrically, but compiling a fresh knn/prune/merge chain per raw
+    (ns,) shape costs far more than the padding's wasted FLOPs — the
     round-3 profile attributed most of the 46-62 s upper-levels phase to
-    per-shape remote compiles, while a 64k x 64k bf16 GEMM is ~15 ms.
-    Pow2 padding also makes the chain's shapes reproducible across
-    builds, so repeated builds hit the compile cache."""
+    per-shape remote compiles, while a 64k x 64k bf16 GEMM is ~15 ms
+    (measured: 62.6 s -> 23.1 s warm at 1M). Pow2 padding also makes the
+    shapes reproducible across builds, so rebuilds hit the compile
+    cache."""
     max_level = int(levels.max(initial=0))
     upper_ids_np = np.nonzero(levels >= 1)[0].astype(np.int32)
     if len(upper_ids_np) == 0:
@@ -1055,13 +1056,18 @@ def _link_upper_levels(x: np.ndarray, levels: np.ndarray, m: int,
     n1 = int((levels >= 1).sum())
     if n1 <= 1 or max_level < 1:
         return upper_ids_np, upper_neighbors
-    P = 1 << max(int(np.ceil(np.log2(n1))), 7)
-    cu = int(min(max(m + 8, 32), P - 1))
     for lev in range(1, max_level + 1):
         sub = np.nonzero(levels >= lev)[0].astype(np.int32)
         ns = len(sub)
         if ns <= 1:
             continue
+        # pow2 pad, with a 4096 floor on big builds so the deep (tiny)
+        # levels share one shape — 2-3 chains per build instead of one
+        # per level, without padding a 10M build's level 4 to the
+        # level-1 size (a 512 MB upload per level through the tunnel)
+        floor = 12 if n1 > 8192 else 7
+        P = 1 << max(int(np.ceil(np.log2(max(ns, 2)))), floor)
+        cu = int(min(max(m + 8, 32), P - 1))
         xp = np.zeros((P, d), np.float32)
         xp[:ns] = x[sub]
         xp_dev = jnp.asarray(xp)
