@@ -97,3 +97,67 @@ def test_synthetic_splits_do_not_alias(bm):
     assert xb.shape == (8000, 32) and xq.shape == (100, 32)
     d = np.abs(xb[:100] - xq).sum()
     assert d > 1.0
+
+
+# --- Optimizer (bench_fw/optimize.py:24-282 role) --------------------------
+
+def test_filter_results_pareto():
+    from tpu_ann.utils.bench_fw import (PARETO_TIME, PARETO_TIME_SPACE,
+                                        filter_results)
+
+    rows = [
+        {"factory": "A", "recall": 0.90, "time": 1.0, "code_size": 8},
+        {"factory": "B", "recall": 0.95, "time": 2.0, "code_size": 8},
+        {"factory": "C", "recall": 0.90, "time": 3.0, "code_size": 8},
+        {"factory": "D", "recall": 0.99, "time": 2.0, "code_size": 64},
+        {"factory": "Flat", "recall": 1.0, "time": 9.0, "code_size": 128},
+    ]
+    out = filter_results(rows, 0.5, PARETO_TIME)
+    names = [r["factory"] for r in out]
+    assert "C" not in names          # dominated by A
+    assert "B" not in names          # dominated by D (equal time, more recall)
+    assert "A" in names and "D" in names and "Flat" in names
+    # accuracy floor
+    out = filter_results(rows, 0.99, PARETO_TIME)
+    assert {r["factory"] for r in out} == {"D", "Flat"}
+    # name filter (include_flat=False role)
+    out = filter_results(rows, 0.5, PARETO_TIME,
+                         name_filter=lambda n: not n.startswith("Flat"))
+    assert all(not r["factory"].startswith("Flat") for r in out)
+    # time*space flips dominance: D (64B) no longer dominates B (8B)
+    out = filter_results(rows, 0.5, PARETO_TIME_SPACE)
+    assert "B" in [r["factory"] for r in out]
+
+
+def test_optimizer_stages(tmp_path):
+    """The staged driver reproduces the reference's output shape
+    (bench_fw/optimize.py optimize(): nprobe probe, codec Pareto,
+    quantizer Pareto, final crossed Pareto rows)."""
+    from tpu_ann.utils.bench_fw import BenchmarkIO, Optimizer
+
+    io = BenchmarkIO(path=str(tmp_path))
+    train = DatasetDescriptor(namespace="syn", tablename="32_91",
+                              num_vectors=3000, split="train")
+    db = DatasetDescriptor(namespace="syn", tablename="32_91",
+                           num_vectors=6000, split="db")
+    q = DatasetDescriptor(namespace="syn", tablename="32_91",
+                          num_vectors=80, split="q")
+    opt = Optimizer(io=io)
+    result = opt.optimize(
+        32, train, [db], q, min_accuracy=0.3, nlist=32,
+        quantizer_nlists=[32])
+    assert isinstance(result["nprobe_at_95"], int)
+    assert result["nprobe_at_95"] >= 1
+    assert result["codecs"], "codec Pareto set must be non-empty"
+    assert 32 in result["quantizers"]
+    assert result["quantizers"][32], "quantizer Pareto set non-empty"
+    rows = result["pareto"][db.get_filename()]
+    assert rows, "final Pareto rows non-empty"
+    for r in rows:
+        assert r["recall"] >= 0.3
+        assert "nprobe" in r["search_params"]
+        assert r["code_size"] > 0
+    # staged result files cached on disk
+    assert io.file_exist("result_ivf32_flat.json")
+    assert io.file_exist("result_ivf32_codec.json")
+    assert io.file_exist("result_quantizer32.json")

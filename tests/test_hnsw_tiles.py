@@ -402,3 +402,45 @@ def test_tile_search_fused_sq8_interpret(rng):
     overlap = np.mean([len(set(np.asarray(I1)[q]) & set(np.asarray(I0)[q]))
                        / 5 for q in range(len(xq))])
     assert overlap > 0.9, overlap
+
+
+def test_tile_search_fused_inner_product(rng):
+    """IP metric through the fused tile path (was NotImplementedError;
+    the reference's graph search is metric-generic via
+    NegativeDistanceComputer, impl/DistanceComputer.h)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_ann.ops import distances as D
+    from tpu_ann.ops.hnsw import build_graph_knn
+    from tpu_ann.ops.hnsw_tiles import (build_tiles_fused, spatial_order,
+                                        tile_search_fused)
+
+    n, d, nq, k = 4000, 32, 64, 10
+    cents = rng.rand(24, d).astype(np.float32) * 6
+    xb = (cents[rng.randint(24, size=n)]
+          + rng.randn(n, d).astype(np.float32) * 0.7)
+    xq = (cents[rng.randint(24, size=nq)]
+          + rng.randn(nq, d).astype(np.float32) * 0.7)
+
+    graph, _ = build_graph_knn(jax.numpy.asarray(xb), 8, 40)
+    order = spatial_order(xb, 32)
+    ftg = build_tiles_fused(xb, np.asarray(graph.neighbors0),
+                            order=order, b=32)
+    Dv, Pv, Iv = tile_search_fused(
+        ftg, jnp.asarray(xq), k, nprobe0=8, hops=2, expand=8, F=8,
+        kp=8, rk=32, metric=D.METRIC_INNER_PRODUCT, interpret=True)
+    Iv = np.asarray(Iv)
+    _, gt = D.knn(jnp.asarray(xq), jnp.asarray(xb), k,
+                  D.METRIC_INNER_PRODUCT)
+    gt = np.asarray(gt)
+    rec = np.mean([len(set(Iv[q]) & set(gt[q])) / k for q in range(nq)])
+    assert rec >= 0.85, rec
+    # returned scores are true inner products (descending)
+    Dv = np.asarray(Dv)
+    q0 = int(np.argmax(Iv[:, 0] >= 0))
+    for j in range(k):
+        if Iv[q0, j] >= 0:
+            true = float(np.dot(xq[q0], xb[Iv[q0, j]]))
+            assert abs(Dv[q0, j] - true) < 1e-2 * max(1.0, abs(true))
+    assert np.all(np.diff(Dv[q0][Iv[q0] >= 0]) <= 1e-4)

@@ -205,6 +205,14 @@ def _build(name, xt, xb):
         idx.nnd_iters = 3
         idx.add(xb)
         return idx
+    if name == "IndexNSGPQ":
+        idx = M.IndexNSGPQ(D_, 4, 8)
+        idx.nnd_iters = 3
+        return _trained_added(idx, xt, xb)
+    if name == "IndexNSGSQ":
+        idx = M.IndexNSGSQ(D_, R=8)
+        idx.nnd_iters = 3
+        return _trained_added(idx, xt, xb)
     if name == "IndexIVFSpectralHash":
         from tpu_ann.models.ivf_extra import IndexIVFSpectralHash
 

@@ -62,7 +62,12 @@ from .models.hnsw import (  # noqa: F401
     IndexHNSWSQ,
     SearchParametersHNSW,
 )
-from .models.nsg import IndexNNDescentFlat, IndexNSGFlat  # noqa: F401
+from .models.nsg import (  # noqa: F401
+    IndexNNDescentFlat,
+    IndexNSGFlat,
+    IndexNSGPQ,
+    IndexNSGSQ,
+)
 from .models.ivf import (  # noqa: F401
     IndexIVF,
     IndexIVFFlat,

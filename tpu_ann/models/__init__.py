@@ -11,7 +11,12 @@ from .hnsw import (  # noqa: F401
     IndexHNSWSQ,
     SearchParametersHNSW,
 )
-from .nsg import IndexNNDescentFlat, IndexNSGFlat  # noqa: F401
+from .nsg import (  # noqa: F401
+    IndexNNDescentFlat,
+    IndexNSGFlat,
+    IndexNSGPQ,
+    IndexNSGSQ,
+)
 from .ivf import (  # noqa: F401
     IndexIVF,
     IndexIVFFlat,

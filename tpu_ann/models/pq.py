@@ -195,7 +195,11 @@ class IndexPQ(Index):
             Dv, Iv, npass = polysemous_knn(
                 jnp.asarray(x), self._codes, self._centroids_dev, k,
                 int(ht), jnp.int32(self.ntotal))
-            self.last_hamming_pass = int(npass)
+            # npass is a per-block int32 vector; int64 host sum is exact
+            # at any nq*ntotal scale (advisor finding: a single f32
+            # accumulator lost exactness past 2^24)
+            self.last_hamming_pass = int(
+                np.asarray(npass).astype(np.int64).sum())
             return np.asarray(Dv), np.asarray(Iv, np.int64)
         if self.search_type == self.ST_SDC:
             Dv, Iv = self._sdc_knn(jnp.asarray(x), k)

@@ -475,8 +475,10 @@ def tile_search_fused(
     from .ivf_scan_pallas import scan_invlists_fused
     from . import topk as TK
 
-    if D.is_similarity_metric(metric):
-        raise NotImplementedError("tile_search_fused: L2 only")
+    # metric-generic like the reference's NegativeDistanceComputer route
+    # (impl/DistanceComputer.h): the fused scan orders by similarity
+    # internally; only the merges here need the direction flag
+    similarity = D.is_similarity_metric(metric)
     nq, d = xq.shape
     b = ftg.b
     T = ftg.il.nlist
@@ -512,7 +514,7 @@ def tile_search_fused(
             xq, probes_h, ftg.il, min(rk, F * kp), metric, kp=kp,
             refine=4, interpret=interpret)
         bd, bpos = TK.merge_topk(bd, bpos, hd, hpos, rk,
-                                 similarity=False)
+                                 similarity=similarity)
     out_d = bd[:, :k]
     out_p = bpos[:, :k]
     out_i = jnp.where(

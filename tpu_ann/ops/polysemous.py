@@ -161,9 +161,12 @@ def polysemous_knn(
         ham = ((nbit_total - dot) * 0.5).astype(jnp.int32)
         ids = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
         ok = (ham <= ht) & (ids < valid_n)
-        # f32 accumulator: without jax x64, int64 silently becomes int32
-        # and overflows at nq*ntotal > 2^31 (seen as negative pass fracs)
-        npass = npass + jnp.sum(ok.astype(jnp.float32), dtype=jnp.float32)
+        # exact per-block int32 count (nq*block < 2^31 always holds for
+        # practical shapes); blocks are reduced in int64 on the HOST below
+        # — a single f32/int32 device accumulator would lose exactness or
+        # overflow at nq*ntotal > 2^24 / 2^31
+        npass = npass.at[i].set(
+            jnp.sum(ok.astype(jnp.int32), dtype=jnp.int32))
         dis = PQ.adc_scan_db(lut, blk)
         dis = jnp.where(ok, dis, jnp.inf)
         idb = jnp.broadcast_to(ids, dis.shape)
@@ -172,6 +175,8 @@ def polysemous_knn(
 
     init = (jnp.full((nq, k), jnp.inf, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32),
-            jnp.float32(0))
+            jnp.zeros((nblocks,), jnp.int32))
     bd, bi, npass = lax.fori_loop(0, nblocks, body, init)
+    # npass is the exact per-block (nblocks,) int32 count vector; callers
+    # reduce it host-side in int64 (see models/pq.py) for an exact total
     return bd, jnp.where(jnp.isfinite(bd), bi, -1), npass

@@ -192,13 +192,21 @@ class BenchmarkIO:
             d_str, seed_str = str(desc.tablename).split("_")
             d, seed = int(d_str), int(seed_str)
             n = desc.num_vectors or 10000
-            # one deterministic pool per (d, seed); splits draw disjoint
-            # row blocks so db/queries/train never alias
-            offset = {"": 0, "train": 0, "db": 1, "q": 2}.get(desc.split, 0)
-            rs = np.random.RandomState(seed + 100003 * offset)
+            # one deterministic manifold per (d, seed): the random
+            # projection + per-dim scale come from `seed` alone, so every
+            # split lies on the SAME manifold; only the latent rows are
+            # re-seeded per split, so train/db/q are disjoint samples
+            # that never alias each other
+            offsets = {"": 0, "train": 1, "db": 2, "q": 3}
+            if desc.split not in offsets:
+                raise ValueError(f"unknown split {desc.split!r}; "
+                                 f"expected one of {sorted(offsets)}")
             d1 = 10
-            x = np.sin(np.dot(rs.normal(size=(n, d1)),
-                              rs.rand(d1, d)) * (rs.rand(d) * 4 + 0.1))
+            rs_manifold = np.random.RandomState(seed)
+            proj = rs_manifold.rand(d1, d)
+            scale = rs_manifold.rand(d) * 4 + 0.1
+            rs_rows = np.random.RandomState(seed + 100003 * offsets[desc.split])
+            x = np.sin(np.dot(rs_rows.normal(size=(n, d1)), proj) * scale)
             return np.ascontiguousarray(x, np.float32)
         if ns in ("std_t", "std_d", "std_q"):
             from .datasets import dataset_from_name
@@ -309,9 +317,13 @@ class Benchmark:
             for pname, v in params.items():
                 set_index_parameter(index, pname, v)
             index.search(xq, self.k)            # compile + warm
-            t0 = time.time()
-            _, I = index.search(xq, self.k)
-            dt = max(time.time() - t0, 1e-9)
+            # best-of-3 after warm-up: rows are cached forever, so a
+            # single noisy measurement would persist (advisor finding)
+            dt = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                _, I = index.search(xq, self.k)
+                dt = min(dt, max(time.time() - t0, 1e-9))
             row = {
                 "recall": float(recall_k_at_k(I, gt, self.k)),
                 "time": dt / len(xq),
@@ -353,3 +365,301 @@ class Benchmark:
         if result_file:
             self.io.write_json(results, result_file)
         return results
+
+
+# ---------------------------------------------------------------------------
+# Optimizer — staged index-design exploration (bench_fw/optimize.py:24-282
+# Optimizer: optimize_quantizer / optimize_ivf / optimize_codec / optimize).
+# Each stage benchmarks a family of candidate descriptors through
+# `Benchmark` (so every artifact caches) and keeps only the Pareto-optimal
+# operating points by time or time*space.
+# ---------------------------------------------------------------------------
+
+PARETO_TIME = "time"
+PARETO_TIME_SPACE = "time_space"
+
+
+def filter_results(rows, min_accuracy, pareto_metric=PARETO_TIME,
+                   name_filter=None):
+    """Global Pareto filter over flat result rows
+    (bench_fw/utils.py:174 filter_results, ParetoMode.GLOBAL).
+
+    rows: list of dicts with keys factory/search_params/recall/time and
+    (for time_space) code_size. Returns the rows on the accuracy-cost
+    Pareto frontier with recall >= min_accuracy, best-first by cost."""
+    kept = []
+    for r in rows:
+        if r["recall"] < min_accuracy:
+            continue
+        if name_filter is not None and not name_filter(r["factory"]):
+            continue
+        kept.append(r)
+
+    def cost(r):
+        t = r["time"]
+        if pareto_metric == PARETO_TIME_SPACE:
+            t = t * max(r.get("code_size", 1), 1)
+        return t
+
+    frontier = []
+    for r in kept:
+        dominated = any(
+            o["recall"] >= r["recall"] and cost(o) <= cost(r)
+            and (o["recall"] > r["recall"] or cost(o) < cost(r))
+            for o in kept)
+        if not dominated:
+            frontier.append(r)
+    return sorted(frontier, key=cost)
+
+
+@dataclasses.dataclass
+class Optimizer:
+    """Staged exploration driver (bench_fw/optimize.py:24 Optimizer).
+
+    The reference's recipe, kept stage for stage:
+      1. `ivf_flat_nprobe_required_for_accuracy` — sweep nprobe on
+         IVF{nlist},Flat, find the smallest nprobe hitting the target;
+      2. `optimize_codec` — at that fixed nprobe, benchmark the codec
+         family (SQ*, PQ/OPQ grid) and keep the time*space Pareto set;
+      3. `optimize_quantizer` — benchmark coarse-quantizer candidates
+         (exact GEMM vs graph routing) on the centroid set per nlist;
+      4. `optimize_ivf` — cross the surviving quantizers and codecs,
+         benchmark at scale, keep the global Pareto set.
+    `optimize()` chains them and returns the reference-shaped dict.
+    """
+
+    io: BenchmarkIO
+    distance_metric: str = "L2"
+    k: int = 10
+    verbose: bool = False
+
+    def _benchmark_rows(self, index_descs, training_vectors,
+                        database_vectors, query_vectors,
+                        result_file=None) -> List[Dict[str, Any]]:
+        from .factory import get_code_size
+
+        rows: List[Dict[str, Any]] = []
+        for desc in index_descs:
+            bm = Benchmark(
+                io=self.io,
+                training_vectors=training_vectors,
+                database_vectors=database_vectors,
+                query_vectors=query_vectors,
+                index_descs=[desc],
+                k=self.k,
+                verbose=self.verbose,
+            )
+            try:
+                desc_rows = bm.benchmark_knn_one(desc)
+            except ValueError as e:
+                # infeasible candidate for this dataset (e.g. a 12-bit PQ
+                # without 4096 training rows) — exploration skips it, like
+                # the reference driver's per-candidate isolation
+                if self.verbose:
+                    print(f"[optimizer] skip {desc.factory}: {e}",
+                          flush=True)
+                continue
+            try:
+                code_size = get_code_size(desc.d, desc.factory)
+            except Exception:
+                code_size = 0
+            for pkey, row in desc_rows.items():
+                rows.append(dict(row, factory=desc.factory,
+                                 desc_name=desc.get_name(),
+                                 code_size=code_size))
+        if result_file:
+            self.io.write_json(rows, result_file)
+        return rows
+
+    def benchmark_and_filter_candidates(
+            self, index_descs, training_vectors, database_vectors,
+            query_vectors, result_file, min_accuracy,
+            pareto_metric=PARETO_TIME, include_flat=True):
+        """(bench_fw/optimize.py:43) benchmark then Pareto-filter; returns
+        (surviving IndexDescriptors, surviving rows)."""
+        rows = self._benchmark_rows(index_descs, training_vectors,
+                                    database_vectors, query_vectors,
+                                    result_file)
+        filtered = filter_results(
+            rows, min_accuracy, pareto_metric,
+            name_filter=None if include_flat
+            else (lambda n: not n.startswith("Flat")))
+        by_factory = {}
+        for r in filtered:
+            by_factory.setdefault(r["factory"], r)
+        descs = [
+            IndexDescriptor(
+                d=index_descs[0].d, factory=f,
+                metric=self.distance_metric,
+                search_params={k2: [v] for k2, v in
+                               r["search_params"].items()})
+            for f, r in by_factory.items()
+        ]
+        return descs, filtered
+
+    # -- stage 1 ------------------------------------------------------------
+    def ivf_flat_nprobe_required_for_accuracy(
+            self, d, training_vectors, database_vectors, query_vectors,
+            nlist, accuracy, nprobes=(1, 2, 4, 8, 16, 32, 64, 128)):
+        """(bench_fw/optimize.py:180) smallest nprobe reaching `accuracy`
+        on IVF{nlist},Flat."""
+        nprobes = [p for p in nprobes if p <= nlist]
+        rows = self._benchmark_rows(
+            [IndexDescriptor(d=d, factory=f"IVF{nlist},Flat",
+                             metric=self.distance_metric,
+                             search_params={"nprobe": nprobes})],
+            training_vectors, database_vectors, query_vectors,
+            result_file=f"result_ivf{nlist}_flat.json")
+        ok = [r["search_params"]["nprobe"] for r in rows
+              if r["recall"] >= accuracy]
+        return min(ok) if ok else nlist // 2
+
+    # -- stage 2 ------------------------------------------------------------
+    def codec_candidates(self, d: int) -> List[str]:
+        """Candidate codec grid (optimize_codec's SQ/PQ/OPQ family,
+        bench_fw/optimize.py:222-243), pruned to codes < SQ8's bytes."""
+        specs = ["Flat", "SQfp16", "SQbf16", "SQ8"]
+        Ms = [M for M in (8, 12, 16, 32, 48, 64, 96, 128) if d % M == 0]
+        for M in Ms:
+            for b in (8, 10, 12):
+                if M * b < d * 8:
+                    specs.append(f"PQ{M}x{b}" if b != 8 else f"PQ{M}")
+            for dim in range(2, 18, 2):
+                if M * dim <= d:
+                    specs.append(f"OPQ{M}_{M * dim},PQ{M}")
+                    break   # one OPQ out-dim per M keeps the grid tractable
+        return specs
+
+    def optimize_codec(self, d, training_vectors, database_vectors,
+                       query_vectors, nlist, nprobe, min_accuracy,
+                       codecs=None):
+        """(bench_fw/optimize.py:214) benchmark IVF{nlist},<codec> at a
+        fixed nprobe; keep the time*space Pareto set of codecs."""
+        specs = codecs if codecs is not None else self.codec_candidates(d)
+        descs = [
+            IndexDescriptor(
+                d=d,
+                factory=(f"IVF{nlist},{c}" if "," not in c
+                         else f"{c.split(',')[0]},IVF{nlist},"
+                              f"{c.split(',')[1]}"),
+                metric=self.distance_metric,
+                search_params={"nprobe": [nprobe]})
+            for c in specs
+        ]
+        kept, filtered = self.benchmark_and_filter_candidates(
+            descs, training_vectors, database_vectors, query_vectors,
+            result_file=f"result_ivf{nlist}_codec.json",
+            min_accuracy=min_accuracy,
+            pareto_metric=PARETO_TIME_SPACE, include_flat=False)
+        # return the codec spellings (strip the IVF container)
+        out = []
+        for desc in kept:
+            f = desc.factory
+            parts = f.split(",")
+            out.append(parts[-1] if len(parts) == 2
+                       else f"{parts[0]},{parts[-1]}")
+        return out, filtered
+
+    # -- stage 3 ------------------------------------------------------------
+    def optimize_quantizer(self, d, training_vectors, query_vectors,
+                           nlists, min_accuracy):
+        """(bench_fw/optimize.py:89) per nlist: cluster the training set,
+        benchmark quantizer candidates (Flat GEMM vs HNSW graph routing)
+        with the centroids as the database, keep the time Pareto set."""
+        from ..ops.kmeans import kmeans as _kmeans
+
+        out = {}
+        for nlist in nlists:
+            cname = (training_vectors.get_filename()
+                     + f"kmeans{nlist}.npy")
+            if self.io.file_exist(cname):
+                centroids = self.io.read_nparray(cname)
+            else:
+                xt = self.io.get_dataset(training_vectors)
+                import jax.numpy as jnp
+
+                from ..ops.kmeans import ClusteringParameters
+
+                cp = ClusteringParameters()
+                cp.niter = 6
+                cents, _ = _kmeans(jnp.asarray(xt), nlist, cp)
+                centroids = np.asarray(cents, np.float32)
+                self.io.write_nparray(centroids, cname)
+            cdesc = DatasetDescriptor(tablename=cname)
+            descs = [IndexDescriptor(d=d, factory="Flat",
+                                     metric=self.distance_metric)] + [
+                IndexDescriptor(
+                    d=d, factory="HNSW32",
+                    metric=self.distance_metric,
+                    construction_params={"efConstruction": 2 ** i},
+                    search_params={"efSearch": [16, 64]})
+                for i in (6, 8)
+            ]
+            kept, _ = self.benchmark_and_filter_candidates(
+                descs, None, cdesc, query_vectors,
+                result_file=f"result_quantizer{nlist}.json",
+                min_accuracy=min_accuracy,
+                pareto_metric=PARETO_TIME, include_flat=True)
+            out[nlist] = kept
+        return out
+
+    # -- stage 4 ------------------------------------------------------------
+    def optimize_ivf(self, d, training_vectors, database_vectors,
+                     query_vectors, quantizers, codecs, min_accuracy,
+                     nprobes=(4, 16, 64)):
+        """(bench_fw/optimize.py:128) cross surviving quantizers x codecs
+        into full IVF descriptors, benchmark at scale, keep the global
+        Pareto set."""
+        descs = []
+        for nlist, qdescs in quantizers.items():
+            for q in qdescs:
+                # graph-routed coarse quantizer -> IVF{n}_HNSW{M} spelling
+                hnsw = "_HNSW32" if q.factory.startswith("HNSW") else ""
+                for codec in codecs:
+                    if "," in codec:      # OPQ prefix
+                        pre, code = codec.split(",")
+                        factory = f"{pre},IVF{nlist}{hnsw},{code}"
+                    else:
+                        factory = f"IVF{nlist}{hnsw},{codec}"
+                    descs.append(IndexDescriptor(
+                        d=d, factory=factory,
+                        metric=self.distance_metric,
+                        search_params={"nprobe": list(nprobes)}))
+        # dedupe by factory string
+        seen, uniq = set(), []
+        for desc in descs:
+            if desc.factory not in seen:
+                seen.add(desc.factory)
+                uniq.append(desc)
+        return self.benchmark_and_filter_candidates(
+            uniq, training_vectors, database_vectors, query_vectors,
+            result_file=f"result_{database_vectors.get_filename()}json",
+            min_accuracy=min_accuracy,
+            pareto_metric=PARETO_TIME_SPACE, include_flat=False)
+
+    # -- the full recipe ----------------------------------------------------
+    def optimize(self, d, training_vectors, database_vectors_list,
+                 query_vectors, min_accuracy, nlist=256,
+                 quantizer_nlists=None):
+        """(bench_fw/optimize.py:282) chained stages; returns
+        {"nprobe_at_95": int, "codecs": [...], "quantizers": {...},
+        "pareto": {db_filename: [rows...]}}."""
+        nprobe95 = self.ivf_flat_nprobe_required_for_accuracy(
+            d, training_vectors, database_vectors_list[0], query_vectors,
+            nlist=nlist, accuracy=0.95)
+        codecs, _ = self.optimize_codec(
+            d, training_vectors, database_vectors_list[0], query_vectors,
+            nlist=nlist, nprobe=nprobe95, min_accuracy=min_accuracy)
+        quantizers = self.optimize_quantizer(
+            d, training_vectors, query_vectors,
+            nlists=quantizer_nlists or [nlist],
+            min_accuracy=0.7)
+        pareto = {}
+        for db in database_vectors_list:
+            _, rows = self.optimize_ivf(
+                d, training_vectors, db, query_vectors,
+                quantizers=quantizers, codecs=codecs,
+                min_accuracy=min_accuracy)
+            pareto[db.get_filename()] = rows
+        return {"nprobe_at_95": nprobe95, "codecs": codecs,
+                "quantizers": quantizers, "pareto": pareto}

@@ -226,6 +226,25 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
         else:
             raise ValueError(f"index_factory: unknown HNSW storage "
                              f"{code!r}")
+    elif m := re.fullmatch(r"NSG(\d+)?", head):
+        # parse_IndexNSG grammar (index_factory.cpp:492-516): storage
+        # code after the comma — Flat | PQ<m>[x<nbits>] | SQ*
+        from ..models.nsg import IndexNSGFlat, IndexNSGPQ, IndexNSGSQ
+
+        R = int(m.group(1) or 32)
+        code = rest[0] if rest else "Flat"
+        if rest:
+            rest = rest[1:]
+        if code == "Flat":
+            index = IndexNSGFlat(cur_d, R, metric)
+        elif mm := re.fullmatch(r"PQ(\d+)(?:x(\d+))?", code):
+            index = IndexNSGPQ(cur_d, int(mm.group(1)), R,
+                               int(mm.group(2) or 8), metric)
+        elif code in _SQ_TYPES:
+            index = IndexNSGSQ(cur_d, _SQ_TYPES[code], R, metric)
+        else:
+            raise ValueError(f"index_factory: unknown NSG storage "
+                             f"{code!r}")
     elif head == "Flat":
         index = IndexFlat(cur_d, metric)
     elif m := re.fullmatch(r"PQ(\d+)(?:x(\d+))?(?:fs(?:_\d+)?|np)?", head):

@@ -43,8 +43,14 @@ def _write_container(path: str, meta: Dict[str, Any],
         arr = np.ascontiguousarray(arr)
         pad = (-offset) % ALIGN
         offset += pad
+        # extension dtypes (ml_dtypes bfloat16 etc.) stringify to void
+        # ('<V2') — store the registered NAME instead, which np.dtype()
+        # resolves back through ml_dtypes on read
+        dstr = arr.dtype.str
+        if np.dtype(dstr) != arr.dtype:
+            dstr = arr.dtype.name
         table[name] = {
-            "dtype": arr.dtype.str,
+            "dtype": dstr,
             "shape": list(arr.shape),
             "offset": offset,
         }
@@ -1211,6 +1217,69 @@ def _load_nsg(meta, arrays):
     return idx
 
 
+def _dump_nsg_coded(index):
+    from ..models.nsg import IndexNSGPQ
+
+    meta = {"d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "R": index.R, "GK": index.GK,
+            "efSearch": index.efSearch, "medoid": index.medoid,
+            "is_trained": index.is_trained}
+    arrays = {}
+    if isinstance(index, IndexNSGPQ):
+        meta["tag"] = "IxNP"
+        meta["pq_m"], meta["nbits"] = index.pq_m, index.nbits
+        if index.pq is not None:
+            arrays["centroids"] = np.asarray(index.pq.centroids)
+    else:
+        meta["tag"] = "IxNQ"
+        meta["qtype"] = index.qtype
+        if index.sq is not None and index.sq.vmin is not None:
+            arrays["sq_vmin"] = np.asarray(index.sq.vmin, np.float32)
+            arrays["sq_vdiff"] = np.asarray(index.sq.vdiff, np.float32)
+    if index._codes is not None:
+        arrays["codes"] = np.asarray(index._codes)
+    if index.graph is not None:
+        arrays["graph"] = np.asarray(index.graph)
+    return meta, arrays
+
+
+def _load_nsg_coded(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.nsg import IndexNSGPQ, IndexNSGSQ
+
+    if meta["tag"] == "IxNP":
+        idx = IndexNSGPQ(int(meta["d"]), int(meta["pq_m"]),
+                         int(meta["R"]), int(meta["nbits"]),
+                         int(meta["metric"]))
+        if "centroids" in arrays:
+            from ..ops.pq import PQCodec
+
+            c = np.asarray(arrays["centroids"], np.float32)
+            idx.pq = PQCodec(centroids=c, d=idx.d, M=idx.pq_m,
+                             nbits=idx.nbits)
+    else:
+        idx = IndexNSGSQ(int(meta["d"]), int(meta["qtype"]),
+                         int(meta["R"]), int(meta["metric"]))
+        if "sq_vmin" in arrays:
+            from ..ops.sq import SQCodec
+
+            idx.sq = SQCodec(qtype=idx.qtype, d=idx.d,
+                             vmin=np.asarray(arrays["sq_vmin"]),
+                             vdiff=np.asarray(arrays["sq_vdiff"]))
+    idx.GK = int(meta["GK"])
+    idx.efSearch = int(meta["efSearch"])
+    idx.medoid = int(meta["medoid"])
+    idx.is_trained = bool(meta["is_trained"])
+    if "codes" in arrays:
+        idx._codes = np.asarray(arrays["codes"])
+        idx.storage.add(np.asarray(idx._decode(idx._codes), np.float32))
+        idx.ntotal = idx.storage.ntotal
+    if "graph" in arrays:
+        idx.graph = jnp.asarray(np.asarray(arrays["graph"]))
+    return idx
+
+
 def _dump_nnd(index):
     meta = {"tag": "IxND", "d": index.d, "metric": index.metric_type,
             "ntotal": index.ntotal, "K": index.K,
@@ -1464,6 +1533,8 @@ _register("IndexSplitVectors", "IxSV", _dump_split, _load_split)
 _register("IndexRandom", "IxRn", _dump_random, _load_random)
 _register("IndexFlat1D", "IxF1", _dump_flat1d, _load_flat1d)
 _register("IndexNSGFlat", "IxNS", _dump_nsg, _load_nsg)
+_register("IndexNSGPQ", "IxNP", _dump_nsg_coded, _load_nsg_coded)
+_register("IndexNSGSQ", "IxNQ", _dump_nsg_coded, _load_nsg_coded)
 _register("IndexNNDescentFlat", "IxND", _dump_nnd, _load_nnd)
 _register("IndexHNSW2Level", "IHN2", _dump_hnsw2level, _load_hnsw2level)
 _register("IndexIVFSpectralHash", "IwSH", _dump_spectralhash,
