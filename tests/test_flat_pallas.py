@@ -140,3 +140,28 @@ def test_index_flat_fused_dispatch():
     overlap = np.mean([
         len(set(I1[q]) & set(I0[q])) / 10 for q in range(50)])
     assert overlap >= 0.97, overlap
+
+
+def test_tree_merge_matches_serial():
+    """merge='tree' (log-depth two-stage fold) reaches the same exact
+    refined results as the serial fold on every schedule."""
+    import jax.numpy as jnp
+
+    from tpu_ann.ops.flat_knn_pallas import flat_knn_fused
+
+    rng = np.random.RandomState(3)
+    xb = rng.randn(4096, 64).astype(np.float32)
+    xq = rng.randn(128, 64).astype(np.float32)
+    base = None
+    for sched in ("fori", "grid", "pipe"):
+        for merge in ("serial", "tree"):
+            Dv, Iv = flat_knn_fused(
+                jnp.asarray(xq), jnp.asarray(xb), 10, Q=64, R=1024,
+                W=256, schedule=sched, merge=merge, interpret=True)
+            got = (np.asarray(Dv), np.asarray(Iv))
+            if base is None:
+                base = got
+            else:
+                # same reservoir lane assignment -> identical candidates
+                np.testing.assert_array_equal(base[1], got[1])
+                np.testing.assert_allclose(base[0], got[0], rtol=1e-5)

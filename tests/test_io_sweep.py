@@ -205,6 +205,17 @@ def _build(name, xt, xb):
         idx.nnd_iters = 3
         idx.add(xb)
         return idx
+    if name == "IndexIVFFlatPaged":
+        import tempfile
+
+        from tpu_ann.models.ivf_paged import IndexIVFFlatPaged
+
+        idx = IndexIVFFlatPaged(D_, 8, tempfile.mkdtemp(
+            prefix="tann_paged_"))
+        idx.cp_niter = 4
+        idx.window_blocks = 8
+        idx.tile_batch = 8
+        return _trained_added(idx, xt, xb)
     if name == "IndexNSGPQ":
         idx = M.IndexNSGPQ(D_, 4, 8)
         idx.nnd_iters = 3

@@ -182,3 +182,31 @@ def test_fused_scan_reservoir_epilogue(rng):
         m1 = dict(zip(I1[q], D1[q]))
         for i in set(I1[q]) & set(I0[q]):
             np.testing.assert_allclose(m1[i], m0[i], rtol=1e-4, atol=1e-3)
+
+
+def test_grid2d_matches_fused(rng):
+    """The 2-D grid schedule (tile x chunk, Mosaic-pipelined) returns
+    the manual-DMA fused scan's exact results — including -1 probes,
+    empty lists, and maxc-truncation-free coverage."""
+    from tpu_ann.ops.ivf_scan_pallas import (grid2d_maxc,
+                                             scan_invlists_fused_grid)
+
+    n, d, nlist, nq, nprobe, k = 20000, 64, 48, 80, 8, 10
+    xb = rng.randn(n, d).astype(np.float32)
+    xq = rng.randn(nq, d).astype(np.float32)
+    assign = rng.randint(nlist - 4, size=n)      # 4 lists empty
+    probes = np.stack([rng.permutation(nlist)[:nprobe]
+                       for _ in range(nq)]).astype(np.int32)
+    probes[0, 3] = -1
+    il = pack_invlists(xb, np.arange(n), assign, nlist)
+    Df, If, nd1 = scan_invlists_fused(jnp.asarray(xq),
+                                      jnp.asarray(probes), il, k,
+                                      interpret=True)
+    mc = grid2d_maxc(il, probes)
+    Dg, Ig, nd2 = scan_invlists_fused_grid(
+        jnp.asarray(xq), jnp.asarray(probes), il, k, maxc=mc,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(If), np.asarray(Ig))
+    np.testing.assert_allclose(np.asarray(Df), np.asarray(Dg),
+                               rtol=1e-4)
+    assert int(nd1) == int(nd2)

@@ -62,6 +62,7 @@ from .models.hnsw import (  # noqa: F401
     IndexHNSWSQ,
     SearchParametersHNSW,
 )
+from .models.ivf_paged import IndexIVFFlatPaged  # noqa: F401
 from .models.nsg import (  # noqa: F401
     IndexNNDescentFlat,
     IndexNSGFlat,

@@ -11,6 +11,7 @@ from .hnsw import (  # noqa: F401
     IndexHNSWSQ,
     SearchParametersHNSW,
 )
+from .ivf_paged import IndexIVFFlatPaged  # noqa: F401
 from .nsg import (  # noqa: F401
     IndexNNDescentFlat,
     IndexNSGFlat,

@@ -77,6 +77,16 @@ class IndexIVF(Index):
         # reassignment of every stored row (InvertedLists::add_entries is
         # O(chunk) in the reference)
         self._assign_host: list[Optional[np.ndarray]] = []
+        # device mirrors of _xb_host chunks: each chunk is uploaded ONCE
+        # (for its assignment GEMM) and reused by the device-side pack
+        # gather, so adds never move row data host->device twice (the
+        # measured double-upload cost dominated the 10M add; the host
+        # pack path remains the fallback after removals/updates).
+        # None entries = not yet uploaded; the whole attr set to None =
+        # mirrors invalidated (removal filtering changed host rows).
+        self._xdev_chunks: Optional[list] = []
+        # mirror HBM budget: above this the mirrors drop after a repack
+        self.dev_mirror_budget = 2 << 30
         # device invlists store int32 ROW indices (positions in the packed
         # host order); user ids are int64 host-side (`_ids_flat`) and results
         # are remapped on exit. This keeps device ids at 32 bits (the GPU
@@ -162,6 +172,8 @@ class IndexIVF(Index):
         self._ids_host.append(np.asarray(ids, np.int64))
         self._assign_host.append(
             None if assign is None else np.asarray(assign, np.int64))
+        if self._xdev_chunks is not None:
+            self._xdev_chunks.append(None)   # uploaded lazily at repack
         if self._removed_mask is not None:
             # keep the deferred-removal mask aligned with the host store
             self._removed_mask = np.concatenate(
@@ -257,13 +269,32 @@ class IndexIVF(Index):
             self._ids_trivial = True
             self._dirty = False
             return
-        # backfill missing per-chunk assignments (device GEMM per new chunk)
+        # backfill missing per-chunk assignments (device GEMM per new
+        # chunk); each chunk uploads ONCE and the device mirror feeds the
+        # pack gather below (no second data upload)
         while len(self._assign_host) < len(self._xb_host):
             self._assign_host.append(None)
+        if self._xdev_chunks is not None:
+            while len(self._xdev_chunks) < len(self._xb_host):
+                self._xdev_chunks.append(None)
         for j, a in enumerate(self._assign_host):
+            dev = None
+            if self._xdev_chunks is not None:
+                dev = self._xdev_chunks[j]
+                if dev is None:
+                    import jax.numpy as _jnp
+
+                    dev = _jnp.asarray(self._xb_host[j])
+                    self._xdev_chunks[j] = dev
             if a is None:
-                self._assign_host[j] = np.asarray(
-                    self._assign(self._xb_host[j]), np.int64)
+                if dev is not None and self._use_exact_coarse():
+                    _, aa = D.knn(dev, self._centroid_table(), 1,
+                                  self.metric_type)
+                    self._assign_host[j] = np.asarray(
+                        aa, np.int64)[:, 0].copy()
+                else:
+                    self._assign_host[j] = np.asarray(
+                        self._assign(self._xb_host[j]), np.int64)
         # apply deferred incremental removals to the host store
         if self._removed_mask is not None and self._removed_mask.any():
             mask = self._removed_mask
@@ -282,12 +313,13 @@ class IndexIVF(Index):
                     ni.append(ids_c[keep])
                     na.append(None if a is None else a[keep])
             self._xb_host, self._ids_host, self._assign_host = nx, ni, na
+            # host rows changed shape: device mirrors are stale
+            self._xdev_chunks = [None] * len(nx)
             if not self._xb_host:
                 self._removed_mask = None
                 self._repack()
                 return
         self._removed_mask = None
-        x = np.concatenate(self._xb_host, axis=0)
         ids = np.concatenate(self._ids_host, axis=0)
         assign = np.concatenate(self._assign_host)
         self._ids_flat = ids
@@ -296,7 +328,30 @@ class IndexIVF(Index):
             n == 0 or (ids[0] == 0 and ids[-1] == n - 1
                        and np.array_equal(ids, np.arange(n, dtype=np.int64))))
         rows = np.arange(n, dtype=np.int64)
-        self.invlists = self._pack(x, rows, assign)
+        use_dev = (
+            type(self)._pack is IndexIVF._pack     # Flat storage only
+            and self._xdev_chunks is not None
+            and len(self._xdev_chunks) == len(self._xb_host)
+            and all(c is not None for c in self._xdev_chunks)
+        )
+        if use_dev:
+            import jax.numpy as _jnp
+
+            rows_dev = (self._xdev_chunks[0]
+                        if len(self._xdev_chunks) == 1 else
+                        _jnp.concatenate(self._xdev_chunks, axis=0))
+            self.invlists = ivf_scan.pack_invlists_device(
+                rows_dev, rows, assign, self.nlist, self.block_size)
+            del rows_dev
+            # mirrors above the HBM budget are dropped once packed (a
+            # later chunked add re-uploads; one-shot big adds — the case
+            # that matters at 10M+ — never pay the double residency)
+            if (sum(c.nbytes for c in self._xdev_chunks)
+                    > self.dev_mirror_budget):
+                self._xdev_chunks = [None] * len(self._xdev_chunks)
+        else:
+            x = np.concatenate(self._xb_host, axis=0)
+            self.invlists = self._pack(x, rows, assign)
         self._build_direct_map(assign)
         self._dirty = False
 
@@ -753,6 +808,8 @@ class IndexIVF(Index):
         for j in np.unique(cj):
             m = cj == j
             self._xb_host[j][off[m]] = x_u[m]
+            if self._xdev_chunks is not None and j < len(self._xdev_chunks):
+                self._xdev_chunks[j] = None     # mirror stale
 
         flat = self._incremental_capable() and hasattr(self.invlists,
                                                        "data")
@@ -818,6 +875,7 @@ class IndexIVF(Index):
     # --- misc ----------------------------------------------------------------
     def reset(self) -> None:
         self._xb_host, self._ids_host, self._assign_host = [], [], []
+        self._xdev_chunks = []
         self.invlists = None
         self._ids_flat = None
         self._ids_trivial = True

@@ -72,6 +72,33 @@ def _merge_groups(dis, av, ap, base, W, lane):
     return av, ap
 
 
+def _merge_groups_tree(dis, av, ap, base, W, lane):
+    """Two-stage fold (the round-3 analysis' proposed fix for the
+    serialized dot->merge chain): stage 1 reduces the chunk's G = R/W
+    groups PAIRWISE in a log-depth tree — every level's merges are
+    independent, so the VPU pipelines them instead of stalling on the
+    G-deep accumulator chain of `_merge_groups` — and stage 2 folds the
+    single surviving group into the running reservoir once per chunk.
+    Same reservoir semantics (lane j sees the same candidate set), ~same
+    op count, dependence depth G -> log2(G) + 1."""
+    R = dis.shape[1]
+    G = R // W
+    vals = [dis[:, g * W:(g + 1) * W] for g in range(G)]
+    poss = [base + g * W + lane for g in range(G)]
+    while len(vals) > 1:
+        nv, nps = [], []
+        for i in range(0, len(vals) - 1, 2):
+            upd = vals[i + 1] < vals[i]
+            nv.append(jnp.where(upd, vals[i + 1], vals[i]))
+            nps.append(jnp.where(upd, poss[i + 1], poss[i]))
+        if len(vals) % 2:
+            nv.append(vals[-1])
+            nps.append(poss[-1])
+        vals, poss = nv, nps
+    upd = vals[0] < av
+    return jnp.where(upd, vals[0], av), jnp.where(upd, poss[0], ap)
+
+
 def _flat_kernel_unrolled(
     qv_ref,        # (Q, dp) VMEM bf16: tile's queries, PRE-SCALED
     data_hbm,      # (nchunks, R, dp) bf16 HBM; nchunks % U == 0
@@ -86,6 +113,7 @@ def _flat_kernel_unrolled(
     W: int,
     U: int,
     nchunks: int,
+    merge_fn=_merge_groups,
 ):
     """schedule='fori', unroll=U>1: each fori iteration consumes U chunks
     from its own U DMA slots while the other U slots prefetch the next
@@ -140,7 +168,7 @@ def _flat_kernel_unrolled(
                 preferred_element_type=jnp.float32,
             )
             dis = bbuf[slot] + ip
-            out.append(_merge_groups(dis, av, ap, c * R, W, lane))
+            out.append(merge_fn(dis, av, ap, c * R, W, lane))
         return tuple(out)
 
     accs = lax.fori_loop(0, niter, iter_body, init)
@@ -168,6 +196,7 @@ def _flat_kernel(
     R: int,
     W: int,
     nchunks: int,
+    merge_fn=_merge_groups,
 ):
     Q = qv_ref.shape[0]
 
@@ -207,7 +236,7 @@ def _flat_kernel(
                 preferred_element_type=jnp.float32,
             )                                         # (Q, R) f32
             dis = bbuf[slot] + ip                     # (1,R)+(Q,R): 1 op
-            return _merge_groups(dis, av, ap, c * R, W, lane)
+            return merge_fn(dis, av, ap, c * R, W, lane)
 
         av, ap = lax.fori_loop(0, nchunks, chunk_body, init)
         outv_ref[:] = av
@@ -221,8 +250,8 @@ def _flat_kernel(
     outp_ref[:] = init[1]
 
     def merge_from_scratch(base):
-        av, ap = _merge_groups(disbuf[:], outv_ref[:], outp_ref[:],
-                               base, W, lane)
+        av, ap = merge_fn(disbuf[:], outv_ref[:], outp_ref[:],
+                          base, W, lane)
         outv_ref[:] = av
         outp_ref[:] = ap
 
@@ -252,7 +281,7 @@ def _flat_kernel(
 
 
 def _flat_kernel_grid(qv_ref, bias_ref, data_ref, outv_ref, outp_ref,
-                      *, R: int, W: int):
+                      *, R: int, W: int, merge_fn=_merge_groups):
     """schedule='grid': one grid step per (query tile, DB chunk); Pallas
     auto-pipelines the chunk DMA, the reservoir accumulates in the out
     refs across consecutive same-tile revisits."""
@@ -271,8 +300,8 @@ def _flat_kernel_grid(qv_ref, bias_ref, data_ref, outv_ref, outp_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dis = bias_ref[0] + ip
-    av, ap = _merge_groups(dis, outv_ref[0][:], outp_ref[0][:],
-                           c * R, W, lane)
+    av, ap = merge_fn(dis, outv_ref[0][:], outp_ref[0][:],
+                      c * R, W, lane)
     outv_ref[0] = av
     outp_ref[0] = ap
 
@@ -280,7 +309,7 @@ def _flat_kernel_grid(qv_ref, bias_ref, data_ref, outv_ref, outp_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "Q", "R", "W", "refine", "schedule",
-                     "unroll", "interpret"),
+                     "unroll", "merge", "interpret"),
 )
 def flat_knn_fused(
     xq: jnp.ndarray,
@@ -297,6 +326,7 @@ def flat_knn_fused(
     refine: int = 4,
     schedule: str = "fori",
     unroll: int = 1,
+    merge: str = "serial",
     interpret: bool = False,
 ):
     """Fused brute-force k-NN (see module docstring).
@@ -325,6 +355,8 @@ def flat_knn_fused(
     nq, d = xq.shape
     nb = xb.shape[0]
     assert R % W == 0 and W % 128 == 0 and k <= W
+    assert merge in ("serial", "tree"), merge
+    merge_fn = _merge_groups_tree if merge == "tree" else _merge_groups
     dp = -(-d // 128) * 128
     similarity = D.is_similarity_metric(metric)
     xq = xq.astype(jnp.float32)
@@ -380,7 +412,8 @@ def flat_knn_fused(
 
     if schedule == "grid":
         outv, outp = pl.pallas_call(
-            functools.partial(_flat_kernel_grid, R=R, W=W),
+            functools.partial(_flat_kernel_grid, R=R, W=W,
+                              merge_fn=merge_fn),
             grid=(ntiles, nchunks),
             in_specs=[
                 pl.BlockSpec((1, Q, dp), lambda t, c: (t, 0, 0)),
@@ -434,7 +467,7 @@ def flat_knn_fused(
                 _flat_kernel_unrolled(
                     qv_ref[0], data_h, bias_h,
                     outv_ref.at[0], outp_ref.at[0], dbuf, bbuf, sems,
-                    R=R, W=W, U=U, nchunks=nchunks)
+                    R=R, W=W, U=U, nchunks=nchunks, merge_fn=merge_fn)
         else:
             def kern(qv_ref, data_h, bias_h, outv_ref, outp_ref,
                      dbuf, bbuf, sems, *maybe_dis):
@@ -442,7 +475,8 @@ def flat_knn_fused(
                              outv_ref.at[0], outp_ref.at[0],
                              dbuf, bbuf, sems,
                              maybe_dis[0] if maybe_dis else None,
-                             R=R, W=W, nchunks=nchunks)
+                             R=R, W=W, nchunks=nchunks,
+                             merge_fn=merge_fn)
 
         scratch_bytes = (nslots * R * dp * 2 + nslots * R * 4
                          + (Q * R * 4 if schedule == "pipe" else 0))

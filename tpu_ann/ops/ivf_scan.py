@@ -152,6 +152,98 @@ def pack_invlists(
     return pil
 
 
+@functools.partial(jax.jit, static_argnames=("B",))
+def _gather_pack_rows(rows_dev, src_flat, B: int):
+    """(S,) slot->source-row gather + per-slot norms, on device.
+
+    src_flat < 0 marks padding slots: the gather clamps to row 0 and a
+    mask zeroes the result (XLA fuses the select into the gather's
+    consumer — no extra (N, d) copy, unlike appending a zero row).
+    Returns data (S/B, B, d) f32 and norms (S/B, B) f32."""
+    d = rows_dev.shape[1]
+    valid = (src_flat >= 0)[:, None]
+    data = rows_dev[jnp.maximum(src_flat, 0)].astype(jnp.float32)
+    data = jnp.where(valid, data, 0.0)              # (S, d)
+    norms = jnp.sum(data * data, axis=1)
+    return (data.reshape(-1, B, d),
+            norms.reshape(-1, B).astype(jnp.float32))
+
+
+def pack_invlists_device(
+    rows_dev,
+    xids: np.ndarray,
+    assign: np.ndarray,
+    nlist: int,
+    block_size: int = 128,
+) -> PackedInvLists:
+    """Device-side packed-invlists build: the block layout is realized as
+    ONE inverse-permutation gather over rows already in HBM, so adding
+    vectors never uploads the data twice (the host-path `pack_invlists`
+    moves every row through host memory and back — measured 2x the add
+    time at 10M on the tunnel-limited host link; the reference's
+    `InvertedLists::add_entries` likewise never copies rows out of
+    process). Host work is ONLY the O(n) integer counting sort that
+    yields the slot->row permutation.
+
+    rows_dev: (n, d) f32 device array, row order = xids order.
+    Shapes are pow2-bucketed (slot count up, via extra dummy blocks) so
+    repeated chunked adds reuse a handful of compiled gathers.
+    """
+    n, d = rows_dev.shape
+    xids = np.asarray(xids, np.int32)
+    assign = np.asarray(assign, np.int64)
+    if n and (assign.min() < 0 or assign.max() >= nlist):
+        raise ValueError(
+            f"pack_invlists_device: assignments must be in [0, {nlist}); "
+            f"got [{assign.min()}, {assign.max()}]")
+    B = block_size
+
+    order = np.argsort(assign, kind="stable")
+    sizes = np.bincount(assign, minlength=nlist)
+    nblocks_per_list = -(-sizes // B)
+    starts_blocks = np.zeros(nlist, np.int64)
+    np.cumsum(nblocks_per_list[:-1], out=starts_blocks[1:])
+    nb_total = int(nblocks_per_list.sum())
+
+    # bucket the slot count (in blocks, +1 dummy) to bound compiles:
+    # pow2 up to 8192 blocks (128 MB at d=128), then 8192-block steps —
+    # a pure-pow2 bucket overshoots HBM by up to 2x at 10M+ scale
+    need = nb_total + 1
+    if need <= 8192:
+        nb_pad = 1
+        while nb_pad < need:
+            nb_pad *= 2
+    else:
+        nb_pad = -(-need // 8192) * 8192
+    S = nb_pad * B
+
+    a_sorted = assign[order]
+    src_starts = np.zeros(nlist + 1, np.int64)
+    np.cumsum(sizes, out=src_starts[1:])
+    rank = np.arange(n, dtype=np.int64) - src_starts[a_sorted]
+    slot = starts_blocks[a_sorted] * B + rank
+
+    src_flat = np.full(S, -1, np.int32)         # -1 = padding slot
+    src_flat[slot] = order.astype(np.int32)
+    ids = np.full(S, -1, np.int32)
+    ids[slot] = xids[order]
+
+    data, norms = _gather_pack_rows(rows_dev, jnp.asarray(src_flat), B)
+
+    empty = nblocks_per_list == 0
+    starts_blocks[empty] = nb_pad - 1           # a padded all-(-1) block
+
+    pil = PackedInvLists(
+        data=data,
+        ids=jnp.asarray(ids.reshape(nb_pad, B)),
+        norms=norms,
+        list_block_start=jnp.asarray(starts_blocks, dtype=jnp.int32),
+        list_nblocks=jnp.asarray(nblocks_per_list, dtype=jnp.int32),
+    )
+    pil._max_nblocks = max(int(nblocks_per_list.max(initial=0)), 1)
+    return pil
+
+
 def _compact_block_table(probes, list_block_start, list_nblocks,
                          max_nblocks: int, NB):
     """Per-query compacted block id table.

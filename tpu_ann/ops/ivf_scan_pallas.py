@@ -527,3 +527,345 @@ def scan_invlists_fused(
     if similarity:
         out_d = -out_d                 # back to user-facing (descending)
     return out_d, out_i, ndis
+
+
+# ---------------------------------------------------------------------------
+# 2-D grid schedule: (pair-tile, chunk) both in the Pallas grid, Mosaic
+# auto-pipelines the chunk block DMA (the schedule that won the flat
+# kernel its best occupancy). The manual-DMA kernel above keeps the
+# general case (unbounded per-tile chunk counts); this one trades a
+# static per-tile chunk bound `maxc` for deeper, compiler-managed
+# pipelining — multiple chunk fetches in flight across grid steps, so
+# the ~99% idle HBM the round-3 analysis measured gets used.
+# ---------------------------------------------------------------------------
+
+def _grid2d_kernel(
+    tile_c0_ref,       # (ntiles,) int32: tile's first CB-aligned chunk
+    qv_ref,            # (1, PT, dp) bf16
+    qn_ref,            # (1, PT, 1) f32
+    ps_ref,            # (1, PT, 1) int32 pair list-start (block units)
+    pe_ref,            # (1, PT, 1) int32 pair list-end
+    data_ref,          # (1, CB, B, dp) bf16 — auto-fetched chunk
+    ids_ref,           # (1, CB, B) int32
+    norms_ref,         # (1, CB, B) f32
+    outd_ref,          # (1, kp, PT) f32
+    outp_ref,          # (1, kp, PT) int32
+    rv,                # (PT, RW) f32 scratch reservoir values
+    rp,                # (PT, RW) int32 scratch reservoir positions
+    *,
+    kp: int,
+    CB: int,
+    B: int,
+    RW: int,
+    similarity: bool,
+):
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+    t = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        rv[:] = jnp.full(rv.shape, jnp.inf, jnp.float32)
+        rp[:] = jnp.full(rp.shape, -1, jnp.int32)
+
+    qv = qv_ref[0]
+    qn = qn_ref[0]
+    pstart = ps_ref[0]
+    pend = pe_ref[0]
+    chunk = data_ref[0]
+    if chunk.dtype != jnp.bfloat16:
+        chunk = (chunk.astype(jnp.int32).astype(jnp.float32)
+                 .astype(jnp.bfloat16))
+    chunk = chunk.reshape(CB * B, qv.shape[1])
+    vids = ids_ref[0].reshape(1, CB * B)
+    vnorm = norms_ref[0].reshape(1, CB * B)
+    ip = jax.lax.dot_general(
+        qv, chunk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (PT, CB*B)
+    if similarity:
+        dis = -ip - qn
+    else:
+        dis = jnp.maximum(qn + vnorm - 2.0 * ip, 0.0)
+
+    # tile_c0 is in CB-chunk units (see wrapper); block index of lane 0
+    base_blk = (tile_c0_ref[t] + c) * CB
+    lane = lax.broadcasted_iota(jnp.int32, (1, CB * B), 1)
+    blk = base_blk + lane // B
+    ok = (blk >= pstart) & (blk < pend) & (vids >= 0)
+    dis = jnp.where(ok, dis, jnp.inf)
+    pos = jnp.broadcast_to(base_blk * B + lane, dis.shape)
+
+    av, ap = rv[:], rp[:]
+    for g in range(CB * B // RW):
+        sub = dis[:, g * RW:(g + 1) * RW]
+        sp = pos[:, g * RW:(g + 1) * RW]
+        upd = sub < av
+        av = jnp.where(upd, sub, av)
+        ap = jnp.where(upd, sp, ap)
+    rv[:] = av
+    rp[:] = ap
+
+    @pl.when(c == nc - 1)
+    def _():
+        # one kp-round min-extraction per tile
+        lanes = lax.broadcasted_iota(jnp.int32, (av.shape[0], RW), 1)
+        cd, ci = rv[:], rp[:]
+        nd, npos = [], []
+        for _ in range(kp):
+            val = jnp.min(cd, axis=1, keepdims=True)
+            sel = jnp.argmin(cd, axis=1)
+            onehot = lanes == sel[:, None]
+            pv = jnp.sum(jnp.where(onehot, ci, 0), axis=1)
+            nd.append(val[:, 0])
+            npos.append(pv)
+            cd = jnp.where(onehot, jnp.inf, cd)
+        bd = jnp.stack(nd, axis=1)
+        bp = jnp.stack(npos, axis=1)
+        outd_ref[0] = bd.T
+        outp_ref[0] = jnp.where(jnp.isinf(bd), -1, bp).T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "PT", "CB", "refine", "kp", "RW",
+                     "maxc", "interpret"),
+)
+def scan_invlists_fused_grid(
+    xq: jnp.ndarray,
+    probes: jnp.ndarray,
+    invlists,
+    k: int,
+    metric: int = D.METRIC_L2,
+    *,
+    maxc: int,
+    PT: int = 128,
+    CB: int = 8,
+    refine: int = 4,
+    kp: int = 0,
+    RW: int = 512,
+    interpret: bool = False,
+):
+    """2-D grid fused scan (see header above). `maxc` is the STATIC
+    per-tile chunk bound: every tile runs maxc chunk steps with ranges
+    masked to its own lists — callers compute it from the probe config
+    (`grid2d_maxc`) and it recompiles only when it changes. Same
+    returns as `scan_invlists_fused`."""
+    nq, d = xq.shape
+    dp = -(-d // 128) * 128
+    nprobe = probes.shape[1]
+    B = invlists.block_size
+    if B % 128 and not interpret:
+        raise ValueError("fused scan requires block_size % 128 == 0")
+    NB = invlists.nblocks
+    nlist = invlists.nlist
+    similarity = D.is_similarity_metric(metric)
+    xq = xq.astype(jnp.float32)
+    kp = int(kp) if kp else max(k, min(2 * k, k + 6))
+    RW = min(int(RW), CB * B)
+    step = 1 if interpret else 128
+    RW = (RW // step) * step
+    while RW > 0 and (CB * B) % RW:
+        RW -= step
+    npairs = nq * nprobe
+
+    sq_bias = getattr(invlists, "sq_bias", None)
+    is_sq8 = sq_bias is not None
+    if is_sq8:
+        sq_scale = invlists.sq_scale
+        qconst = xq @ sq_bias
+
+    nblk = invlists.list_nblocks
+    sstart = jnp.cumsum(nblk) - nblk
+
+    l_flat = probes.reshape(npairs).astype(jnp.int32)
+    order = jnp.argsort(l_flat)
+    ls = l_flat[order]
+    pq_idx = order // nprobe
+    valid_pair = ls >= 0
+    ls_safe = jnp.where(valid_pair, ls, 0)
+    p_start = jnp.where(valid_pair, sstart[ls_safe], 0)
+    p_nb = jnp.where(valid_pair, nblk[ls_safe], 0)
+    p_end = p_start + p_nb
+
+    ntiles = -(-npairs // PT)
+    pad = ntiles * PT - npairs
+    if pad:
+        p_start = jnp.pad(p_start, (0, pad))
+        p_end = jnp.pad(p_end, (0, pad))
+        pq_idx = jnp.pad(pq_idx, (0, pad))
+
+    qv = xq[pq_idx]
+    if is_sq8:
+        qv_eff = qv * sq_scale[None, :]
+        if similarity:
+            qn = qconst[pq_idx][:, None]
+        else:
+            qn = (jnp.sum(qv * qv, axis=1, keepdims=True)
+                  - 2.0 * qconst[pq_idx][:, None])
+        qv = qv_eff
+    elif similarity:
+        qn = jnp.zeros((qv.shape[0], 1), jnp.float32)
+    else:
+        qn = jnp.sum(qv * qv, axis=1, keepdims=True)
+
+    ps_t = p_start.reshape(ntiles, PT, 1).astype(jnp.int32)
+    pe_t = p_end.reshape(ntiles, PT, 1).astype(jnp.int32)
+    if dp != d:
+        qv = jnp.pad(qv, ((0, 0), (0, dp - d)))
+    qv_t = qv.astype(jnp.bfloat16).reshape(ntiles, PT, dp)
+    qn_t = qn.reshape(ntiles, PT, 1)
+
+    ps2 = ps_t[:, :, 0]
+    pe2 = pe_t[:, :, 0]
+    width = pe2 - ps2
+    tile_bs = jnp.min(jnp.where(width > 0, ps2, NB), axis=1)
+    tile_be = jnp.max(jnp.where(width > 0, pe2, 0), axis=1)
+    tile_bs = jnp.minimum(tile_bs, tile_be)
+    # CB-aligned chunk start; ranges the static maxc cannot cover are
+    # TRUNCATED from the far end (the max_codes budget semantics) —
+    # callers size maxc so this truncates only pathological skew
+    tile_c0 = (tile_bs // CB).astype(jnp.int32)
+
+    ndis = jnp.sum(jnp.where(l_flat >= 0,
+                             nblk[jnp.maximum(l_flat, 0)], 0)) * B
+
+    # pad the stream so index maxc*CB past any tile start stays in bounds
+    data_f32 = invlists.data
+    pad_blocks = maxc * CB + CB
+    if is_sq8:
+        data = jnp.pad(data_f32, ((0, pad_blocks), (0, 0), (0, dp - d)))
+    else:
+        data = jnp.pad(data_f32.astype(jnp.bfloat16),
+                       ((0, pad_blocks), (0, 0), (0, dp - d)))
+    ids = jnp.pad(invlists.ids, ((0, pad_blocks), (0, 0)),
+                  constant_values=-1)
+    norms = jnp.pad(invlists.norms, ((0, pad_blocks), (0, 0)))
+    # view in CB-chunk granularity for the BlockSpec
+    ncb = data.shape[0] // CB
+    data = data[:ncb * CB].reshape(ncb, CB, B, dp)
+    ids_r = ids[:ncb * CB].reshape(ncb, CB, B)
+    norms_r = norms[:ncb * CB].reshape(ncb, CB, B)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles, maxc),
+        in_specs=[
+            pl.BlockSpec((1, PT, dp), lambda t, c, c0: (t, 0, 0)),
+            pl.BlockSpec((1, PT, 1), lambda t, c, c0: (t, 0, 0)),
+            pl.BlockSpec((1, PT, 1), lambda t, c, c0: (t, 0, 0)),
+            pl.BlockSpec((1, PT, 1), lambda t, c, c0: (t, 0, 0)),
+            pl.BlockSpec((1, CB, B, dp),
+                         lambda t, c, c0: (c0[t] + c, 0, 0, 0)),
+            pl.BlockSpec((1, CB, B),
+                         lambda t, c, c0: (c0[t] + c, 0, 0)),
+            pl.BlockSpec((1, CB, B),
+                         lambda t, c, c0: (c0[t] + c, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kp, PT), lambda t, c, c0: (t, 0, 0)),
+            pl.BlockSpec((1, kp, PT), lambda t, c, c0: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PT, RW), jnp.float32),
+            pltpu.VMEM((PT, RW), jnp.int32),
+        ],
+    )
+
+    kern = functools.partial(
+        _grid2d_kernel, kp=kp, CB=CB, B=B, RW=RW, similarity=similarity)
+
+    outd, outp = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ntiles, kp, PT), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles, kp, PT), jnp.int32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tile_c0, qv_t, qn_t, ps_t, pe_t, data, ids_r, norms_r)
+
+    outd = outd.transpose(0, 2, 1).reshape(ntiles * PT, kp)
+    outp = outp.transpose(0, 2, 1).reshape(ntiles * PT, kp)
+    inv = jnp.argsort(order)
+    pair_d = outd[inv].reshape(nq, nprobe * kp)
+    pair_p = outp[inv].reshape(nq, nprobe * kp)
+
+    ids_flat = invlists.ids.reshape(-1)
+    if refine and refine > 1:
+        R = max(min(refine * k, nprobe * kp), min(k, nprobe * kp))
+        nv, sel = lax.top_k(-pair_d, R)
+        cand_p = jnp.take_along_axis(pair_p, sel, axis=1)
+        safe_p = jnp.maximum(cand_p, 0)
+        rows = data_f32.reshape(-1, d)[safe_p]
+        if is_sq8:
+            rows = (rows.astype(jnp.float32) * sq_scale[None, None, :]
+                    + sq_bias[None, None, :])
+        ipx = jnp.einsum("qd,qrd->qr", xq, rows,
+                         preferred_element_type=jnp.float32)
+        if similarity:
+            dis = -ipx
+        else:
+            rn = invlists.norms.reshape(-1)[safe_p]
+            qn2 = jnp.sum(xq * xq, axis=1, keepdims=True)
+            dis = jnp.maximum(qn2 + rn - 2.0 * ipx, 0.0)
+        dis = jnp.where(cand_p >= 0, dis, jnp.inf)
+        kk = min(k, dis.shape[1])
+        nv2, sel2 = lax.top_k(-dis, kk)
+        out_d = -nv2
+        out_p = jnp.take_along_axis(cand_p, sel2, axis=1)
+    else:
+        kk = min(k, pair_d.shape[1])
+        nv, sel = lax.top_k(-pair_d, kk)
+        out_d = -nv
+        out_p = jnp.take_along_axis(pair_p, sel, axis=1)
+    if kk < k:
+        out_d = jnp.pad(out_d, ((0, 0), (0, k - kk)),
+                        constant_values=jnp.inf)
+        out_p = jnp.pad(out_p, ((0, 0), (0, k - kk)),
+                        constant_values=-1)
+    out_i = jnp.where(out_p >= 0, ids_flat[jnp.maximum(out_p, 0)], -1)
+    out_d = jnp.where(out_p >= 0, out_d, jnp.inf)
+    if similarity:
+        out_d = -out_d
+    return out_d, out_i, ndis
+
+
+def grid2d_maxc(invlists, probes_np, PT: int = 128, CB: int = 8,
+                slack: int = 1) -> int:
+    """Static per-tile chunk bound for `scan_invlists_fused_grid`: the
+    max CB-chunk span over the pair tiles of THIS probe layout, host-
+    computed (cheap ints). Buckets to the next power of two so repeated
+    batches reuse one compile."""
+    probes_np = np.asarray(probes_np)
+    nblk = np.asarray(invlists.list_nblocks)
+    sstart = np.cumsum(nblk) - nblk
+    npairs = probes_np.size
+    l_flat = probes_np.reshape(-1).astype(np.int64)
+    order = np.argsort(l_flat, kind="stable")
+    ls = l_flat[order]
+    valid = ls >= 0
+    lss = np.where(valid, ls, 0)
+    p_start = np.where(valid, sstart[lss], 0)
+    p_end = p_start + np.where(valid, nblk[lss], 0)
+    ntiles = -(-npairs // PT)
+    pad = ntiles * PT - npairs
+    if pad:
+        p_start = np.pad(p_start, (0, pad))
+        p_end = np.pad(p_end, (0, pad))
+    ps = p_start.reshape(ntiles, PT)
+    pe = p_end.reshape(ntiles, PT)
+    w = pe - ps
+    bs = np.where(w > 0, ps, np.iinfo(np.int64).max).min(1)
+    be = np.where(w > 0, pe, 0).max(1)
+    bs = np.minimum(bs, be)
+    c0 = bs // CB
+    spans = np.maximum(be - c0 * CB, 0)
+    mc = int(-(-spans.max(initial=1) // CB)) + slack
+    p2 = 1
+    while p2 < mc:
+        p2 *= 2
+    return p2

@@ -1280,6 +1280,40 @@ def _load_nsg_coded(meta, arrays):
     return idx
 
 
+def _dump_ivf_paged(index):
+    # like faiss OnDiskInvertedLists: the index file stores the
+    # DIRECTORY of the block-stream memmaps, not the streams themselves
+    # (invlists/OnDiskInvertedLists.h filename member)
+    meta = {"tag": "IwPG", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "nlist": index.nlist,
+            "nprobe": index.nprobe, "block_size": index.block_size,
+            "path": index.path}
+    arrays = {}
+    if index.centroids is not None:
+        arrays["centroids"] = np.asarray(index.centroids, np.float32)
+    return meta, arrays
+
+
+def _load_ivf_paged(meta, arrays):
+    import jax.numpy as jnp
+
+    from ..models.ivf_paged import IndexIVFFlatPaged
+    from ..ops import ivf_scan_paged as PS
+
+    idx = IndexIVFFlatPaged(int(meta["d"]), int(meta["nlist"]),
+                            meta["path"], int(meta["metric"]),
+                            int(meta["block_size"]))
+    idx.nprobe = int(meta["nprobe"])
+    idx.ntotal = int(meta["ntotal"])
+    if "centroids" in arrays:
+        idx.centroids = np.asarray(arrays["centroids"])
+        idx._cent_dev = jnp.asarray(idx.centroids)
+        idx.is_trained = True
+    if os.path.exists(os.path.join(meta["path"], "paged_meta.json")):
+        idx.invlists = PS.open_paged_invlists(meta["path"])
+    return idx
+
+
 def _dump_nnd(index):
     meta = {"tag": "IxND", "d": index.d, "metric": index.metric_type,
             "ntotal": index.ntotal, "K": index.K,
@@ -1534,6 +1568,7 @@ _register("IndexRandom", "IxRn", _dump_random, _load_random)
 _register("IndexFlat1D", "IxF1", _dump_flat1d, _load_flat1d)
 _register("IndexNSGFlat", "IxNS", _dump_nsg, _load_nsg)
 _register("IndexNSGPQ", "IxNP", _dump_nsg_coded, _load_nsg_coded)
+_register("IndexIVFFlatPaged", "IwPG", _dump_ivf_paged, _load_ivf_paged)
 _register("IndexNSGSQ", "IxNQ", _dump_nsg_coded, _load_nsg_coded)
 _register("IndexNNDescentFlat", "IxND", _dump_nnd, _load_nnd)
 _register("IndexHNSW2Level", "IHN2", _dump_hnsw2level, _load_hnsw2level)
