@@ -58,10 +58,21 @@ for mode in ("auto", "quantizer"):
             np.asarray(Iv)
             best = min(best, time.time() - t0)
         r = recall(Iv)
+        # one stats-instrumented rep for the coarse/scan split (feeds
+        # the multi-chip projection cost model)
+        try:
+            _, _, st = idx.search_stats(xq, k)
+            split = dict(quant_us=float(st.quantization_us),
+                         scan_us=float(st.list_scan_us))
+        except Exception:  # noqa: BLE001
+            split = {}
         row = dict(mode=mode, nprobe=nprobe, recall=r,
-                   qps=nq / best, train_s=t_train, add_s=t_add)
+                   qps=nq / best, train_s=t_train, add_s=t_add, **split)
         rows.append(row)
         print(row, flush=True)
+        with open("/root/repo/benchs/r4/results_hybrid10m.json",
+                  "w") as f:
+            json.dump(rows, f, indent=1)
 with open("/root/repo/benchs/r4/results_hybrid10m.json", "w") as f:
     json.dump(rows, f, indent=1)
 print("DONE", flush=True)

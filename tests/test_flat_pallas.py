@@ -165,3 +165,48 @@ def test_tree_merge_matches_serial():
                 # same reservoir lane assignment -> identical candidates
                 np.testing.assert_array_equal(base[1], got[1])
                 np.testing.assert_allclose(base[0], got[0], rtol=1e-5)
+
+
+@pytest.mark.parametrize("metric",
+                         [D.METRIC_L2, D.METRIC_INNER_PRODUCT])
+@pytest.mark.parametrize("sched,unroll", [("grid", 1), ("fori", 1),
+                                          ("fori", 2)])
+def test_packed_merge_matches_serial(metric, sched, unroll):
+    """merge='packed' (single int32 reservoir: masked score bits +
+    group index, one `min` per group) recovers the same candidates as
+    the serial two-array fold; refined distances are exact f32."""
+    rng = np.random.RandomState(5)
+    nb, d, nq, k = 6000, 64, 150, 10
+    xb = rng.randn(nb, d).astype(np.float32)
+    xq = rng.randn(nq, d).astype(np.float32)
+    kw = dict(Q=128, R=1024, W=256, refine=4, interpret=True)
+    D0, I0 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), k, metric,
+                            merge="serial", **kw)
+    D1, I1 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), k, metric,
+                            merge="packed", schedule=sched,
+                            unroll=unroll, **kw)
+    I0, I1 = np.asarray(I0), np.asarray(I1)
+    D0, D1 = np.asarray(D0), np.asarray(D1)
+    # packed truncates score mantissas to 7 bits in the reservoir, so
+    # near-tie lane winners can differ from the serial fold; the exact
+    # refine re-rank keeps the final sets near-identical
+    overlap = np.mean([
+        len(set(I1[q]) & set(I0[q])) / k for q in range(nq)])
+    assert overlap >= 0.97, overlap
+    for q in range(nq):
+        m0 = {i: v for i, v in zip(I0[q], D0[q])}
+        m1 = {i: v for i, v in zip(I1[q], D1[q])}
+        for i in set(I1[q]) & set(I0[q]):
+            np.testing.assert_allclose(m1[i], m0[i], rtol=1e-5,
+                                       atol=1e-5)
+
+
+def test_packed_merge_valid_n():
+    """+inf bias rows (valid_n) can never win a packed lane."""
+    rng = np.random.RandomState(6)
+    xb = rng.randn(3000, 32).astype(np.float32)
+    xq = rng.randn(64, 32).astype(np.float32)
+    _, I1 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), 10,
+                           valid_n=2500, merge="packed", Q=64, R=512,
+                           W=256, refine=4, interpret=True)
+    assert np.asarray(I1).max() < 2500

@@ -280,6 +280,111 @@ def _flat_kernel(
     merge_from_scratch((nchunks - 1) * R)
 
 
+# plain Python ints: jnp scalars here would be captured as pallas_call
+# constants (Mosaic rejects implicit captures)
+_PACKED_INIT = 0x7FFFFFFF
+_HI_MASK = -65536                     # 0xFFFF0000
+
+
+def _merge_groups_packed(bits, acc, g_base, W):
+    """Packed lane-min fold: ONE int32 accumulator per lane holding
+    (score bits & 0xFFFF0000) | group_index.  Scores are pre-shifted to
+    be non-negative (bias += C outside the kernel), so the IEEE-754 bit
+    pattern of the f32 score is monotone as an int32 and a single
+    `min` merges value and provenance at once: 3 VPU ops per score
+    (mask, +group, min) vs the 4 of `_merge_groups`, and a 1-op (vs
+    3-op) serialized dependence chain through the accumulator.  The
+    group index (global, < nb/W, 16 bits) recovers the row as
+    g * W + lane after the kernel; the masked-off mantissa bits are
+    bf16-grade truncation, absorbed by the exact refine pass."""
+    R = bits.shape[1]
+    for g in range(R // W):
+        sub = bits[:, g * W:(g + 1) * W]
+        packed = (sub & _HI_MASK) + (g_base + g)
+        acc = jnp.minimum(acc, packed)
+    return acc
+
+
+def _flat_kernel_grid_packed(qv_ref, bias_ref, data_ref, out_ref,
+                             *, R: int, W: int):
+    """schedule='grid', merge='packed': single int32 reservoir."""
+    c = pl.program_id(1)
+    qv = qv_ref[0][:]
+    Q = qv.shape[0]
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[0] = jnp.full((Q, W), _PACKED_INIT, jnp.int32)
+
+    ip = lax.dot_general(
+        qv, data_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    bits = lax.bitcast_convert_type(bias_ref[0] + ip, jnp.int32)
+    out_ref[0] = _merge_groups_packed(
+        bits, out_ref[0][:], c * (R // W), W)
+
+
+def _flat_kernel_packed(
+    qv_ref, data_hbm, bias_hbm, out_ref, dbuf, bbuf, sems,
+    *, R: int, W: int, U: int, nchunks: int,
+):
+    """schedule='fori', merge='packed': manual double-buffered DMA with
+    U independent packed accumulators (U>1 removes the merge->merge
+    dependence between in-iteration chunks, as in the unrolled f32
+    kernel)."""
+    Q = qv_ref.shape[0]
+    niter = nchunks // U
+    Gc = R // W
+
+    def start_dma(c, slot):
+        pltpu.make_async_copy(
+            data_hbm.at[c], dbuf.at[slot], sems.at[slot, 0]).start()
+        pltpu.make_async_copy(
+            bias_hbm.at[c], bbuf.at[slot], sems.at[slot, 1]).start()
+
+    def wait_dma(c, slot):
+        pltpu.make_async_copy(
+            data_hbm.at[c], dbuf.at[slot], sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            bias_hbm.at[c], bbuf.at[slot], sems.at[slot, 1]).wait()
+
+    for j in range(U):
+        start_dma(j, j)
+    qv = qv_ref[:]
+    init = tuple(jnp.full((Q, W), _PACKED_INIT, jnp.int32)
+                 for _ in range(U))
+
+    def iter_body(i, accs):
+        nxt = (lax.rem(i, 2) ^ 1) * U
+        half = lax.rem(i, 2) * U
+
+        @pl.when(i + 1 < niter)
+        def _():
+            for j in range(U):
+                start_dma((i + 1) * U + j, nxt + j)
+
+        out = []
+        for j in range(U):
+            slot = half + j
+            c = i * U + j
+            wait_dma(c, slot)
+            ip = lax.dot_general(
+                qv, dbuf[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            bits = lax.bitcast_convert_type(bbuf[slot] + ip, jnp.int32)
+            out.append(_merge_groups_packed(bits, accs[j], c * Gc, W))
+        return tuple(out)
+
+    accs = lax.fori_loop(0, niter, iter_body, init)
+    acc = accs[0]
+    for j in range(1, U):
+        acc = jnp.minimum(acc, accs[j])
+    out_ref[:] = acc
+
+
 def _flat_kernel_grid(qv_ref, bias_ref, data_ref, outv_ref, outp_ref,
                       *, R: int, W: int, merge_fn=_merge_groups):
     """schedule='grid': one grid step per (query tile, DB chunk); Pallas
@@ -355,7 +460,7 @@ def flat_knn_fused(
     nq, d = xq.shape
     nb = xb.shape[0]
     assert R % W == 0 and W % 128 == 0 and k <= W
-    assert merge in ("serial", "tree"), merge
+    assert merge in ("serial", "tree", "packed"), merge
     merge_fn = _merge_groups_tree if merge == "tree" else _merge_groups
     dp = -(-d // 128) * 128
     similarity = D.is_similarity_metric(metric)
@@ -374,6 +479,19 @@ def flat_knn_fused(
                          bias, jnp.inf)
     if id_mask is not None:
         bias = jnp.where(id_mask != 0, bias, jnp.inf)
+
+    pack_C = None
+    if merge == "packed":
+        # shift scores non-negative so their f32 bit pattern is monotone
+        # as int32 (see _merge_groups_packed); C is a per-batch scalar,
+        # constant per query, so ordering is unchanged
+        qn_max = jnp.max(jnp.sum(xq * xq, axis=1))
+        if similarity:
+            xn = jnp.sum(xb.astype(jnp.float32) ** 2, axis=1)
+            pack_C = jnp.sqrt(qn_max) * jnp.sqrt(jnp.max(xn)) + 1.0
+        else:
+            pack_C = qn_max + 1.0
+        bias = bias + pack_C
 
     nchunks = max(-(-nb // R), 1)
     if schedule == "fori" and unroll > 1:
@@ -410,7 +528,72 @@ def flat_knn_fused(
                    128 << 20)
         return pltpu.CompilerParams(vmem_limit_bytes=max(need, 32 << 20))
 
-    if schedule == "grid":
+    if merge == "packed":
+        n_groups = nchunks * (R // W)
+        assert n_groups <= 65536, (
+            f"merge='packed' holds the group index in 16 bits: nb must "
+            f"be <= 65536*W rows ({n_groups} groups at R={R}, W={W})")
+        out_shape_p = jax.ShapeDtypeStruct((ntiles, Q, W), jnp.int32)
+        if schedule == "grid":
+            acc = pl.pallas_call(
+                functools.partial(_flat_kernel_grid_packed, R=R, W=W),
+                grid=(ntiles, nchunks),
+                in_specs=[
+                    pl.BlockSpec((1, Q, dp), lambda t, c: (t, 0, 0)),
+                    pl.BlockSpec((1, 1, R), lambda t, c: (c, 0, 0)),
+                    pl.BlockSpec((1, R, dp), lambda t, c: (c, 0, 0)),
+                ],
+                out_specs=[pl.BlockSpec((1, Q, W), lambda t, c: (t, 0, 0))],
+                out_shape=[out_shape_p],
+                compiler_params=None if interpret else pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary"),
+                    vmem_limit_bytes=_params(
+                        2 * (R * dp * 2 + R * 4)).vmem_limit_bytes,
+                ),
+                interpret=interpret,
+            )(qv_t, bias_p, data)[0]
+        else:
+            assert schedule == "fori", "merge='packed': grid/fori only"
+            U = max(unroll, 1)
+            nslots = 2 * U
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(ntiles,),
+                in_specs=[
+                    pl.BlockSpec((1, Q, dp), lambda t: (t, 0, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=[pl.BlockSpec((1, Q, W), lambda t: (t, 0, 0))],
+                scratch_shapes=[
+                    pltpu.VMEM((nslots, R, dp), jnp.bfloat16),
+                    pltpu.VMEM((nslots, 1, R), jnp.float32),
+                    pltpu.SemaphoreType.DMA((nslots, 2)),
+                ],
+            )
+
+            def kern_p(qv_ref, data_h, bias_h, out_ref, dbuf, bbuf, sems):
+                _flat_kernel_packed(
+                    qv_ref[0], data_h, bias_h, out_ref.at[0],
+                    dbuf, bbuf, sems, R=R, W=W, U=U, nchunks=nchunks)
+
+            acc = pl.pallas_call(
+                kern_p,
+                grid_spec=grid_spec,
+                out_shape=[out_shape_p],
+                compiler_params=_params(nslots * R * dp * 2
+                                        + nslots * R * 4),
+                interpret=interpret,
+            )(qv_t, data, bias_p)[0]
+
+        acc = acc.reshape(ntiles * Q, W)[:nq]
+        val = lax.bitcast_convert_type(acc & _HI_MASK, jnp.float32)
+        lanev = jnp.arange(W, dtype=jnp.int32)[None, :]
+        pos = (acc & jnp.int32(0xFFFF)) * W + lanev
+        alive = jnp.isfinite(val) & (acc != _PACKED_INIT)
+        resv = jnp.where(alive, val - pack_C, jnp.inf)
+        resp = jnp.where(alive, pos, -1)
+    elif schedule == "grid":
         outv, outp = pl.pallas_call(
             functools.partial(_flat_kernel_grid, R=R, W=W,
                               merge_fn=merge_fn),
@@ -488,8 +671,9 @@ def flat_knn_fused(
             interpret=interpret,
         )(qv_t, data, bias_p)
 
-    resv = outv.reshape(ntiles * Q, W)[:nq]
-    resp = outp.reshape(ntiles * Q, W)[:nq]
+    if merge != "packed":
+        resv = outv.reshape(ntiles * Q, W)[:nq]
+        resp = outp.reshape(ntiles * Q, W)[:nq]
 
     bad = D.worst_value(metric)
     if refine and refine > 1:
