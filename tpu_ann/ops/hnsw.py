@@ -724,20 +724,27 @@ def _knn_candidates(x: np.ndarray, C: int, metric: int, seed: int,
     # build-time budget: 6 Lloyd iterations on a 96/centroid subsample
     # and 6 probes are within ~0.1% recall of 8/128/8 at 1M (the
     # diversity prune downstream absorbs candidate noise)
+    # build-time budget: niter=6 is a cap; early_stop_tol cuts Lloyd
+    # short once the objective moves <0.5%/iter (the diversity prune
+    # downstream only needs assignment-quality clusters)
     cp = K.ClusteringParameters(niter=6, seed=seed, verbose=verbose,
-                                max_points_per_centroid=96)
+                                max_points_per_centroid=96,
+                                early_stop_tol=5e-3)
     centroids, _ = K.kmeans(x, nlist, params=cp, metric=metric)
     nprobe = 6
-    # one upload of x, reused for probing and as chunked scan queries —
-    # everything downstream stays on device (per-chunk H2D/D2H round
-    # trips dominated this phase through the remote tunnel: 133 s
-    # measured vs ~30 s of actual device work at 1M)
+    # one upload of x, reused for probing, the device-side invlist pack,
+    # and as chunked scan queries — everything downstream stays on
+    # device (per-chunk H2D/D2H round trips dominated this phase through
+    # the remote tunnel: 133 s measured vs ~30 s of actual device work
+    # at 1M; the host pack_invlists additionally permuted + re-uploaded
+    # the full (n, d) matrix)
     x_dev = jnp.asarray(x)
     _, probes_dev = D.knn(x_dev, jnp.asarray(centroids), nprobe, metric,
                           compute_dtype="bfloat16", approx=True)
     probes_dev = probes_dev.astype(jnp.int32)
     assign = np.asarray(probes_dev[:, 0]).astype(np.int64)
-    pil = IV.pack_invlists(x, np.arange(n, dtype=np.int64), assign, nlist)
+    pil = IV.pack_invlists_device(x_dev, np.arange(n, dtype=np.int64),
+                                  assign, nlist)
     chunk = 65536
     pend = []
     for i0 in range(0, n, chunk):

@@ -39,6 +39,12 @@ class ClusteringParameters:
     min_points_per_centroid: int = 39
     max_points_per_centroid: int = 256
     seed: int = 1234
+    # Stop Lloyd's early once the relative objective improvement drops
+    # below this (0 = run all niter iterations, the faiss behavior —
+    # Clustering.cpp has no early stop; this is a build-throughput knob
+    # for internal callers like the HNSW knn-candidates phase, which
+    # only needs assignment-quality clusters, not converged ones).
+    early_stop_tol: float = 0.0
 
 
 @dataclasses.dataclass
@@ -232,6 +238,14 @@ def kmeans(
                     f"  iter {it}: obj={st.obj:.4g} "
                     f"imbalance={st.imbalance_factor:.3f} nsplit={st.nsplit}"
                 )
+            if (cp.early_stop_tol > 0 and len(stats) >= 2
+                    and np.isfinite(stats[-2].obj) and stats[-2].obj != 0):
+                rel = abs(stats[-2].obj - obj) / abs(stats[-2].obj)
+                if rel < cp.early_stop_tol:
+                    if cp.verbose:
+                        print(f"  early stop at iter {it}: "
+                              f"rel improvement {rel:.2e}")
+                    break
         # inner-product / spherical objective is a summed similarity:
         # higher is better, so nredo keeps the max (Clustering.cpp keeps
         # min for L2, max for IP)
