@@ -1,4 +1,6 @@
 import time
+import sys
+sys.path.insert(0, '/root/repo')
 import numpy as np
 import jax, jax.numpy as jnp
 print(jax.devices(), flush=True)

@@ -1,6 +1,8 @@
 """Measure the device-pack add path at 1M and 10M (item 5 'done' bars:
 1M <= 10 s, Deep10M <= 300 s)."""
 import time
+import sys
+sys.path.insert(0, '/root/repo')
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -5,6 +5,8 @@ nprobe sweep + build profile."""
 import json
 import time
 
+import sys
+sys.path.insert(0, '/root/repo')
 import numpy as np
 import jax
 import jax.numpy as jnp
