@@ -27,6 +27,22 @@ x = np.concatenate([gen(2_000_000, 100 + i) for i in range(5)])
 xq = gen(nq, 999)
 print("gen done", flush=True)
 
+def headroom(tag, step_gb=1.0, max_gb=16.0):
+    """Rough free-HBM probe: bisect the largest single allocation that
+    still succeeds (diagnostic for the round-4 pack OOM)."""
+    lo, hi = 0.0, max_gb
+    while hi - lo > step_gb:
+        mid = (lo + hi) / 2
+        try:
+            a = jnp.zeros((int(mid * 1e9 / 4),), jnp.float32)
+            a.block_until_ready()
+            del a
+            lo = mid
+        except Exception:
+            hi = mid
+    print(f"[headroom] {tag}: ~{lo:.1f} GB allocatable", flush=True)
+
+
 # exact GT by streamed brute force
 t0 = time.time()
 xq_d = jnp.asarray(xq)
@@ -35,13 +51,17 @@ for i in range(0, n, 2_000_000):
     dv, iv = DD.knn(xq_d, jnp.asarray(x[i:i + 2_000_000]), k)
     bd, bi = merge_topk(bd, bi, dv, iv + i, k, similarity=False)
 gt = np.asarray(bi)
+del bd, bi, dv, iv
 print(f"GT {time.time()-t0:.0f}s", flush=True)
+headroom("after GT")
 
 idx = IndexIVFHNSW(d, nlist, M=32)
 t0 = time.time(); idx.train(x[:1_600_000]); t_train = time.time() - t0
 print(f"train (kmeans + HNSW quantizer build) {t_train:.1f}s", flush=True)
+headroom("after train")
 t0 = time.time(); idx.add(x); t_add = time.time() - t0
 print(f"add {t_add:.1f}s", flush=True)
+headroom("after add")
 
 def recall(I):
     return float(np.mean([len(set(np.asarray(I)[q]) & set(gt[q])) / k

@@ -335,20 +335,25 @@ class IndexIVF(Index):
             and all(c is not None for c in self._xdev_chunks)
         )
         if use_dev:
-            import jax.numpy as _jnp
-
-            rows_dev = (self._xdev_chunks[0]
-                        if len(self._xdev_chunks) == 1 else
-                        _jnp.concatenate(self._xdev_chunks, axis=0))
-            self.invlists = ivf_scan.pack_invlists_device(
-                rows_dev, rows, assign, self.nlist, self.block_size)
-            del rows_dev
-            # mirrors above the HBM budget are dropped once packed (a
-            # later chunked add re-uploads; one-shot big adds — the case
-            # that matters at 10M+ — never pay the double residency)
+            # the chunk list goes straight to the pack (per-chunk masked
+            # gathers) — concatenating mirrors would double peak HBM.
+            # Mirrors above the HBM budget are handed over: the pack
+            # frees them the moment the gathers are done, BEFORE the
+            # packed buffer is materialized (a later chunked add
+            # re-uploads; one-shot big adds — the case that matters at
+            # 10M+ — never pay the double residency)
+            release = None
             if (sum(c.nbytes for c in self._xdev_chunks)
                     > self.dev_mirror_budget):
-                self._xdev_chunks = [None] * len(self._xdev_chunks)
+                mirrors = self._xdev_chunks
+
+                def release():
+                    for j in range(len(mirrors)):
+                        mirrors[j] = None
+
+            self.invlists = ivf_scan.pack_invlists_device(
+                list(self._xdev_chunks), rows, assign, self.nlist,
+                self.block_size, release=release)
         else:
             x = np.concatenate(self._xb_host, axis=0)
             self.invlists = self._pack(x, rows, assign)

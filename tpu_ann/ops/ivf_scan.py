@@ -152,21 +152,64 @@ def pack_invlists(
     return pil
 
 
-@functools.partial(jax.jit, static_argnames=("B",))
-def _gather_pack_rows(rows_dev, src_flat, B: int):
-    """(S,) slot->source-row gather + per-slot norms, on device.
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _gather_from_chunk(rows_acc, chunk, src_blk, r0):
+    """Fill the slots of one block range whose source rows live in
+    ``chunk`` (global rows [r0, r0+len(chunk))); other slots keep their
+    accumulated value. src_blk < 0 marks padding slots (never valid)."""
+    local = src_blk - r0
+    nloc = chunk.shape[0]
+    valid = (src_blk >= 0) & (local >= 0) & (local < nloc)
+    got = chunk[jnp.clip(local, 0, max(nloc - 1, 0))].astype(jnp.float32)
+    return jnp.where(valid[..., None], got, rows_acc)
 
-    src_flat < 0 marks padding slots: the gather clamps to row 0 and a
-    mask zeroes the result (XLA fuses the select into the gather's
-    consumer — no extra (N, d) copy, unlike appending a zero row).
-    Returns data (S/B, B, d) f32 and norms (S/B, B) f32."""
-    d = rows_dev.shape[1]
-    valid = (src_flat >= 0)[:, None]
-    data = rows_dev[jnp.maximum(src_flat, 0)].astype(jnp.float32)
-    data = jnp.where(valid, data, 0.0)              # (S, d)
-    norms = jnp.sum(data * data, axis=1)
-    return (data.reshape(-1, B, d),
-            norms.reshape(-1, B).astype(jnp.float32))
+
+def _gather_pack_blocks(chunks, src_flat_2d: np.ndarray, d: int,
+                        release=None):
+    """Device-side block-layout realization with bounded peak HBM.
+
+    Instead of one (S, d) gather — which makes XLA hold source mirror,
+    gather result AND the select output at once (the measured OOM at
+    10M x 96 on a 16 GB chip) — the slot space is walked in block
+    ranges of <= _PACK_RANGE_BLOCKS: each range gathers from every
+    source chunk in turn into its own accumulator. The source mirrors
+    are droppable the moment the last range is gathered (``release``,
+    plus the local refs), BEFORE the final concatenate materializes the
+    full packed buffer — so peak residency is
+    max(mirrors + ranges, 2 x packed) rather than the old
+    mirrors + 2-3 x packed. No buffer donation is assumed (the remote
+    TPU platform ignores input-output aliasing). The multi-chunk walk
+    also replaces the old jnp.concatenate over mirrors (a second
+    full-size source copy) with per-chunk masked gathers.
+    """
+    nb_pad, B = src_flat_2d.shape
+    cb = min(nb_pad, _PACK_RANGE_BLOCKS)
+    # bucketing guarantees divisibility (pow2 below the range size,
+    # multiples of it above) — one compiled shape per bucket
+    assert nb_pad % cb == 0, (nb_pad, cb)
+    r0s = np.zeros(len(chunks), np.int64)
+    np.cumsum([c.shape[0] for c in chunks[:-1]], out=r0s[1:])
+    accs = []
+    for b0 in range(0, nb_pad, cb):
+        src_blk = jnp.asarray(src_flat_2d[b0:b0 + cb])
+        acc = jnp.zeros((cb, B, d), jnp.float32)
+        for c, r0 in zip(chunks, r0s):
+            acc = _gather_from_chunk(acc, c, src_blk, jnp.int32(r0))
+        accs.append(acc)
+    chunks.clear()
+    if release is not None:
+        release()
+    norms = [jnp.sum(a * a, axis=-1) for a in accs]
+    data = accs[0] if len(accs) == 1 else jnp.concatenate(accs)
+    del accs, acc
+    norms = norms[0] if len(norms) == 1 else jnp.concatenate(norms)
+    return data, norms
+
+
+# block-range granularity of the chunked pack: 8192 blocks = 1M rows at
+# B=128 (384 MB at d=96) — large enough to amortize dispatch, small
+# enough that two in-flight ranges cost < 1 GB
+_PACK_RANGE_BLOCKS = 8192
 
 
 def pack_invlists_device(
@@ -175,6 +218,7 @@ def pack_invlists_device(
     assign: np.ndarray,
     nlist: int,
     block_size: int = 128,
+    release=None,
 ) -> PackedInvLists:
     """Device-side packed-invlists build: the block layout is realized as
     ONE inverse-permutation gather over rows already in HBM, so adding
@@ -185,11 +229,18 @@ def pack_invlists_device(
     process). Host work is ONLY the O(n) integer counting sort that
     yields the slot->row permutation.
 
-    rows_dev: (n, d) f32 device array, row order = xids order.
+    rows_dev: (n, d) f32 device array — or a list of (n_j, d) device
+    chunks concatenated logically (row order = xids order either way;
+    a list avoids the full-size concatenate copy at repack time).
     Shapes are pow2-bucketed (slot count up, via extra dummy blocks) so
     repeated chunked adds reuse a handful of compiled gathers.
     """
-    n, d = rows_dev.shape
+    all_chunks = (list(rows_dev) if isinstance(rows_dev, (list, tuple))
+                  else [rows_dev])
+    d = all_chunks[0].shape[1]
+    chunks = [c for c in all_chunks if c.shape[0]]
+    n = sum(c.shape[0] for c in chunks)
+    del all_chunks, rows_dev       # _gather_pack_blocks owns the refs now
     xids = np.asarray(xids, np.int32)
     assign = np.asarray(assign, np.int64)
     if n and (assign.min() < 0 or assign.max() >= nlist):
@@ -228,7 +279,8 @@ def pack_invlists_device(
     ids = np.full(S, -1, np.int32)
     ids[slot] = xids[order]
 
-    data, norms = _gather_pack_rows(rows_dev, jnp.asarray(src_flat), B)
+    data, norms = _gather_pack_blocks(chunks, src_flat.reshape(nb_pad, B), d,
+                                      release=release)
 
     empty = nblocks_per_list == 0
     starts_blocks[empty] = nb_pad - 1           # a padded all-(-1) block
