@@ -35,6 +35,33 @@ def test_flat_fused_matches_exact(metric):
             np.testing.assert_allclose(m1[i], m0[i], rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("refine", [0, 4])
+def test_flat_fused_approx_select(refine):
+    """sel='approx' (lax.approx_max_k reservoir selection) keeps
+    near-exact overlap with the full-sort epilogue; under refine the
+    surviving candidates carry exact f32 distances."""
+    rng = np.random.RandomState(31)
+    nb, d, nq, k = 5000, 48, 200, 10
+    xb = rng.randn(nb, d).astype(np.float32)
+    xq = rng.randn(nq, d).astype(np.float32)
+    D0, I0 = D.knn(jnp.asarray(xq), jnp.asarray(xb), k, D.METRIC_L2)
+    D1, I1 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), k,
+                            D.METRIC_L2, Q=128, R=1024, W=512,
+                            refine=refine, sel="approx", interpret=True)
+    I0, I1 = np.asarray(I0), np.asarray(I1)
+    overlap = np.mean([
+        len(set(I1[q]) & set(I0[q])) / k for q in range(nq)])
+    assert overlap >= 0.95, overlap
+    if refine:
+        D0, D1 = np.asarray(D0), np.asarray(D1)
+        for q in range(nq):
+            m0 = {i: v for i, v in zip(I0[q], D0[q])}
+            m1 = {i: v for i, v in zip(I1[q], D1[q])}
+            for i in set(I1[q]) & set(I0[q]):
+                np.testing.assert_allclose(m1[i], m0[i],
+                                           rtol=1e-4, atol=1e-3)
+
+
 @pytest.mark.parametrize("schedule", ["grid", "pipe"])
 def test_flat_fused_schedules_match_fori(schedule):
     """All chunk-loop schedules produce identical reservoirs."""

@@ -414,7 +414,7 @@ def _flat_kernel_grid(qv_ref, bias_ref, data_ref, outv_ref, outp_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "Q", "R", "W", "refine", "schedule",
-                     "unroll", "merge", "interpret"),
+                     "unroll", "merge", "sel", "interpret"),
 )
 def flat_knn_fused(
     xq: jnp.ndarray,
@@ -432,6 +432,7 @@ def flat_knn_fused(
     schedule: str = "fori",
     unroll: int = 1,
     merge: str = "serial",
+    sel: str = "exact",
     interpret: bool = False,
 ):
     """Fused brute-force k-NN (see module docstring).
@@ -454,6 +455,10 @@ def flat_knn_fused(
         2U DMA slots and U independent lane-min accumulators (merged
         after the loop), amortizing loop/DMA-issue overhead U× and
         removing the merge→merge dependence between in-iteration chunks.
+      sel: post-kernel reservoir→candidate selection — 'exact'
+        (lax.top_k full sort over the W lanes) or 'approx'
+        (lax.approx_max_k partial-reduce; recall-neutral under refine
+        since the refine pass re-ranks exactly).
     Returns (D, I): (nq, k) — L2 ascending distances / IP descending
       similarities, int32 ids (-1 for invalid).
     """
@@ -676,10 +681,22 @@ def flat_knn_fused(
         resp = outp.reshape(ntiles * Q, W)[:nq]
 
     bad = D.worst_value(metric)
+    assert sel in ("exact", "approx"), sel
+
+    def _select(neg_scores, kk_):
+        # reservoir -> candidate selection. 'approx' uses the TPU-native
+        # partial-reduce select (lax.approx_max_k): the reservoir is
+        # already approximate (lane-min collisions) and the refine pass
+        # re-ranks exactly, so a 0.95-recall select over W lanes is
+        # recall-neutral in practice while skipping the full sort network
+        if sel == "approx" and kk_ < neg_scores.shape[1]:
+            return lax.approx_max_k(neg_scores, kk_)
+        return lax.top_k(neg_scores, kk_)
+
     if refine and refine > 1:
         Rk = min(refine * k, W)
-        nv, sel = lax.top_k(-resv, Rk)
-        cand = jnp.take_along_axis(resp, sel, axis=1)        # (nq, Rk)
+        nv, sidx = _select(-resv, Rk)
+        cand = jnp.take_along_axis(resp, sidx, axis=1)       # (nq, Rk)
         ok = (cand >= 0) & jnp.isfinite(-nv)
         safe = jnp.maximum(cand, 0)
         vecs = xb[safe].astype(jnp.float32)                  # (nq, Rk, d)
@@ -699,12 +716,12 @@ def flat_knn_fused(
         out_i = jnp.take_along_axis(cand, sel2, axis=1)
     else:
         kk = min(k, W)
-        nv, sel = lax.top_k(-resv, kk)
+        nv, sidx = _select(-resv, kk)
         out_d = -nv
         if not similarity:
             # reservoir values are ||x||^2 - 2<q,x>: restore ||q||^2
             out_d = out_d + jnp.sum(xq * xq, axis=1, keepdims=True)
-        out_i = jnp.take_along_axis(resp, sel, axis=1)
+        out_i = jnp.take_along_axis(resp, sidx, axis=1)
     if kk < k:
         out_d = jnp.pad(out_d, ((0, 0), (0, k - kk)),
                         constant_values=jnp.inf)
