@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from tpu_ann.ops import distances as D
-from tpu_ann.ops.flat_knn_pallas import flat_knn_fused
+from tpu_ann.ops.flat_knn_pallas import flat_knn_fused, pack_flat_db
 
 
 @pytest.mark.parametrize("metric",
@@ -60,6 +60,86 @@ def test_flat_fused_approx_select(refine):
             for i in set(I1[q]) & set(I0[q]):
                 np.testing.assert_allclose(m1[i], m0[i],
                                            rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_flat_fused_prepacked_matches_inline(with_mask):
+    """packed=pack_flat_db(...) is bit-identical to the inline per-call
+    DB prep, including valid_n baked at pack time and a per-call
+    id_mask composed onto the packed bias plane."""
+    rng = np.random.RandomState(7)
+    cap, nvalid, d, nq, k = 3000, 2600, 48, 100, 10
+    xb = rng.randn(cap, d).astype(np.float32)
+    xq = rng.randn(nq, d).astype(np.float32)
+    id_mask = None
+    if with_mask:
+        id_mask = jnp.asarray((rng.rand(cap) > 0.3).astype(np.uint8))
+    kw = dict(Q=128, R=1024, W=512, refine=4, interpret=True)
+    D0, I0 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), k,
+                            D.METRIC_L2, valid_n=jnp.int32(nvalid),
+                            id_mask=id_mask, **kw)
+    packed = pack_flat_db(jnp.asarray(xb), D.METRIC_L2,
+                          valid_n=jnp.int32(nvalid), R=1024)
+    D1, I1 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), k,
+                            D.METRIC_L2, id_mask=id_mask,
+                            packed=packed, **kw)
+    np.testing.assert_array_equal(np.asarray(I0), np.asarray(I1))
+    np.testing.assert_allclose(np.asarray(D0), np.asarray(D1),
+                               rtol=1e-6, atol=1e-6)
+    if with_mask:  # masked-out ids never surface
+        masked = set(np.flatnonzero(np.asarray(id_mask) == 0))
+        assert not masked & set(np.asarray(I1).ravel().tolist())
+
+
+def test_index_flat_packed_cache_invalidation():
+    """IndexFlat reuses the packed layout across searches and rebuilds
+    it after add()."""
+    from tpu_ann.models.flat import IndexFlat
+
+    rng = np.random.RandomState(3)
+    idx = IndexFlat(32)
+    idx.scan_mode = "fused"
+    idx.fused_schedule = "grid"
+    xb = rng.randn(300, 32).astype(np.float32)
+    idx.add(xb)
+    assert idx._fused_packed is None
+    # interpret-mode kernel on CPU: monkey-less — fused path runs because
+    # scan_mode='fused'; small shapes keep it fast
+    import tpu_ann.models.flat as MF
+
+    orig = MF.IndexFlat._fused_search_device
+
+    def patched(self, xq_dev, k, id_mask=None):
+        from tpu_ann.ops.flat_knn_pallas import flat_knn_fused, pack_flat_db
+
+        if self._fused_packed is None:
+            self._fused_packed = pack_flat_db(
+                self._xb, self.metric_type, xb_norms=self._norms,
+                valid_n=jnp.int32(self.ntotal), R=256)
+        return flat_knn_fused(xq_dev, self._xb, k, self.metric_type,
+                              id_mask=id_mask, packed=self._fused_packed,
+                              Q=128, R=256, W=128, refine=4,
+                              interpret=True)
+
+    MF.IndexFlat._fused_search_device = patched
+    try:
+        xq = rng.randn(20, 32).astype(np.float32)
+        D1, I1 = idx.search(xq, 5)
+        cached = idx._fused_packed
+        assert cached is not None
+        idx.search(xq, 5)
+        assert idx._fused_packed is cached          # reused
+        idx.add(rng.randn(10, 32).astype(np.float32))
+        assert idx._fused_packed is None            # invalidated
+        D2, I2 = idx.search(xq, 5)
+        D0, I0 = D.knn(jnp.asarray(xq), idx._xb, 5, D.METRIC_L2,
+                       valid_n=jnp.int32(idx.ntotal))
+        overlap = np.mean([len(set(np.asarray(I2)[q])
+                               & set(np.asarray(I0)[q])) / 5
+                           for q in range(20)])
+        assert overlap >= 0.95, overlap
+    finally:
+        MF.IndexFlat._fused_search_device = orig
 
 
 @pytest.mark.parametrize("schedule", ["grid", "pipe"])

@@ -28,6 +28,11 @@ class IndexFlat(Index):
         self._xb: Optional[jnp.ndarray] = None   # (capacity, d) device array
         self._norms: Optional[jnp.ndarray] = None  # (capacity,) cached ||y||^2
         self._capacity = 0
+        # cached pack_flat_db layout for the fused kernel (bf16 chunks +
+        # bias plane); rebuilt lazily after any mutation — the per-call
+        # prep it replaces was 38% of fused search time (BENCHMARKS.md
+        # round-4 epilogue probe)
+        self._fused_packed = None
         # TPU throughput knobs: bf16 GEMM + hardware approx top-k
         # (~0.997+ top-10 recall, ~10x faster; see ops.distances.knn)
         self.compute_dtype = "float32"
@@ -82,6 +87,7 @@ class IndexFlat(Index):
             self._norms = D.l2_norms(self._xb)
             self._capacity = cap
             self.ntotal = n
+            self._fused_packed = None
             return
         self._ensure_capacity(n)
         xj = jnp.asarray(x)
@@ -90,12 +96,14 @@ class IndexFlat(Index):
             D.l2_norms(xj)
         )
         self.ntotal += n
+        self._fused_packed = None
 
     def reset(self) -> None:
         self._xb = None
         self._norms = None
         self._capacity = 0
         self.ntotal = 0
+        self._fused_packed = None
 
     # --- search -----------------------------------------------------------
     def _use_fused(self, k: int) -> bool:
@@ -117,15 +125,20 @@ class IndexFlat(Index):
         return _jax.default_backend() != "cpu"
 
     def _fused_search_device(self, xq_dev, k: int, id_mask=None):
-        from ..ops.flat_knn_pallas import flat_knn_fused
+        from ..ops.flat_knn_pallas import flat_knn_fused, pack_flat_db
 
-        # Q=512/R=8192/W=1024 won the v5e occupancy sweep (149k QPS,
-        # 19.4% MFU at 1M x 128-d; W=2048 variants exceed VMEM); k<=256
-        # is guarded upstream
+        # Q=512/R=8192/W=1024 won the v5e occupancy sweep; k<=256 is
+        # guarded upstream. The packed layout (with valid_n baked in) is
+        # cached across searches and invalidated on mutation.
+        if self._fused_packed is None:
+            self._fused_packed = pack_flat_db(
+                self._xb, self.metric_type,
+                xb_norms=(self._norms
+                          if self.metric_type == METRIC_L2 else None),
+                valid_n=jnp.int32(self.ntotal), R=8192)
         return flat_knn_fused(
             xq_dev, self._xb, k, self.metric_type,
-            xb_norms=self._norms if self.metric_type == METRIC_L2 else None,
-            valid_n=jnp.int32(self.ntotal), id_mask=id_mask,
+            id_mask=id_mask, packed=self._fused_packed,
             Q=512, R=8192, W=1024,
             refine=max(4, self.refine_factor),
             schedule=self.fused_schedule,

@@ -413,6 +413,54 @@ def _flat_kernel_grid(qv_ref, bias_ref, data_ref, outv_ref, outp_ref,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("metric", "R", "unroll"),
+)
+def pack_flat_db(
+    xb: jnp.ndarray,
+    metric: int = D.METRIC_L2,
+    *,
+    xb_norms=None,
+    valid_n=None,
+    R: int = 8192,
+    unroll: int = 1,
+):
+    """Precompute the fused kernel's streamed database layout.
+
+    The per-call DB prep (bf16 cast + pad + chunk reshape + bias build)
+    measures 24 ms at 1M x 128-d on v5e — 38% of the whole fused call
+    (benchs/logs/r4_queue5.jsonl, 'prep probe'). Databases are
+    search-many / add-rarely, so callers cache this across searches
+    (IndexFlat does) and pass it via `flat_knn_fused(packed=...)`.
+
+    Returns (data, bias):
+      data: (nchunks, R, dp) bf16 — zero-padded chunked rows.
+      bias: (nchunks, 1, R) f32 — L2 row norms / IP zeros; +inf for
+        padded or >= valid_n rows (bakes valid_n in: repack after adds).
+    """
+    nb, d = xb.shape
+    dp = -(-d // 128) * 128
+    if D.is_similarity_metric(metric):
+        bias = jnp.zeros((nb,), jnp.float32)
+    else:
+        bias = (jnp.sum(xb.astype(jnp.float32) ** 2, axis=1)
+                if xb_norms is None else xb_norms.astype(jnp.float32))
+    if valid_n is not None:
+        rows = jnp.arange(nb, dtype=jnp.int32)
+        bias = jnp.where(rows < jnp.asarray(valid_n, jnp.int32),
+                         bias, jnp.inf)
+    nchunks = max(-(-nb // R), 1)
+    if unroll > 1:
+        nchunks = -(-nchunks // unroll) * unroll
+    pad = nchunks * R - nb
+    data = jnp.pad(xb.astype(jnp.bfloat16),
+                   ((0, pad), (0, dp - d))).reshape(nchunks, R, dp)
+    bias_p = jnp.pad(bias, (0, pad),
+                     constant_values=jnp.inf).reshape(nchunks, 1, R)
+    return data, bias_p
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "metric", "Q", "R", "W", "refine", "schedule",
                      "unroll", "merge", "sel", "interpret"),
 )
@@ -425,6 +473,7 @@ def flat_knn_fused(
     xb_norms=None,
     valid_n=None,
     id_mask=None,
+    packed=None,
     Q: int = 256,
     R: int = 2048,
     W: int = 1024,
@@ -459,6 +508,10 @@ def flat_knn_fused(
         (lax.top_k full sort over the W lanes) or 'approx'
         (lax.approx_max_k partial-reduce; recall-neutral under refine
         since the refine pass re-ranks exactly).
+      packed: optional `pack_flat_db(xb, ...)` result — skips the
+        per-call DB prep (the dominant e2e overhead; see pack_flat_db).
+        Must have been packed with the same R (and unroll if fori) and
+        with valid_n baked in; id_mask still composes per call.
     Returns (D, I): (nq, k) — L2 ascending distances / IP descending
       similarities, int32 ids (-1 for invalid).
     """
@@ -471,20 +524,6 @@ def flat_knn_fused(
     similarity = D.is_similarity_metric(metric)
     xq = xq.astype(jnp.float32)
 
-    # bias vector: L2 row norms / IP zeros, +inf for padded, invalid, or
-    # masked-out rows (a +inf bias makes the row unelectable in-kernel)
-    if similarity:
-        bias = jnp.zeros((nb,), jnp.float32)
-    else:
-        bias = (jnp.sum(xb.astype(jnp.float32) ** 2, axis=1)
-                if xb_norms is None else xb_norms.astype(jnp.float32))
-    if valid_n is not None:
-        rows = jnp.arange(nb, dtype=jnp.int32)
-        bias = jnp.where(rows < jnp.asarray(valid_n, jnp.int32),
-                         bias, jnp.inf)
-    if id_mask is not None:
-        bias = jnp.where(id_mask != 0, bias, jnp.inf)
-
     pack_C = None
     if merge == "packed":
         # shift scores non-negative so their f32 bit pattern is monotone
@@ -496,18 +535,48 @@ def flat_knn_fused(
             pack_C = jnp.sqrt(qn_max) * jnp.sqrt(jnp.max(xn)) + 1.0
         else:
             pack_C = qn_max + 1.0
-        bias = bias + pack_C
 
-    nchunks = max(-(-nb // R), 1)
-    if schedule == "fori" and unroll > 1:
-        # unrolled body has no per-chunk validity guards: round the chunk
-        # count up and let the +inf-bias padding rows absorb the excess
-        nchunks = -(-nchunks // unroll) * unroll
-    pad = nchunks * R - nb
-    data = jnp.pad(xb.astype(jnp.bfloat16),
-                   ((0, pad), (0, dp - d))).reshape(nchunks, R, dp)
-    bias_p = jnp.pad(bias, (0, pad),
-                     constant_values=jnp.inf).reshape(nchunks, 1, R)
+    if packed is not None:
+        data, bias_p = packed
+        nchunks = data.shape[0]
+        assert data.shape[1] == R and data.shape[2] == dp, (
+            f"packed layout {data.shape} mismatches R={R}, dp={dp}")
+        assert valid_n is None, "bake valid_n into pack_flat_db"
+        pad = nchunks * R - nb
+        if id_mask is not None:
+            # per-call selector: rebuild only the bias plane (nb floats)
+            mflat = jnp.pad(id_mask != 0, (0, pad), constant_values=False)
+            bias_p = jnp.where(mflat, bias_p.reshape(-1),
+                               jnp.inf).reshape(nchunks, 1, R)
+        if pack_C is not None:
+            bias_p = bias_p + pack_C       # inf rows stay inf
+    else:
+        # bias vector: L2 row norms / IP zeros, +inf for padded, invalid,
+        # or masked-out rows (+inf bias = unelectable in-kernel)
+        if similarity:
+            bias = jnp.zeros((nb,), jnp.float32)
+        else:
+            bias = (jnp.sum(xb.astype(jnp.float32) ** 2, axis=1)
+                    if xb_norms is None else xb_norms.astype(jnp.float32))
+        if valid_n is not None:
+            rows = jnp.arange(nb, dtype=jnp.int32)
+            bias = jnp.where(rows < jnp.asarray(valid_n, jnp.int32),
+                             bias, jnp.inf)
+        if id_mask is not None:
+            bias = jnp.where(id_mask != 0, bias, jnp.inf)
+        if pack_C is not None:
+            bias = bias + pack_C
+
+        nchunks = max(-(-nb // R), 1)
+        if schedule == "fori" and unroll > 1:
+            # unrolled body has no per-chunk validity guards: round the
+            # chunk count up; +inf-bias padding rows absorb the excess
+            nchunks = -(-nchunks // unroll) * unroll
+        pad = nchunks * R - nb
+        data = jnp.pad(xb.astype(jnp.bfloat16),
+                       ((0, pad), (0, dp - d))).reshape(nchunks, R, dp)
+        bias_p = jnp.pad(bias, (0, pad),
+                         constant_values=jnp.inf).reshape(nchunks, 1, R)
 
     ntiles = -(-nq // Q)
     qpad = ntiles * Q - nq
