@@ -29,6 +29,8 @@ def _repo_root() -> str:
 
 def _try_load() -> None:
     global _LIB, HAVE_NATIVE
+    if os.environ.get("TPU_ANN_DISABLE_NATIVE"):
+        return     # numpy fallbacks everywhere (debug / bisection aid)
     so = os.path.join(_repo_root(), "native", "libtpu_ann_native.so")
     if not os.path.exists(so):
         try:
