@@ -79,6 +79,13 @@ class SyntheticDataset(Dataset):
         return self._gt[:, :k]
 
 
+# Real-SIFT-difficulty preset for sift_surrogate — measured fit to the
+# reference's published SIFT1M IVF recall anchors (RMSE 0.0215; see
+# BENCHMARKS.md "surrogate calibration appendix" and sift_surrogate's
+# docstring). Usage: sift_surrogate(n, seed, **SIFT1M_CALIBRATED).
+SIFT1M_CALIBRATED = {"nproto": 64, "sigma": 1.3}
+
+
 def sift_surrogate(n: int, seed: int = 0, chunk: int = 200_000,
                    nproto: int = 0, sigma: float = 0.35) -> np.ndarray:
     """SIFT-like 128-d descriptors, generated (no dataset files ship in
@@ -91,9 +98,20 @@ def sift_surrogate(n: int, seed: int = 0, chunk: int = 200_000,
     patch orientation, spatially-smooth cell energy — the "image patch"
     manifold real descriptors live on) with per-draw multiplicative
     jitter, then SIFT's 0.2 clipping + L2 renormalization to 512 and
-    uint8 saturation. Calibrated so IVF recall-vs-probe-ratio curves sit
-    in real-SIFT territory (ivf256/nprobe=8 at 30k: recall@10 ~0.93)
-    instead of the tight-mixture synthetic's saturated curves.
+    uint8 saturation.
+
+    Difficulty is set by (nproto, sigma). The DEFAULTS (nproto ~ n/64,
+    sigma=0.35) give an easy dataset at IVF scale: with about one
+    prototype per k-means cell, a query's true neighbors are
+    same-prototype draws that land in the same list, so recall
+    saturates near 1.0 at any probe ratio (measured at 500k/7812 lists,
+    benchs/logs/r4_calibrate.jsonl). For real-SIFT difficulty pass
+    ``**SIFT1M_CALIBRATED`` (nproto=64, sigma=1.3): each prototype's
+    jittered cloud then spans many k-means cells, true neighbors
+    straddle cell boundaries, and the IVF recall-vs-probe-ratio curve
+    matches the reference's published SIFT1M anchors within RMSE 0.0215
+    over probe ratios 0.195%-3.3% (BENCHMARKS.md "surrogate calibration
+    appendix").
 
     Split ONE call into train/database/query slices — the prototype bank
     is seeded per call, and slices of the same call share it (queries
