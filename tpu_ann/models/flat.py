@@ -127,7 +127,11 @@ class IndexFlat(Index):
     def _fused_search_device(self, xq_dev, k: int, id_mask=None):
         from ..ops.flat_knn_pallas import flat_knn_fused, pack_flat_db
 
-        # Q=512/R=8192/W=1024 won the v5e occupancy sweep; k<=256 is
+        # R=8192/W=1024 won the v5e occupancy sweep (r3) and held
+        # across the r4 scalar-forced (R, W, Q) grid
+        # (benchs/logs/r4_queue9.jsonl); Q=1024 on large batches and the
+        # approx_max_k reservoir selection each won ~3-4% at identical
+        # recall (the exact f32 refine re-ranks either way). k<=256 is
         # guarded upstream. The packed layout (with valid_n baked in) is
         # cached across searches and invalidated on mutation.
         if self._fused_packed is None:
@@ -139,8 +143,8 @@ class IndexFlat(Index):
         return flat_knn_fused(
             xq_dev, self._xb, k, self.metric_type,
             id_mask=id_mask, packed=self._fused_packed,
-            Q=512, R=8192, W=1024,
-            refine=max(4, self.refine_factor),
+            Q=1024 if xq_dev.shape[0] >= 2048 else 512, R=8192, W=1024,
+            refine=max(4, self.refine_factor), sel="approx",
             schedule=self.fused_schedule,
         )
 
