@@ -8,10 +8,29 @@ The ambient environment points JAX at the (single, remote) TPU chip via a
 sitecustomize that imports jax before any conftest runs, so env vars are too
 late — force CPU through jax.config instead."""
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache: the suite compiles many hundreds of XLA
+# programs in one process, and jaxlib 0.9.0's CPU compiler has a
+# cumulative-state crash (segfault inside backend_compile_and_load after
+# ~80% of the suite, reproduced with and without the native library —
+# three runs, two different tests at the same position). Caching
+# compiled executables on disk keeps repeat runs far below the
+# crash threshold and makes them much faster. The directory lives next
+# to the tests (gitignored) so it persists across runs on one machine.
+_cache = os.path.join(os.path.dirname(__file__), os.pardir,
+                      ".jax_test_cache")
+# tpu_ann/__init__.py installs its own cache config on import (10 s
+# threshold aimed at expensive TPU compiles) — tell it to stand down so
+# the test-suite settings below survive the first `import tpu_ann`.
+os.environ["TPU_ANN_NO_COMPILE_CACHE"] = "1"
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
