@@ -97,6 +97,10 @@ def _build(name, xt, xb):
         idx = M.IndexIDMap(M.IndexFlat(D_))
         idx.add_with_ids(xb, np.arange(NB) * 7 + 3)
         return idx
+    if name == "IndexIDMap2":
+        idx = M.IndexIDMap2(M.IndexFlat(D_))
+        idx.add_with_ids(xb, np.arange(NB) * 7 + 3)
+        return idx
     if name in ("IndexRefine", "IndexRefineFlat"):
         idx = M.IndexRefineFlat(M.IndexPQ(D_, 4, 6))
         return _trained_added(idx, xt, xb)

@@ -294,13 +294,22 @@ class IndexHNSW(Index):
         hp = self.hnsw
         nprobe0 = max(8, ef // 2)
         rk = max(2 * k, min(ef, 64))
+        # per-tile extraction width must scale with k: tiles are built
+        # spatially coherent (HT.spatial_order), so one tile can hold
+        # MANY of a query's true top-k — at the default kp=8 a
+        # wide-k search (an HNSW coarse quantizer asked for nprobe
+        # lists) silently truncates to ~8 hits per tile and recall
+        # freezes regardless of ef (measured: 0.816 for efSearch
+        # 128..2048 at nprobe=64 on the calibrated-hard surrogate,
+        # benchs/logs/r4_queue10.jsonl — the round-4 "saturation").
+        kp = max(hp.fused_kp, min(ftg.b, k))
         Dv, Pv, Iv = HT.tile_search_fused(
             ftg, xq_dev, k,
             nprobe0=nprobe0,
             hops=hp.fused_hops,
             expand=hp.expand_tiles * 2,
             F=hp.fused_F,
-            kp=hp.fused_kp,
+            kp=kp,
             rk=rk,
             metric=self.metric_type,
         )
@@ -416,6 +425,38 @@ class IndexHNSW(Index):
         )
         base.indexIVF_stats.accumulate(stats)
         return Dv, Iv, stats
+
+    def range_search(self, x, radius: float):
+        """Approximate range search (faiss IndexHNSW::range_search,
+        IndexHNSW.h:78): the reference radius-filters the points scored
+        by a beam of width efSearch; here the beam's top-ef results are
+        radius-filtered — same candidate budget, same approximation
+        class (hits beyond the beam are missed in both). Returns the
+        (lims, D, I) CSR triple."""
+        from ..ops.range_search import csr_from_hits
+
+        x = self._check_input(x)
+        nq = len(x)
+        if self.graph is None or self.ntotal == 0:
+            return (np.zeros(nq + 1, np.int64), np.zeros(0, np.float32),
+                    np.zeros(0, np.int64))
+        ef, expand = self._effective(1, None)
+        kk = min(max(ef, 16), self.ntotal)
+        keep_gt = self.is_similarity
+        hits_d = [[] for _ in range(nq)]
+        hits_i = [[] for _ in range(nq)]
+        xq_all = jnp.asarray(x)
+        for i0 in range(0, nq, self.search_chunk):
+            Dc, Ic, _ = self._search_device_stats(
+                xq_all[i0:i0 + self.search_chunk], kk, ef, expand)
+            Dc, Ic = np.asarray(Dc), np.asarray(Ic, np.int64)
+            ok = (Ic >= 0) & (Dc > radius if keep_gt else Dc < radius)
+            for r in range(len(Dc)):
+                if ok[r].any():
+                    hits_d[i0 + r].append(Dc[r][ok[r]])
+                    hits_i[i0 + r].append(Ic[r][ok[r]])
+        res = csr_from_hits(nq, hits_d, hits_i)
+        return res.lims, res.distances, res.labels
 
     def reconstruct(self, key: int) -> np.ndarray:
         return self.storage.reconstruct(key)

@@ -19,7 +19,10 @@ from .base import Index
 
 
 class IndexIDMap(Index):
-    """Arbitrary-id remapping wrapper (faiss IndexIDMap)."""
+    """Arbitrary-id remapping wrapper (faiss IndexIDMap,
+    faiss/IndexIDMap.{h,cpp}): internal sequential rows carry
+    user-supplied external ids. `reconstruct` by external id is NOT
+    supported here (faiss parity — that is IndexIDMap2's addition)."""
 
     def __init__(self, index: Index):
         super().__init__(index.d, index.metric_type)
@@ -40,11 +43,45 @@ class IndexIDMap(Index):
         self.id_map.extend(ids.tolist())
         self.ntotal = self.index.ntotal
 
+    def _remap(self, Iv):
+        amap = np.asarray(self.id_map, np.int64)
+        if len(amap) == 0:
+            return np.where(np.asarray(Iv) >= 0, -1, -1)
+        return np.where(Iv >= 0, amap[np.clip(Iv, 0, len(amap) - 1)], -1)
+
     def search(self, x, k: int, *, params=None):
         Dv, Iv = self.index.search(x, k, params=params)
-        amap = np.asarray(self.id_map, np.int64)
-        out = np.where(Iv >= 0, amap[np.clip(Iv, 0, len(amap) - 1)], -1)
-        return Dv, out
+        return Dv, self._remap(Iv)
+
+    def range_search(self, x, radius: float):
+        """Forwarded range search with labels remapped to external ids
+        (faiss IndexIDMap::range_search, IndexIDMap.h:53)."""
+        lims, dd, labels = self.index.range_search(x, radius)
+        return lims, dd, self._remap(labels)
+
+    def remove_ids(self, sel) -> int:
+        """Remove vectors whose EXTERNAL id matches the selector
+        (faiss IndexIDMap::remove_ids translates the selector through
+        id_map, then compacts both sides in step). Requires the
+        sub-index's remove_ids to renumber sequentially & stably (the
+        IndexFlatCodes contract), which all flat-storage indexes here
+        honor."""
+        from .selectors import IDSelectorBatch
+
+        ids = np.asarray(self.id_map, np.int64)
+        hit = sel.member_array(ids)
+        nremove = int(hit.sum())
+        if nremove == 0:
+            return 0
+        inner = self.index.remove_ids(
+            IDSelectorBatch(np.nonzero(hit)[0]))
+        if inner != nremove:
+            raise RuntimeError(
+                f"sub-index removed {inner} rows, selector matched "
+                f"{nremove} — sub-index does not renumber stably")
+        self.id_map = ids[~hit].tolist()
+        self.ntotal = self.index.ntotal
+        return nremove
 
     def reset(self) -> None:
         self.index.reset()
@@ -52,12 +89,46 @@ class IndexIDMap(Index):
         self.ntotal = 0
 
     def reconstruct(self, key: int) -> np.ndarray:
-        # IndexIDMap2 semantics: map external -> internal
-        pos = self.id_map.index(key)
+        raise RuntimeError(
+            "IndexIDMap cannot reconstruct by external id "
+            "(faiss parity); use IndexIDMap2")
+
+
+class IndexIDMap2(IndexIDMap):
+    """IndexIDMap + a hashtable reverse map for O(1) `reconstruct` by
+    external id (faiss IndexIDMap2, faiss/IndexIDMap.h rev_map)."""
+
+    def __init__(self, index: Index):
+        super().__init__(index)
+        self.rev_map: dict = {}
+
+    def construct_rev_map(self) -> None:
+        """Rebuild external-id -> internal-row (IndexIDMap2Template::
+        construct_rev_map) — call after mutating id_map directly."""
+        self.rev_map = {int(e): i for i, e in enumerate(self.id_map)}
+
+    def add_with_ids(self, x, ids) -> None:
+        base = len(self.id_map)
+        super().add_with_ids(x, ids)
+        for i, e in enumerate(np.asarray(ids, np.int64).tolist()):
+            self.rev_map[int(e)] = base + i
+
+    def remove_ids(self, sel) -> int:
+        n = super().remove_ids(sel)
+        if n:
+            self.construct_rev_map()
+        return n
+
+    def reset(self) -> None:
+        super().reset()
+        self.rev_map = {}
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        try:
+            pos = self.rev_map[int(key)]
+        except KeyError:
+            raise KeyError(f"id {key} not found") from None
         return self.index.reconstruct(pos)
-
-
-IndexIDMap2 = IndexIDMap  # reconstruct() already maps ids (IndexIDMap2.h)
 
 
 class IndexShards(Index):

@@ -212,6 +212,31 @@ class IndexIVFPQ(IndexIVF):
         base.indexIVF_stats.accumulate(stats)
         return Dv, Iv, stats
 
+    def range_search(self, x, radius: float):
+        """IVF-PQ range search (faiss IndexIVFFastScan::range_search,
+        IndexIVFFastScan.h:140, which 4-bit codes here route through
+        too): probed codes are decoded to f32 reconstructions — the
+        exact ADC distance (see decode_code_invlists) — and the IVF
+        radius scan keeps every hit. Same coarse path as search()."""
+        from ..ops.range_search import range_search_ivf
+
+        self._maybe_repack()
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        x = self._check_input(x)
+        nprobe, mnb = self._effective_params(None)
+        _, probes = self._coarse_search_device(jnp.asarray(x), nprobe)
+        cent = (self._coarse_centroids()
+                if self.by_residual and self.metric_type == D.METRIC_L2
+                else None)
+        dec = ivf_scan.decode_code_invlists(
+            self.invlists, self._pq_cent_dev, cent,
+            packed4=self.nbits == 4, dtype=jnp.float32)
+        res = range_search_ivf(
+            x, np.asarray(probes, np.int32), dec, radius,
+            self.metric_type, max_nblocks=mnb)
+        return res.lims, res.distances, self._map_ids(res.labels)
+
     def reconstruct(self, key: int) -> np.ndarray:
         # decode from host copy path (DirectMap role)
         self._maybe_repack()
@@ -476,6 +501,28 @@ class IndexIVFScalarQuantizer(IndexIVF):
             qtype=self.qtype, max_nblocks=mnb, id_mask=id_mask,
         )
         return Dv, Iv
+
+    def range_search(self, x, radius: float):
+        """IVF-SQ range search: probed codes decode through the SQ codec
+        (exact codec distance) into the IVF radius scan."""
+        from ..ops.range_search import range_search_ivf
+
+        self._maybe_repack()
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        x = self._check_input(x)
+        nprobe, mnb = self._effective_params(None)
+        _, probes = self._coarse_search_device(jnp.asarray(x), nprobe)
+        codec = self._codec_or_default()
+        # invlists.data keeps the codec's own dtype (_pack stores
+        # sq_encode output as-is), so the decode traces directly
+        dec = ivf_scan.decode_code_invlists_generic(
+            self.invlists, lambda codes: SQ.sq_decode(codes, codec),
+            self.d, dtype=jnp.float32)
+        res = range_search_ivf(
+            x, np.asarray(probes, np.int32), dec, radius,
+            self.metric_type, max_nblocks=mnb)
+        return res.lims, res.distances, self._map_ids(res.labels)
 
     def search_stats(self, x, k: int, *,
                      params: Optional[SearchParametersIVF] = None):

@@ -227,6 +227,27 @@ class IndexPQ(Index):
         return _lut_knn(lut, self._codes, k, self.metric_type,
                         jnp.int32(self.ntotal), packed4=self._packed4)
 
+    def range_search(self, x, radius: float):
+        """faiss IndexFlatCodes::range_search (IndexFlatCodes.h:65) —
+        exact codec-distance range scan: decode blockwise, keep hits
+        within the radius. Returns the (lims, D, I) CSR triple."""
+        from ..ops.range_search import range_search_decoded
+
+        x = self._check_input(x)
+        if self.ntotal == 0:
+            return (np.zeros(len(x) + 1, np.int64),
+                    np.zeros(0, np.float32), np.zeros(0, np.int64))
+
+        def decode_block(i0, i1):
+            c = self._codes[i0:i1]
+            if self._packed4:
+                c = PQ.unpack_codes_4bit(c)
+            return PQ.pq_decode(c, self._centroids_dev)
+
+        res = range_search_decoded(x, decode_block, self.ntotal, radius,
+                                   self.metric_type)
+        return res.lims, res.distances, res.labels
+
     def reset(self) -> None:
         self._codes, self._capacity, self.ntotal = None, 0, 0
         self._sdc = None
@@ -297,6 +318,22 @@ class IndexScalarQuantizer(Index):
         xb = SQ.sq_decode(self._codes, self.sq)
         Dv, Iv = D.knn(jnp.asarray(x), xb, k, self.metric_type)
         return np.asarray(Dv), np.asarray(Iv, np.int64)
+
+    def range_search(self, x, radius: float):
+        """Exact SQ-codec range scan (IndexFlatCodes.h:65 role)."""
+        from ..ops.range_search import range_search_decoded
+
+        x = self._check_input(x)
+        if self.ntotal == 0:
+            return (np.zeros(len(x) + 1, np.int64),
+                    np.zeros(0, np.float32), np.zeros(0, np.int64))
+
+        def decode_block(i0, i1):
+            return SQ.sq_decode(self._codes[i0:i1], self.sq)
+
+        res = range_search_decoded(x, decode_block, self.ntotal, radius,
+                                   self.metric_type)
+        return res.lims, res.distances, res.labels
 
     def reset(self) -> None:
         self._codes, self.ntotal = None, 0

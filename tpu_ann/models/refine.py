@@ -96,6 +96,42 @@ class IndexRefine(Index):
             out_i[i, : len(order)] = ids[order]
         return out_d, out_i
 
+    def range_search(self, x, radius: float):
+        """faiss IndexRefine::range_search (IndexRefine.h:57): the base
+        index proposes hits within the radius; every hit is re-scored
+        through the refine codec and re-filtered, so returned distances
+        are refine-grade. Base-index misses stay missed (same contract
+        as the reference: the base's range recall bounds the result)."""
+        x = self._check_input(x)
+        lims, _, labels = self.base_index.range_search(x, radius)
+        vecs_src = getattr(self.refine_index, "vectors", None)
+        keep_gt = self.is_similarity
+        out_d, out_i = [], []
+        new_lims = np.zeros(len(x) + 1, np.int64)
+        for q in range(len(x)):
+            ids = labels[lims[q]:lims[q + 1]]
+            if len(ids) == 0:
+                new_lims[q + 1] = new_lims[q]
+                continue
+            if vecs_src is not None:
+                vecs = np.asarray(vecs_src)[ids]
+            else:
+                vecs = self.refine_index.reconstruct_batch(ids)
+            if keep_gt:
+                dis = vecs @ x[q]
+                ok = dis > radius
+            else:
+                dif = vecs - x[q][None]
+                dis = (dif * dif).sum(1)
+                ok = dis < radius
+            out_d.append(dis[ok].astype(np.float32))
+            out_i.append(ids[ok])
+            new_lims[q + 1] = new_lims[q] + int(ok.sum())
+        dd = (np.concatenate(out_d) if out_d
+              else np.zeros(0, np.float32))
+        ii = (np.concatenate(out_i) if out_i else np.zeros(0, np.int64))
+        return new_lims, dd, ii
+
     def reconstruct(self, key: int) -> np.ndarray:
         return self.refine_index.reconstruct(key)
 

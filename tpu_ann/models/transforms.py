@@ -281,6 +281,14 @@ class IndexPreTransform(Index):
         x = self._check_input(x)
         return self.index.search(self._apply_chain(x), k, params=params)
 
+    def range_search(self, x, radius: float):
+        """Transform then forward, radius unchanged — exactly the
+        reference's behavior (faiss/IndexPreTransform.h:61: the radius is
+        interpreted in the transformed space, so non-isometric chains
+        shift its meaning there too)."""
+        x = self._check_input(x)
+        return self.index.range_search(self._apply_chain(x), radius)
+
     def reset(self) -> None:
         self.index.reset()
         self.ntotal = 0

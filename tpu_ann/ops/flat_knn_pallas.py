@@ -462,7 +462,7 @@ def pack_flat_db(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "Q", "R", "W", "refine", "schedule",
-                     "unroll", "merge", "sel", "interpret"),
+                     "unroll", "merge", "sel", "sel_recall", "interpret"),
 )
 def flat_knn_fused(
     xq: jnp.ndarray,
@@ -482,6 +482,7 @@ def flat_knn_fused(
     unroll: int = 1,
     merge: str = "serial",
     sel: str = "exact",
+    sel_recall: float = 0.95,
     interpret: bool = False,
 ):
     """Fused brute-force k-NN (see module docstring).
@@ -508,6 +509,13 @@ def flat_knn_fused(
         (lax.top_k full sort over the W lanes) or 'approx'
         (lax.approx_max_k partial-reduce; recall-neutral under refine
         since the refine pass re-ranks exactly).
+      sel_recall: recall_target of the 'approx' selection.  The 0.95
+        default is right under refine>=2 (the refine re-ranks exactly,
+        so select losses above width refine*k are immaterial); at
+        refine=0 the select loss hits the returned top-k directly, so
+        integer-valued data (real SIFT/BigANN uint8 descriptors, whose
+        bf16 scores are bit-exact — see IndexFlat._fused_search_device)
+        should pair refine=0 with sel='exact' or sel_recall>=0.999.
       packed: optional `pack_flat_db(xb, ...)` result — skips the
         per-call DB prep (the dominant e2e overhead; see pack_flat_db).
         Must have been packed with the same R (and unroll if fori) and
@@ -759,7 +767,8 @@ def flat_knn_fused(
         # re-ranks exactly, so a 0.95-recall select over W lanes is
         # recall-neutral in practice while skipping the full sort network
         if sel == "approx" and kk_ < neg_scores.shape[1]:
-            return lax.approx_max_k(neg_scores, kk_)
+            return lax.approx_max_k(neg_scores, kk_,
+                                    recall_target=sel_recall)
         return lax.top_k(neg_scores, kk_)
 
     if refine and refine > 1:

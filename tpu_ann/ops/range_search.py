@@ -81,6 +81,46 @@ def range_search_blocked(
     return csr_from_hits(nq, hits_d, hits_i)
 
 
+def range_search_decoded(
+    xq: np.ndarray,
+    decode_block,
+    n: int,
+    radius: float,
+    metric: int = D.METRIC_L2,
+    *,
+    db_block: int = 65536,
+    q_block: int = 4096,
+) -> RangeSearchResult:
+    """Blocked range search over a coded database — the
+    `IndexFlatCodes::range_search` role (faiss/IndexFlatCodes.h:65, which
+    drives the codec's DistanceComputer over every stored code).
+
+    `decode_block(i0, i1)` returns the decoded f32 rows [i0, i1) — coded
+    flat indexes (PQ/SQ/...) decode blockwise on device, and the exact
+    distance against the decoded rows equals the reference's asymmetric
+    codec distance."""
+    nq = len(xq)
+    keep_gt = D.is_similarity_metric(metric)
+    hits_d: List[List[np.ndarray]] = [[] for _ in range(nq)]
+    hits_i: List[List[np.ndarray]] = [[] for _ in range(nq)]
+
+    for b0 in range(0, n, db_block):
+        b1 = min(b0 + db_block, n)
+        xb_dev = jnp.asarray(decode_block(b0, b1))
+        for q0 in range(0, nq, q_block):
+            q1 = min(q0 + q_block, nq)
+            dis = np.asarray(D.pairwise_distances(
+                jnp.asarray(xq[q0:q1]), xb_dev, metric))
+            mask = dis > radius if keep_gt else dis < radius
+            qi, bi = np.nonzero(mask)
+            for row in np.unique(qi):
+                sel = qi == row
+                hits_d[q0 + row].append(dis[row, bi[sel]])
+                hits_i[q0 + row].append(b0 + bi[sel])
+
+    return csr_from_hits(nq, hits_d, hits_i)
+
+
 def range_search_ivf(
     xq: np.ndarray,
     probes: np.ndarray,

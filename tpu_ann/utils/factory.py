@@ -167,11 +167,11 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
 
     # --- prefixes (transforms + IDMap) ------------------------------------
     transforms: List[VectorTransform] = []
-    idmap = False
+    idmap = 0                # 0 none / 1 IDMap / 2 IDMap2
     cur_d = d
     while toks:
-        if toks[0] == "IDMap":
-            idmap = True
+        if toks[0] in ("IDMap", "IDMap2"):
+            idmap = 2 if toks[0] == "IDMap2" else 1
             toks = toks[1:]
             continue
         vt = _parse_transform(toks[0], cur_d)
@@ -297,7 +297,9 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
     if transforms:
         index = IndexPreTransform(*transforms, index)
     if idmap:
-        index = IndexIDMap(index)
+        from ..models.idmap import IndexIDMap2
+
+        index = (IndexIDMap2 if idmap == 2 else IndexIDMap)(index)
     return index
 
 
@@ -353,7 +355,7 @@ def get_code_size(d: int, spec: str) -> int:
     cur_d = d
     while toks:
         tok = toks[0]
-        if tok == "IDMap":
+        if tok in ("IDMap", "IDMap2"):
             size += 8
             toks = toks[1:]
             continue

@@ -630,7 +630,10 @@ def _load_pretransform(meta, arrays):
 
 
 def _dump_idmap(index):
-    meta = {"tag": "IxMp", "d": index.d, "metric": index.metric_type,
+    from ..models.idmap import IndexIDMap2
+
+    tag = "IxM2" if isinstance(index, IndexIDMap2) else "IxMp"
+    meta = {"tag": tag, "d": index.d, "metric": index.metric_type,
             "ntotal": index.ntotal}
     arrays = {"id_map": np.asarray(index.id_map, np.int64)}
     sm, sa = dump_index(index.index)
@@ -639,12 +642,15 @@ def _dump_idmap(index):
 
 
 def _load_idmap(meta, arrays):
-    from ..models.idmap import IndexIDMap
+    from ..models.idmap import IndexIDMap, IndexIDMap2
 
     sm, sa = _sub("sub", meta, arrays)
-    idx = IndexIDMap(load_index(sm, sa))
+    cls = IndexIDMap2 if meta["tag"] == "IxM2" else IndexIDMap
+    idx = cls(load_index(sm, sa))
     idx.id_map = np.asarray(arrays["id_map"]).tolist()
     idx.ntotal = int(meta["ntotal"])
+    if isinstance(idx, IndexIDMap2):
+        idx.construct_rev_map()
     return idx
 
 
@@ -1589,6 +1595,7 @@ _register("IndexIVFScalarQuantizer", "IwSQ", _dump_ivfsq, _load_ivfsq)
 _register("IndexPreTransform", "IxPT", _dump_pretransform,
           _load_pretransform)
 _register("IndexIDMap", "IxMp", _dump_idmap, _load_idmap)
+_register("IndexIDMap2", "IxM2", _dump_idmap, _load_idmap)
 _register("IndexRefine", "IxRF", _dump_refine, _load_refine)
 _register("IndexRefineFlat", "IxRF", _dump_refine, _load_refine)
 
