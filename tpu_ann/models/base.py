@@ -34,13 +34,38 @@ class SearchParameters:
 
 
 @dataclasses.dataclass
+class QueryLatencyStats:
+    """PER-QUERY latency/work arrays — the fork's core C++ contribution
+    (`QueryLatencyStats {total_us, quantization_us, list_scan_us}`,
+    faiss/IndexIVF.h:28-32, filled per query at IndexIVF.cpp:1064-1105
+    and consumed by the per-query P99.9 analyses of
+    tutorial/python/192-hnsw-ivf-latency.py:338-392).
+
+    All arrays are (nq,). Times come from looped batch-1 searches (the
+    only honest per-query latency on a batched accelerator — the fork's
+    192 harness loops queries one at a time the same way); `ndis` is the
+    exact per-query scanned-code count derived from the probe set."""
+
+    total_us: np.ndarray = None
+    quantization_us: np.ndarray = None
+    list_scan_us: np.ndarray = None
+    ndis: np.ndarray = None
+
+    def percentiles(self, field: str = "total_us",
+                    qs=(50.0, 99.0, 99.9)) -> dict:
+        a = getattr(self, field)
+        return {f"p{q:g}": float(np.percentile(a, q)) for q in qs}
+
+
+@dataclasses.dataclass
 class SearchStats:
     """Per-search timing/counters (fork's QueryLatencyStats + IndexIVFStats).
 
     Times are host-measured wall-clock in microseconds for the whole batch
     (the fork amortizes quantization over the batch the same way,
     faiss/IndexIVF.cpp:761-771). Counters are exact and device-computed.
-    """
+    `per_query`, when filled (search_stats_per_query), carries the
+    fork-parity per-query arrays."""
 
     nq: int = 0
     total_us: float = 0.0
@@ -48,17 +73,25 @@ class SearchStats:
     list_scan_us: float = 0.0
     ndis: int = 0          # number of distances evaluated
     nlist_visited: int = 0  # number of invlists scanned (IVF) / hops (HNSW)
+    per_query: Optional[QueryLatencyStats] = None
 
     def as_dict(self):
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        d.pop("per_query", None)
+        return d
 
     def accumulate(self, other: "SearchStats") -> None:
         for f in dataclasses.fields(self):
+            if f.name == "per_query":
+                continue
             setattr(self, f.name,
                     getattr(self, f.name) + getattr(other, f.name))
 
     def reset(self) -> None:
         for f in dataclasses.fields(self):
+            if f.name == "per_query":
+                self.per_query = None
+                continue
             setattr(self, f.name, type(getattr(self, f.name))(0))
 
 
@@ -143,6 +176,32 @@ class Index:
                             list_scan_us=t.us)
         indexIVF_stats.accumulate(stats)
         return D, I, stats
+
+    def search_stats_per_query(self, x, k: int, *,
+                               params: Optional[Any] = None):
+        """search + PER-QUERY QueryLatencyStats (the fork's per-query
+        stats array, faiss/IndexIVF.h:28-32). The generic version loops
+        batch-1 searches and fills total_us only; IndexIVF overrides
+        with the quantization/list_scan phase split."""
+        x = np.atleast_2d(np.asarray(x, np.float32))
+        nq = len(x)
+        tot = np.zeros(nq, np.float64)
+        outs = []
+        self.search(x[:1], k, params=params)    # warm/compile batch-1
+        for q in range(nq):
+            with Timer() as t:
+                outs.append(self.search(x[q:q + 1], k, params=params))
+            tot[q] = t.us
+        Dv = np.concatenate([o[0] for o in outs])
+        Iv = np.concatenate([o[1] for o in outs])
+        pq = QueryLatencyStats(
+            total_us=tot, quantization_us=np.zeros(nq),
+            list_scan_us=tot.copy(), ndis=np.zeros(nq, np.int64))
+        stats = SearchStats(nq=nq, total_us=float(tot.sum()),
+                            list_scan_us=float(tot.sum()), per_query=pq)
+        indexIVF_stats.accumulate(stats)
+        stats.per_query = pq
+        return Dv, Iv, stats
 
     def assign(self, x, k: int = 1) -> np.ndarray:
         """Labels only (faiss/Index.h:104 Index::assign)."""
@@ -231,6 +290,7 @@ class Index:
 __all__ = [
     "Index",
     "SearchStats",
+    "QueryLatencyStats",
     "Timer",
     "METRIC_L2",
     "METRIC_INNER_PRODUCT",

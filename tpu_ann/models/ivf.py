@@ -656,6 +656,85 @@ class IndexIVF(Index):
         base.indexIVF_stats.accumulate(stats)
         return Dv, Iv, stats
 
+    def _list_sizes_host(self) -> np.ndarray:
+        """(nlist,) exact per-list valid-entry counts (the reference's
+        InvertedLists::list_size), derived from the packed ids; cached
+        per invlists generation."""
+        if getattr(self, "_lsizes_for", None) is self.invlists and \
+                self._lsizes is not None:
+            return self._lsizes
+        ids = np.asarray(self.invlists.ids)
+        per_block = (ids >= 0).sum(1)
+        start = np.asarray(self.invlists.list_block_start)
+        nb = np.asarray(self.invlists.list_nblocks)
+        csum = np.concatenate([[0], np.cumsum(per_block)])
+        self._lsizes = (csum[start + nb] - csum[start]).astype(np.int64)
+        self._lsizes_for = self.invlists
+        return self._lsizes
+
+    _lsizes = None
+    _lsizes_for = None
+
+    def search_stats_per_query(self, x, k: int, *,
+                               params: Optional[SearchParametersIVF] = None):
+        """search + PER-QUERY QueryLatencyStats — the fork's central C++
+        addition (faiss/IndexIVF.h:28-32; arrays filled per query at
+        faiss/IndexIVF.cpp:1064-1105, consumed by the per-query P99.9
+        analyses of tutorial/python/192-hnsw-ivf-latency.py:338-392).
+
+        Each query runs batch-1 with a device sync between the coarse
+        and scan phases, so the arrays are true per-query wall-clock
+        (the fork's 192 harness loops queries the same way; its
+        quantization_us is merely batch-amortized, IndexIVF.cpp:761-771
+        — this is strictly more faithful). ndis is the exact scanned
+        entry count of the probe set. Throughput callers should use
+        search(); this is the tail-latency surface."""
+        from .base import QueryLatencyStats
+
+        self._maybe_repack()
+        if self.invlists is None:
+            raise RuntimeError("empty index")
+        x = self._check_input(x)
+        nprobe, mnb = self._effective_params(params)
+        nq = len(x)
+        xq_dev = jnp.asarray(x)
+        lsizes = self._list_sizes_host()
+        q_us = np.zeros(nq, np.float64)
+        s_us = np.zeros(nq, np.float64)
+        ndis = np.zeros(nq, np.int64)
+        outs = []
+        # warm/compile the batch-1 shapes outside the timed loop
+        cd, probes = self._coarse_search_device(xq_dev[:1], nprobe)
+        np.asarray(self._scan_probes_device(
+            xq_dev[:1], probes.astype(jnp.int32), cd, k, mnb)[0])
+        for q in range(nq):
+            with Timer() as t_q:
+                cd, probes = self._coarse_search_device(
+                    xq_dev[q:q + 1], nprobe)
+                probes_h = np.asarray(probes, np.int64)  # forces sync
+            with Timer() as t_s:
+                Dq, Iq = self._scan_probes_device(
+                    xq_dev[q:q + 1], jnp.asarray(probes_h, jnp.int32),
+                    cd, k, mnb)
+                Dq = np.asarray(Dq)
+            outs.append((Dq, Iq))
+            q_us[q] = t_q.us
+            s_us[q] = t_s.us
+            valid = probes_h[(probes_h >= 0) & (probes_h < self.nlist)]
+            ndis[q] = int(lsizes[valid].sum())
+        Dv = np.concatenate([o[0] for o in outs])
+        Iv = self._map_ids(np.concatenate(
+            [np.asarray(o[1]) for o in outs]))
+        pq = QueryLatencyStats(total_us=q_us + s_us, quantization_us=q_us,
+                               list_scan_us=s_us, ndis=ndis)
+        stats = SearchStats(
+            nq=nq, total_us=float((q_us + s_us).sum()),
+            quantization_us=float(q_us.sum()),
+            list_scan_us=float(s_us.sum()), ndis=int(ndis.sum()),
+            nlist_visited=nq * nprobe, per_query=pq)
+        base.indexIVF_stats.accumulate(stats)
+        return Dv, Iv, stats
+
     def range_search(self, x, radius: float):
         """faiss IndexIVF::range_search over the probed lists. Uses the
         same coarse-quantization path as search() so both report identical

@@ -280,6 +280,75 @@ def _flat_kernel(
     merge_from_scratch((nchunks - 1) * R)
 
 
+def _reservoir_topk_kernel(resv_ref, resp_ref, outv_ref, outp_ref,
+                           *, k: int, KP: int):
+    """k-round min-extraction over a (QB, W) reservoir block — the
+    in-kernel replacement for the post-kernel lax.top_k select, which
+    measured ~5.5 ms for (10k, 1024)->10 on v5e (XLA's variadic sort)
+    vs ~50 VPU passes here (~0.2 ms for the whole batch; r5_queue1 vs
+    r5_queue3 logs). Round j: per-row min value, its lane via a masked
+    lane-min, a one-hot gather of the row position, then the winning
+    lane is knocked out with +inf. Outputs are (QB, KP) lane-padded;
+    the caller slices [:, :k]."""
+    val = resv_ref[:]                                      # (QB, W)
+    pos = resp_ref[:]
+    QB, W = val.shape
+    lane = lax.broadcasted_iota(jnp.int32, (QB, W), 1)
+    out_lane = lax.broadcasted_iota(jnp.int32, (QB, KP), 1)
+    ov = jnp.full((QB, KP), jnp.inf, jnp.float32)
+    op = jnp.full((QB, KP), -1, jnp.int32)
+    for j in range(k):
+        m = jnp.min(val, axis=1, keepdims=True)            # (QB, 1)
+        is_m = val == m
+        win = jnp.min(jnp.where(is_m, lane, W), axis=1,
+                      keepdims=True)                       # (QB, 1)
+        sel_ = lane == win
+        p = jnp.max(jnp.where(sel_, pos, -1), axis=1,
+                    keepdims=True)                         # (QB, 1)
+        ok = jnp.isfinite(m)
+        ov = jnp.where((out_lane == j) & ok, m, ov)
+        op = jnp.where((out_lane == j) & ok, p, op)
+        val = jnp.where(sel_, jnp.inf, val)
+    outv_ref[:] = ov
+    outp_ref[:] = op
+
+
+def reservoir_topk(resv, resp, k: int, *, QB: int = 1024,
+                   interpret: bool = False):
+    """(nq, W) lane-min reservoir -> exact per-row k smallest
+    (values, positions), via the Pallas extraction kernel."""
+    nq, W = resv.shape
+    KP = 128                       # lane-width-padded output columns
+    assert k <= KP
+    QB = min(QB, max(nq, 8))
+    nblk = -(-nq // QB)
+    pad = nblk * QB - nq
+    if pad:
+        resv = jnp.pad(resv, ((0, pad), (0, 0)),
+                       constant_values=jnp.inf)
+        resp = jnp.pad(resp, ((0, pad), (0, 0)), constant_values=-1)
+    outv, outp = pl.pallas_call(
+        functools.partial(_reservoir_topk_kernel, k=k, KP=KP),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((QB, W), lambda i: (i, 0)),
+            pl.BlockSpec((QB, W), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((QB, KP), lambda i: (i, 0)),
+            pl.BlockSpec((QB, KP), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk * QB, KP), jnp.float32),
+            jax.ShapeDtypeStruct((nblk * QB, KP), jnp.int32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(resv, resp)
+    return outv[:nq, :k], outp[:nq, :k]
+
+
 # plain Python ints: jnp scalars here would be captured as pallas_call
 # constants (Mosaic rejects implicit captures)
 _PACKED_INIT = 0x7FFFFFFF
@@ -758,7 +827,7 @@ def flat_knn_fused(
         resp = outp.reshape(ntiles * Q, W)[:nq]
 
     bad = D.worst_value(metric)
-    assert sel in ("exact", "approx"), sel
+    assert sel in ("exact", "approx", "kernel"), sel
 
     def _select(neg_scores, kk_):
         # reservoir -> candidate selection. 'approx' uses the TPU-native
@@ -773,8 +842,13 @@ def flat_knn_fused(
 
     if refine and refine > 1:
         Rk = min(refine * k, W)
-        nv, sidx = _select(-resv, Rk)
-        cand = jnp.take_along_axis(resp, sidx, axis=1)       # (nq, Rk)
+        if sel == "kernel" and Rk <= 128:
+            rv, cand = reservoir_topk(resv, resp, Rk,
+                                      interpret=interpret)
+            nv = -rv
+        else:
+            nv, sidx = _select(-resv, Rk)
+            cand = jnp.take_along_axis(resp, sidx, axis=1)   # (nq, Rk)
         ok = (cand >= 0) & jnp.isfinite(-nv)
         safe = jnp.maximum(cand, 0)
         vecs = xb[safe].astype(jnp.float32)                  # (nq, Rk, d)
@@ -794,12 +868,16 @@ def flat_knn_fused(
         out_i = jnp.take_along_axis(cand, sel2, axis=1)
     else:
         kk = min(k, W)
-        nv, sidx = _select(-resv, kk)
-        out_d = -nv
+        if sel == "kernel" and kk <= 128:
+            out_d, out_i = reservoir_topk(resv, resp, kk,
+                                          interpret=interpret)
+        else:
+            nv, sidx = _select(-resv, kk)
+            out_d = -nv
+            out_i = jnp.take_along_axis(resp, sidx, axis=1)
         if not similarity:
             # reservoir values are ||x||^2 - 2<q,x>: restore ||q||^2
             out_d = out_d + jnp.sum(xq * xq, axis=1, keepdims=True)
-        out_i = jnp.take_along_axis(resp, sidx, axis=1)
     if kk < k:
         out_d = jnp.pad(out_d, ((0, 0), (0, k - kk)),
                         constant_values=jnp.inf)

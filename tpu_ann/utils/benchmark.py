@@ -67,12 +67,48 @@ class BenchResult:
     imbalance: float = 0.0          # Clustering.cpp imbalance_factor
     quantization_ms: float = 0.0    # fork QueryLatencyStats phase split
     list_scan_ms: float = 0.0
+    # TRUE per-query tails (search_stats_per_query over a sample; 0 =
+    # not measured). Kept separate from the per-batch p99/p999 columns:
+    # the distributions differ (VERDICT r4 missing #1)
+    pq_p99_ms: float = 0.0
+    pq_p999_ms: float = 0.0
 
 
 def latency_percentiles(times_s: Sequence[float]):
     a = np.asarray(times_s) * 1000.0
     return (float(a.mean()), float(np.percentile(a, 50)),
             float(np.percentile(a, 99)), float(np.percentile(a, 99.9)))
+
+
+def per_query_latency(index, xq, k: int = 10, *, params=None,
+                      sample: int = 0) -> dict:
+    """TRUE per-query latency distribution via
+    `Index.search_stats_per_query` — the fork's per-query
+    QueryLatencyStats analyses (tutorial/python/192-hnsw-ivf-latency.py:
+    338-392: per-query loop, P50/P99/P99.9 over per-query total_us and
+    the quantization/list_scan split). Distinct from the PER-BATCH
+    percentiles `run_grid` reports: a batch percentile averages over the
+    batch and understates the single-query tail.
+
+    sample>0 measures the first `sample` queries only (each query is a
+    batch-1 round trip)."""
+    xq = np.asarray(xq, np.float32)
+    if sample:
+        xq = xq[:sample]
+    _, _, st = index.search_stats_per_query(xq, k, params=params)
+    pq = st.per_query
+    out = {"nq": len(xq)}
+    for field in ("total_us", "quantization_us", "list_scan_us"):
+        a = getattr(pq, field)
+        out[field] = {
+            "mean": float(a.mean()),
+            "p50": float(np.percentile(a, 50)),
+            "p99": float(np.percentile(a, 99)),
+            "p99.9": float(np.percentile(a, 99.9)),
+        }
+    out["ndis"] = {"mean": float(pq.ndis.mean()),
+                   "max": int(pq.ndis.max())}
+    return out
 
 
 def run_grid(
@@ -82,6 +118,7 @@ def run_grid(
     index_kind: str = "ivf_hnsw",
     out_csv: Optional[str] = None,
     latency_batch: int = 64,
+    per_query_sample: int = 0,
     verbose: bool = True,
 ) -> List[BenchResult]:
     """Run the build x search grid (benchmark_advanced.cpp main loop)."""
@@ -158,6 +195,12 @@ def run_grid(
                     s_ms = st.list_scan_us / 1000.0
                 imb = (float(index.imbalance_factor())
                        if hasattr(index, "imbalance_factor") else 0.0)
+                pq99 = pq999 = 0.0
+                if per_query_sample:
+                    pl = per_query_latency(index, xq, k, params=p,
+                                           sample=per_query_sample)
+                    pq99 = pl["total_us"]["p99"] / 1000.0
+                    pq999 = pl["total_us"]["p99.9"] / 1000.0
                 r = BenchResult(
                     config=f"nlist={nlist},efc={efc}",
                     nlist=nlist, nprobe=nprobe, ef_search=efs,
@@ -165,7 +208,7 @@ def run_grid(
                     mean_latency_ms=mean, p50_ms=p50, p99_ms=p99,
                     p999_ms=p999, build_s=t_build, train_s=t_train,
                     imbalance=imb, quantization_ms=q_ms,
-                    list_scan_ms=s_ms,
+                    list_scan_ms=s_ms, pq_p99_ms=pq99, pq_p999_ms=pq999,
                 )
                 results.append(r)
                 if verbose:
