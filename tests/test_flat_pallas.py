@@ -317,3 +317,72 @@ def test_packed_merge_valid_n():
                            valid_n=2500, merge="packed", Q=64, R=512,
                            W=256, refine=4, interpret=True)
     assert np.asarray(I1).max() < 2500
+
+
+def test_reservoir_topk_matches_laxtopk():
+    """sel='kernel' extraction oracle (interpret mode)."""
+    from jax import lax
+
+    from tpu_ann.ops.flat_knn_pallas import reservoir_topk
+
+    rs = np.random.RandomState(3)
+    resv = rs.randn(300, 256).astype(np.float32)
+    resp = rs.randint(0, 10**6, size=(300, 256)).astype(np.int32)
+    resv[7] = np.inf                      # dead row -> -1/inf outputs
+    v, p = reservoir_topk(jnp.asarray(resv), jnp.asarray(resp), 12,
+                          interpret=True)
+    tv, ti = lax.top_k(-jnp.asarray(resv), 12)
+    live = np.arange(300) != 7
+    np.testing.assert_allclose(np.asarray(v)[live],
+                               -np.asarray(tv)[live])
+    ref_p = np.take_along_axis(resp, np.asarray(ti), axis=1)
+    np.testing.assert_array_equal(np.asarray(p)[live], ref_p[live])
+    assert (np.asarray(p)[7] == -1).all()
+
+
+def test_flat_fused_sel_kernel_matches_exact():
+    rs = np.random.RandomState(5)
+    xb = rs.randn(3000, 24).astype(np.float32)
+    xq = rs.randn(60, 24).astype(np.float32)
+    kw = dict(Q=64, R=512, W=128, schedule="grid", interpret=True)
+    d0, i0 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), 8,
+                               refine=0, sel="exact", **kw)
+    d1, i1 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), 8,
+                               refine=0, sel="kernel", **kw)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-6)
+    d2, i2 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), 8,
+                               refine=4, sel="kernel", **kw)
+    d3, i3 = flat_knn_fused(jnp.asarray(xq), jnp.asarray(xb), 8,
+                               refine=4, sel="exact", **kw)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
+
+
+def test_int_exact_gate():
+    """Integer-exactness auto-detection on the IndexFlat fused path."""
+    from tpu_ann.models.flat import IndexFlat, _int_exact_stats
+
+    rs = np.random.RandomState(6)
+    xi = np.floor(rs.rand(500, 16) * 255).astype(np.float32)
+    ok, mx = _int_exact_stats(jnp.asarray(xi))
+    assert bool(np.asarray(ok)) and float(np.asarray(mx)) <= 255
+
+    idx = IndexFlat(16)
+    idx.add(xi)
+    idx._fused_packed = object()          # pretend packed; set db stats
+    idx._db_int_max = float(np.asarray(mx))
+    assert idx._use_exact_kernel(jnp.asarray(xi[:8]))
+    # float queries disable the exact path
+    assert not idx._use_exact_kernel(jnp.asarray(xi[:8] + 0.5))
+    # magnitude past the exact-f32-sum bound disables it:
+    # 2 * d * qmax * dbmax must stay <= 2^24
+    idx._db_int_max = 256.0
+    big = np.full((4, 16), 256.0, np.float32)
+    assert 2 * 16 * 256 * 256 <= 2**24   # d=16 still passes
+    assert idx._use_exact_kernel(jnp.asarray(big))
+    idx.d = 8192                          # force the bound to fail
+    assert not idx._use_exact_kernel(jnp.asarray(big))
+    # explicit pin wins
+    idx.exact_kernel = False
+    assert not idx._use_exact_kernel(jnp.asarray(xi[:8]))

@@ -20,6 +20,19 @@ from ..ops import distances as D
 from .base import Index, METRIC_INNER_PRODUCT, METRIC_L2, next_pow2
 
 
+def _int_exact_stats(x):
+    """(all non-negative integers?, max value) — one cheap device pass
+    feeding the integer-exactness gate of the fused flat path."""
+    import jax
+
+    @jax.jit
+    def f(a):
+        ints = jnp.all(a == jnp.round(a)) & jnp.all(a >= 0)
+        return ints, jnp.max(a)
+
+    return f(x)
+
+
 class IndexFlat(Index):
     """Exact index over raw float32 vectors on device."""
 
@@ -49,6 +62,21 @@ class IndexFlat(Index):
         # double-buffering pipelines chunk DMAs better than the manual
         # in-kernel fori loop.
         self.fused_schedule = "grid"
+        # Integer-exactness fast path. Real SIFT/BigANN descriptors are
+        # uint8-valued; for non-negative integer inputs small enough
+        # that every MXU partial sum stays under 2^24, the bf16 kernel's
+        # scores are BIT-EXACT (inputs lossless in bf16, f32 integer
+        # accumulation exact — proven + measured 14218/14218 identical
+        # to f32 GT, benchs/logs/r5_queue1.jsonl "exactness"), so the
+        # exact-f32 refine pass is pure overhead and the fused search
+        # runs refine=0 with a wider reservoir instead.
+        #   None  = auto: DB checked at pack time (one device reduction),
+        #           queries checked per call (costs one scalar sync —
+        #           latency-critical pipelines should pin True/False)
+        #   True  = caller guarantees integer-exact data
+        #   False = always use the bf16+refine discipline
+        self.exact_kernel: Optional[bool] = None
+        self._db_int_max: Optional[float] = None  # None = not integer
 
     # --- storage ----------------------------------------------------------
     def _ensure_capacity(self, n_new: int) -> None:
@@ -124,27 +152,64 @@ class IndexFlat(Index):
 
         return _jax.default_backend() != "cpu"
 
+    # reservoir width of the integer-exact refine-0 path: W=2048 halves
+    # the lane-collision loss vs 1024 (measured 0.99749 vs 0.99516
+    # recall@10 at 1M, benchs/logs/r5_queue{1,3}.jsonl)
+    fused_W_exact = 2048
+
+    def _use_exact_kernel(self, xq_dev) -> bool:
+        """True when BOTH sides are integer-valued in a range where the
+        bf16 kernel is bit-exact (see the exact_kernel knob): inputs
+        non-negative integers, losslessly bf16-representable (<= 256),
+        and every f32 partial sum an exact integer
+        (2 * d * max_q * max_x <= 2^24)."""
+        if self.exact_kernel is not None:
+            return bool(self.exact_kernel)
+        if self.metric_type != METRIC_L2 or self._db_int_max is None:
+            return False
+        q_int, q_max = _int_exact_stats(xq_dev)
+        if not bool(np.asarray(q_int)):
+            return False
+        q_max = float(np.asarray(q_max))
+        return (q_max <= 256.0 and
+                2.0 * self.d * q_max * self._db_int_max <= 2.0 ** 24)
+
     def _fused_search_device(self, xq_dev, k: int, id_mask=None):
         from ..ops.flat_knn_pallas import flat_knn_fused, pack_flat_db
 
         # R=8192/W=1024 won the v5e occupancy sweep (r3) and held
         # across the r4 scalar-forced (R, W, Q) grid
-        # (benchs/logs/r4_queue9.jsonl); Q=1024 on large batches and the
-        # approx_max_k reservoir selection each won ~3-4% at identical
-        # recall (the exact f32 refine re-ranks either way). k<=256 is
-        # guarded upstream. The packed layout (with valid_n baked in) is
-        # cached across searches and invalidated on mutation.
+        # (benchs/logs/r4_queue9.jsonl); Q=1024 on large batches won
+        # ~3-4% at identical recall. k<=256 is guarded upstream. The
+        # packed layout (with valid_n baked in) is cached across
+        # searches and invalidated on mutation.
         if self._fused_packed is None:
             self._fused_packed = pack_flat_db(
                 self._xb, self.metric_type,
                 xb_norms=(self._norms
                           if self.metric_type == METRIC_L2 else None),
                 valid_n=jnp.int32(self.ntotal), R=8192)
+            db_int, db_max = _int_exact_stats(self.vectors)
+            db_max = float(np.asarray(db_max))
+            self._db_int_max = (
+                db_max if bool(np.asarray(db_int)) and db_max <= 256.0
+                else None)
+        Q = 1024 if xq_dev.shape[0] >= 2048 else 512
+        if k <= 128 and self._use_exact_kernel(xq_dev):
+            # bit-exact scores: skip the refine, select in-kernel, widen
+            # the reservoir for collision margin (r5_queue3 grid)
+            return flat_knn_fused(
+                xq_dev, self._xb, k, self.metric_type,
+                id_mask=id_mask, packed=self._fused_packed,
+                Q=Q, R=8192, W=self.fused_W_exact,
+                refine=0, sel="kernel", schedule=self.fused_schedule,
+            )
         return flat_knn_fused(
             xq_dev, self._xb, k, self.metric_type,
             id_mask=id_mask, packed=self._fused_packed,
-            Q=1024 if xq_dev.shape[0] >= 2048 else 512, R=8192, W=1024,
-            refine=max(4, self.refine_factor), sel="approx",
+            Q=Q, R=8192, W=1024,
+            refine=max(4, self.refine_factor),
+            sel="kernel" if 4 * k <= 128 else "approx",
             schedule=self.fused_schedule,
         )
 
