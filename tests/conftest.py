@@ -23,6 +23,12 @@ jax.config.update("jax_num_cpu_devices", 8)
 # compiled executables on disk keeps repeat runs far below the
 # crash threshold and makes them much faster. The directory lives next
 # to the tests (gitignored) so it persists across runs on one machine.
+#
+# COLD machines: run `python tests/run_suite.py` — it splits the files
+# over fresh pytest processes so each stays far below the crash
+# threshold; measured green from `rm -rf .jax_test_cache` in one
+# command (6 batches, 1370 s total; benchs/logs/r5_cold_suite.log).
+# The cache then remains an accelerator, not a correctness crutch.
 _cache = os.path.join(os.path.dirname(__file__), os.pardir,
                       ".jax_test_cache")
 # tpu_ann/__init__.py installs its own cache config on import (10 s

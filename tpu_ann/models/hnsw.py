@@ -70,6 +70,9 @@ class HNSWParams:
         self.fused_hops = 1        # graph hops after the hop-0 route
         self.fused_F = 4           # fresh tiles scanned per graph hop
         self.fused_kp = 8          # per-(query, tile) extraction width
+        self.fused_kp_max = 128    # cap of the wide-k (coarse-quantizer)
+                                   # kp scaling; extraction cost is
+                                   # linear in kp (r5_queue4 sweep)
         # Mosaic's DMA/reshape tiling wants 128-row blocks; the fused
         # path therefore uses its own (coarser) tile size
         self.fused_tile_size = 128
@@ -302,7 +305,7 @@ class IndexHNSW(Index):
         # freezes regardless of ef (measured: 0.816 for efSearch
         # 128..2048 at nprobe=64 on the calibrated-hard surrogate,
         # benchs/logs/r4_queue10.jsonl — the round-4 "saturation").
-        kp = max(hp.fused_kp, min(ftg.b, k))
+        kp = max(hp.fused_kp, min(ftg.b, k, hp.fused_kp_max))
         Dv, Pv, Iv = HT.tile_search_fused(
             ftg, xq_dev, k,
             nprobe0=nprobe0,
