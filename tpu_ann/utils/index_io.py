@@ -273,22 +273,41 @@ def _dump_ivf_common(index) -> Tuple[dict, dict]:
     arrays = {}
     qm, qa = dump_index(index.quantizer)
     _flatten("quantizer", qm, qa, meta, arrays)
-    if index.invlists is not None:
+    # Raw-float invlists whose content is fully recoverable from the
+    # host store are NOT downloaded: the device arrays are a reordered
+    # copy of _xb_host, and pulling them back through a remote-TPU
+    # tunnel dominated save time (Deep10M: 526 s for 7.9 GB, ~15 MB/s —
+    # BENCHMARKS.md round-4 build profile). Instead the per-chunk coarse
+    # assignments are saved (tiny) and the packed layout is rebuilt by
+    # the native counting sort on first use after load (_maybe_repack).
+    # Coded invlists (PQ/SQ) still download their codes — re-encoding at
+    # load would cost device GEMMs, and codes are ~16-96 B/vector.
+    host_n = sum(len(c) for c in index._xb_host) if index._xb_host else 0
+    coded_il = index.invlists is not None and \
+        not hasattr(index.invlists, "data")
+    il_from_host = (index.invlists is not None and not coded_il
+                    and host_n == index.ntotal
+                    and getattr(index, "_removed_mask", None) is None)
+    meta["il_from_host"] = il_from_host
+    if index.invlists is not None and not il_from_host:
         il = index.invlists
         meta["max_nblocks"] = il.max_nblocks_per_list
-        coded = not hasattr(il, "data")
-        meta["il_coded"] = coded
+        meta["il_coded"] = coded_il
         arrays.update({
-            "il_data": np.asarray(il.codes if coded else il.data),
+            "il_data": np.asarray(il.codes if coded_il else il.data),
             "il_ids": np.asarray(il.ids),
             "il_start": np.asarray(il.list_block_start),
             "il_nblocks": np.asarray(il.list_nblocks),
         })
-        if not coded:
+        if not coded_il:
             arrays["il_norms"] = np.asarray(il.norms)
     if index._xb_host:
         arrays["xb_host"] = np.concatenate(index._xb_host, axis=0)
         arrays["ids_host"] = np.concatenate(index._ids_host, axis=0)
+        if il_from_host and all(a is not None
+                                for a in index._assign_host):
+            arrays["assign_host"] = np.concatenate(
+                [np.asarray(a, np.int32) for a in index._assign_host])
     return meta, arrays
 
 
@@ -302,6 +321,17 @@ def _restore_ivf_common(idx, meta, arrays):
     idx.nprobe = int(meta["nprobe"])
     idx.ntotal = int(meta["ntotal"])
     idx.is_trained = True
+    if meta.get("il_from_host"):
+        # packed invlists were not serialized (see _dump_ivf_common):
+        # restore the host store + assignments and let the first use
+        # rebuild the device layout via the normal repack path
+        idx._xb_host = [np.asarray(arrays["xb_host"])]
+        idx._ids_host = [np.asarray(arrays["ids_host"])]
+        idx._assign_host = [np.asarray(arrays["assign_host"], np.int64)
+                            if "assign_host" in arrays else None]
+        idx._dirty = True
+        idx.invlists = None
+        return idx
     if meta.get("has_invlists"):
         if meta.get("il_coded"):
             from ..ops.ivf_scan import PackedCodeInvLists
