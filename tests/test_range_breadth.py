@@ -254,3 +254,77 @@ def test_idmap2_factory(small_ds):
     idx1 = index_factory(small_ds.d, "IDMap,Flat")
     assert isinstance(idx1, IndexIDMap)
     assert not isinstance(idx1, IndexIDMap2)
+
+
+@pytest.mark.parametrize("kind", ["rq", "qinco", "lsh", "minmax",
+                                  "twolayer"])
+def test_flatcodes_family_range_search(small_ds, kind):
+    """Every IndexFlatCodes descendant range-searches in the reference
+    (faiss/IndexFlatCodes.h:65); check each repo counterpart against
+    its own decoded/coded oracle."""
+    xq = small_ds.get_queries()[:8]
+    xb = small_ds.get_database()[:1500]
+    xt = small_ds.get_train()
+
+    if kind == "rq":
+        from tpu_ann.models.rq import IndexResidualQuantizer
+
+        idx = IndexResidualQuantizer(small_ds.d, M=4, nbits=4)
+        idx.train(xt)
+        idx.add(xb)
+        decoded = idx.sa_decode(np.asarray(idx._codes[: idx.ntotal]))
+    elif kind == "qinco":
+        from tpu_ann.models.qinco import IndexQINCo
+
+        idx = IndexQINCo(small_ds.d, K=16, L=1, M=2, h=16)
+        idx.train(xt[:500])
+        idx.add(xb[:400])
+        decoded = idx.sa_decode(idx._codes)
+    elif kind == "lsh":
+        from tpu_ann.models.extra import IndexLSH
+
+        idx = IndexLSH(small_ds.d, 32)
+        idx.add(xb)
+        D1, _ = idx.search(xq, 10)
+        radius = float(np.median(D1[:, 5])) + 0.5
+        lims, dd, ii = idx.range_search(xq, radius)
+        # oracle: Hamming over the codes
+        qc = np.unpackbits(idx.sa_encode(xq), axis=1,
+                           bitorder="little")
+        bc = np.unpackbits(idx.sa_encode(xb), axis=1,
+                           bitorder="little")
+        for i in range(len(xq)):
+            ham = (qc[i][None] != bc).sum(1)
+            expect = set(np.nonzero(ham < radius)[0].tolist())
+            assert set(ii[lims[i]:lims[i + 1]].tolist()) == expect
+        return
+    elif kind == "minmax":
+        from tpu_ann.models.extra import IndexRowwiseMinMax
+        from tpu_ann.models.flat import IndexFlat
+
+        idx = IndexRowwiseMinMax(IndexFlat(small_ds.d))
+        idx.add(xb)
+        D1, _ = idx.search(xq, 10)
+        radius = float(np.median(D1[:, 5]))
+        lims, dd, ii = idx.range_search(xq, radius)
+        xn, _, _ = idx._normalize(xb)
+        qn, _, _ = idx._normalize(xq)
+        for i in range(len(xq)):
+            dif = xn - qn[i]
+            dis = (dif * dif).sum(1)
+            expect = set(np.nonzero(dis < radius)[0].tolist())
+            assert set(ii[lims[i]:lims[i + 1]].tolist()) == expect
+        return
+    else:
+        from tpu_ann.models.extra import Index2Layer
+
+        from tpu_ann.models.flat import IndexFlat
+
+        idx = Index2Layer(IndexFlat(small_ds.d), nlist=8, M=4)
+        idx.train(xt)
+        idx.add(xb)
+        decoded = idx._decode_all()
+
+    D1, _ = idx.search(xq, 10)
+    radius = float(np.median(D1[:, 5]))
+    _check_vs_decoded_oracle(idx, decoded, xq, radius, eps=3e-3)

@@ -71,6 +71,18 @@ class IndexLSH(Index):
         Dv, Iv = self._bin.search(codes, k)
         return Dv.astype(np.float32), Iv
 
+    def range_search(self, x, radius: float):
+        """Hamming-radius range search over the hashed codes (faiss
+        IndexLSH inherits IndexFlatCodes::range_search with its
+        Hamming-grade code distances; distances returned as float like
+        search())."""
+        import math
+
+        codes = self.sa_encode(np.asarray(x, np.float32))
+        # integer Hamming distances: {ham < r} == {ham < ceil(r)}
+        lims, dd, ii = self._bin.range_search(codes, math.ceil(radius))
+        return lims, dd.astype(np.float32), ii
+
     def reset(self) -> None:
         self._bin.reset()
         self.ntotal = 0
@@ -113,6 +125,13 @@ class IndexRowwiseMinMax(Index):
     def search(self, x, k: int, *, params=None):
         xn, _, _ = self._normalize(self._check_input(x))
         return self.index.search(xn, k, params=params)
+
+    def range_search(self, x, radius: float):
+        """Normalize then forward (same transform as search(); the
+        radius is interpreted in the normalized space, matching the
+        IndexRowwiseMinMax search semantics)."""
+        xn, _, _ = self._normalize(self._check_input(x))
+        return self.index.range_search(xn, radius)
 
     def reconstruct(self, key: int) -> np.ndarray:
         mins = np.concatenate(self._mins)
@@ -249,6 +268,21 @@ class Index2Layer(Index):
         xb = self._decode_all()
         Dv, Iv = D.knn(jnp.asarray(x), jnp.asarray(xb), k, self.metric_type)
         return np.asarray(Dv), np.asarray(Iv, np.int64)
+
+    def range_search(self, x, radius: float):
+        """Exact codec-distance range scan over the two-level
+        reconstructions (IndexFlatCodes.h:65 role)."""
+        from ..ops.range_search import range_search_decoded
+
+        x = self._check_input(x)
+        if self.ntotal == 0:
+            return (np.zeros(len(x) + 1, np.int64),
+                    np.zeros(0, np.float32), np.zeros(0, np.int64))
+        xb = self._decode_all()
+        res = range_search_decoded(
+            x, lambda i0, i1: xb[i0:i1], self.ntotal, radius,
+            self.metric_type)
+        return res.lims, res.distances, res.labels
 
     def sa_code_size(self) -> int:
         return 4 + self.M  # int32 list id + M bytes (reference packs tighter)

@@ -66,6 +66,12 @@ class IndexNeuralNetCodec(Index):
     def reconstruct_n(self, i0: int, ni: int) -> np.ndarray:
         return self.sa_decode(self._codes[i0:i0 + ni])
 
+    def range_search(self, x, radius: float):
+        """Exact codec-distance range scan (IndexFlatCodes.h:65)."""
+        from ..ops.range_search import range_search_flatcodes
+
+        return range_search_flatcodes(self, x, radius)
+
     def reconstruct(self, key: int) -> np.ndarray:
         return self.reconstruct_n(int(key), 1)[0]
 

@@ -140,6 +140,12 @@ class IndexResidualQuantizer(Index):
     def reconstruct(self, key: int) -> np.ndarray:
         return self.sa_decode(np.asarray(self._codes[key : key + 1]))[0]
 
+    def range_search(self, x, radius: float):
+        """Exact codec-distance range scan (IndexFlatCodes.h:65)."""
+        from ..ops.range_search import range_search_flatcodes
+
+        return range_search_flatcodes(self, x, radius)
+
 
 IndexAdditiveQuantizer = IndexResidualQuantizer  # family alias
 

@@ -121,6 +121,28 @@ def range_search_decoded(
     return csr_from_hits(nq, hits_d, hits_i)
 
 
+def range_search_flatcodes(index, x, radius: float,
+                           codes=None) -> tuple:
+    """Generic coded-flat range search for any index exposing
+    `sa_decode` over stored codes — the default every IndexFlatCodes
+    descendant inherits in the reference (faiss/IndexFlatCodes.h:65).
+    Returns the (lims, D, I) tuple directly."""
+    x = index._check_input(x)
+    if index.ntotal == 0:
+        return (np.zeros(len(x) + 1, np.int64), np.zeros(0, np.float32),
+                np.zeros(0, np.int64))
+    if codes is None:
+        codes = index._codes
+    codes = np.asarray(codes)
+
+    def decode_block(i0, i1):
+        return index.sa_decode(codes[i0:i1])
+
+    res = range_search_decoded(x, decode_block, index.ntotal, radius,
+                               index.metric_type)
+    return res.lims, res.distances, res.labels
+
+
 def range_search_ivf(
     xq: np.ndarray,
     probes: np.ndarray,
