@@ -618,7 +618,12 @@ class IndexIVF(Index):
         xq_dev = jnp.asarray(x)
         with Timer() as t_q:
             cd, probes = self._coarse_search_device(xq_dev, nprobe)
-            probes = jax.block_until_ready(probes.astype(jnp.int32))
+            probes = probes.astype(jnp.int32)
+            # scalar readback: jax.block_until_ready does not
+            # reliably block on the axon platform (verify-skill
+            # caveat), which mis-attributed the phase split
+            # (r5_queue4); a 4-byte download is a real fence
+            np.asarray(probes[:1, :1])
         with Timer() as t_s:
             # same dispatch as search() so the timing split reflects the
             # production scan (fused kernel on Mosaic backends)

@@ -142,7 +142,12 @@ class IndexIVFSpectralHash(IndexIVF):
         xq_dev = jnp.asarray(x)
         with Timer() as t_q:
             _, probes = self._coarse_search_device(xq_dev, nprobe)
-            probes = jax.block_until_ready(probes.astype(jnp.int32))
+            probes = probes.astype(jnp.int32)
+            # scalar readback: jax.block_until_ready does not
+            # reliably block on the axon platform (verify-skill
+            # caveat), which mis-attributed the phase split
+            # (r5_queue4); a 4-byte download is a real fence
+            np.asarray(probes[:1, :1])
         with Timer() as t_s:
             zq = jnp.asarray(self.vt.apply(x))
             Dv, Iv, ndis = ivf_scan.scan_invlists_hash(

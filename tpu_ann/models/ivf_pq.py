@@ -199,7 +199,12 @@ class IndexIVFPQ(IndexIVF):
         xq_dev = jnp.asarray(x)
         with Timer() as t_q:
             cd, probes = self._coarse_search_device(xq_dev, nprobe)
-            probes = jax.block_until_ready(probes.astype(jnp.int32))
+            probes = probes.astype(jnp.int32)
+            # scalar readback: jax.block_until_ready does not
+            # reliably block on the axon platform (verify-skill
+            # caveat), which mis-attributed the phase split
+            # (r5_queue4); a 4-byte download is a real fence
+            np.asarray(probes[:1, :1])
         with Timer() as t_s:
             Dv, Iv, ndis = self._scan_device(xq_dev, probes, cd, k, mnb)
             Dv = np.asarray(Dv)
@@ -373,7 +378,12 @@ class IndexIVFPQR(IndexIVFPQ):
         xq_dev = jnp.asarray(x)
         with Timer() as t_q:
             cd, probes = self._coarse_search_device(xq_dev, nprobe)
-            probes = jax.block_until_ready(probes.astype(jnp.int32))
+            probes = probes.astype(jnp.int32)
+            # scalar readback: jax.block_until_ready does not
+            # reliably block on the axon platform (verify-skill
+            # caveat), which mis-attributed the phase split
+            # (r5_queue4); a 4-byte download is a real fence
+            np.asarray(probes[:1, :1])
         kk = min(int(k * max(self.k_factor, 1)),
                  max(int(self.ntotal), k))
         with Timer() as t_s:
@@ -536,7 +546,12 @@ class IndexIVFScalarQuantizer(IndexIVF):
         xq_dev = jnp.asarray(x)
         with Timer() as t_q:
             _, probes = self._coarse_search_device(xq_dev, nprobe)
-            probes = jax.block_until_ready(probes.astype(jnp.int32))
+            probes = probes.astype(jnp.int32)
+            # scalar readback: jax.block_until_ready does not
+            # reliably block on the axon platform (verify-skill
+            # caveat), which mis-attributed the phase split
+            # (r5_queue4); a 4-byte download is a real fence
+            np.asarray(probes[:1, :1])
         vmin, vdiff = self._sq_params()
         with Timer() as t_s:
             Dv, Iv, ndis = ivf_scan.scan_invlists_sq(
