@@ -327,6 +327,14 @@ def reservoir_topk(resv, resp, k: int, *, QB: int = 1024,
         resv = jnp.pad(resv, ((0, pad), (0, 0)),
                        constant_values=jnp.inf)
         resp = jnp.pad(resp, ((0, pad), (0, 0)), constant_values=-1)
+    # scoped-vmem sizing: 2x (QB, W) inputs (+double-buffered), 2x
+    # (QB, KP) outputs, plus the extraction loop's live temporaries —
+    # Mosaic's 16 MB default rejects QB=1024/W=1024 (measured 25.9 MB)
+    blocks = 2 * (QB * W * 4) + 2 * (QB * KP * 4)
+    params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("parallel",),
+        vmem_limit_bytes=min(int(3 * blocks) + (8 << 20), 128 << 20),
+    )
     outv, outp = pl.pallas_call(
         functools.partial(_reservoir_topk_kernel, k=k, KP=KP),
         grid=(nblk,),
@@ -342,8 +350,7 @@ def reservoir_topk(resv, resp, k: int, *, QB: int = 1024,
             jax.ShapeDtypeStruct((nblk * QB, KP), jnp.float32),
             jax.ShapeDtypeStruct((nblk * QB, KP), jnp.int32),
         ],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+        compiler_params=params,
         interpret=interpret,
     )(resv, resp)
     return outv[:nq, :k], outp[:nq, :k]
