@@ -119,7 +119,7 @@ def main():
         packed = pack_flat_db(xb_dev, D.METRIC_L2, R=8192)
         jax.block_until_ready(packed[0])
         t_build_flat = time.time() - t2
-        kw = dict(Q=1024, R=8192, W=2048, refine=0, sel="kernel",
+        kw = dict(Q=512, R=8192, W=2048, refine=0, sel="kernel",
                   schedule="grid")
 
         def flat_fn():
@@ -203,7 +203,7 @@ def main():
             from tpu_ann.ops.flat_knn_pallas import flat_knn_fused
 
             B = 8192
-            kwh = dict(Q=1024, R=8192, W=2048, refine=0, sel="kernel",
+            kwh = dict(Q=512, R=8192, W=2048, refine=0, sel="kernel",
                        schedule="grid")
             # warm the batch shape
             packed_h = packed

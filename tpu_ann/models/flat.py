@@ -153,8 +153,10 @@ class IndexFlat(Index):
         return _jax.default_backend() != "cpu"
 
     # reservoir width of the integer-exact refine-0 path: W=2048 halves
-    # the lane-collision loss vs 1024 (measured 0.99749 vs 0.99516
-    # recall@10 at 1M, benchs/logs/r5_queue{1,3}.jsonl)
+    # the lane-collision loss vs 1024 — measured on the calibrated-hard
+    # 1M surrogate (benchs/logs/r5_queue3.jsonl, scalar-forced):
+    #   W=1024: recall@10 0.99516 @ 258.4k QPS (33.6% MFU)
+    #   W=2048: recall@10 0.99749 @ 236.3k QPS (30.7% MFU)  <- default
     fused_W_exact = 2048
 
     def _use_exact_kernel(self, xq_dev) -> bool:
@@ -197,11 +199,13 @@ class IndexFlat(Index):
         Q = 1024 if xq_dev.shape[0] >= 2048 else 512
         if k <= 128 and self._use_exact_kernel(xq_dev):
             # bit-exact scores: skip the refine, select in-kernel, widen
-            # the reservoir for collision margin (r5_queue3 grid)
+            # the reservoir for collision margin. Q=512 measured faster
+            # than 1024 under the in-kernel select (258k vs 249k QPS,
+            # r5_queue3)
             return flat_knn_fused(
                 xq_dev, self._xb, k, self.metric_type,
                 id_mask=id_mask, packed=self._fused_packed,
-                Q=Q, R=8192, W=self.fused_W_exact,
+                Q=512, R=8192, W=self.fused_W_exact,
                 refine=0, sel="kernel", schedule=self.fused_schedule,
             )
         return flat_knn_fused(
