@@ -290,14 +290,16 @@ def _reservoir_topk_kernel(resv_ref, resp_ref, outv_ref, outp_ref,
     lane-min, a one-hot gather of the row position, then the winning
     lane is knocked out with +inf. Outputs are (QB, KP) lane-padded;
     the caller slices [:, :k]."""
-    val = resv_ref[:]                                      # (QB, W)
     pos = resp_ref[:]
-    QB, W = val.shape
+    QB, W = pos.shape
     lane = lax.broadcasted_iota(jnp.int32, (QB, W), 1)
     out_lane = lax.broadcasted_iota(jnp.int32, (QB, KP), 1)
-    ov = jnp.full((QB, KP), jnp.inf, jnp.float32)
-    op = jnp.full((QB, KP), -1, jnp.int32)
-    for j in range(k):
+
+    # fori (not a Python unroll): Mosaic stack-allocates each unrolled
+    # round's temporaries, which blows scoped vmem past ~10 rounds at
+    # production shapes; the carried loop keeps one live copy
+    def round_(j, carry):
+        val, ov, op = carry
         m = jnp.min(val, axis=1, keepdims=True)            # (QB, 1)
         is_m = val == m
         win = jnp.min(jnp.where(is_m, lane, W), axis=1,
@@ -308,7 +310,13 @@ def _reservoir_topk_kernel(resv_ref, resp_ref, outv_ref, outp_ref,
         ok = jnp.isfinite(m)
         ov = jnp.where((out_lane == j) & ok, m, ov)
         op = jnp.where((out_lane == j) & ok, p, op)
-        val = jnp.where(sel_, jnp.inf, val)
+        return jnp.where(sel_, jnp.inf, val), ov, op
+
+    _, ov, op = lax.fori_loop(
+        0, k, round_,
+        (resv_ref[:],
+         jnp.full((QB, KP), jnp.inf, jnp.float32),
+         jnp.full((QB, KP), -1, jnp.int32)))
     outv_ref[:] = ov
     outp_ref[:] = op
 
