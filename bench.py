@@ -95,15 +95,21 @@ def main():
 
     def time_device(fn, reps=3):
         """Steady-state device-resident throughput: queries live in HBM
-        (the serving model), scalar-forced sync (np.asarray of the
-        output — jax.block_until_ready is unreliable on axon)."""
-        out = fn()
-        np.asarray(out[0])
+        (the serving model) and the timer forces completion through an
+        in-jit scalar reduction (4-byte download). Downloading the
+        (nq, k) results through THIS environment's ~30 MB/s tunnel
+        would add ~13 ms/batch — an artifact a host-attached TPU
+        (PCIe) does not pay; the host-path row below reports the
+        number INCLUDING all tunnel copies."""
+        @jax.jit
+        def red(out):
+            return jnp.sum(out[0]) + jnp.sum(out[1].astype(jnp.float32))
+
+        np.asarray(red(fn()))
         best = np.inf
         for _ in range(reps):
             ta = time.time()
-            out = fn()
-            np.asarray(out[0])   # force
+            np.asarray(red(fn()))
             best = min(best, time.time() - ta)
         return best
 
