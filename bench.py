@@ -208,7 +208,7 @@ def main():
         if flat_fn is not None:
             from tpu_ann.ops.flat_knn_pallas import flat_knn_fused
 
-            B = 8192
+            B = 2048     # 4+ batches -> steadier pipeline number
             kwh = dict(Q=512, R=8192, W=2048, refine=0, sel="kernel",
                        schedule="grid")
             # warm the batch shape
