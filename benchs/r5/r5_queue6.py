@@ -41,7 +41,7 @@ PQF = os.path.join(ROOT, "pq.npz")
 N, D_, NLIST, M, NBITS = 100_000_000, 96, 65536, 32, 4
 NQ, NQ_GT, K = 10_000, 1024, 10
 SEED, CHUNK = 31, 2_000_000
-NPROTO, SIGMA, G = 6400, 1.3, 8
+NPROTO, SIGMA, G = 256, 1.3, 8   # cells/cloud-matched (see datasets.py presets)
 
 os.makedirs(ROOT, exist_ok=True)
 

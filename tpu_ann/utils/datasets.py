@@ -146,14 +146,18 @@ def sift_surrogate(n: int, seed: int = 0, chunk: int = 200_000,
     return out
 
 
-# Hard-difficulty preset for deep_surrogate at 10M scale: the per-
-# prototype cloud size (draws/prototype = n/nproto) is held at the
-# SIFT1M-calibrated value (1M/64 -> 10M/640) with the same jitter
-# sigma, so true neighbors straddle k-means cells at the same rate —
-# the calibration recipe of BENCHMARKS.md extended to 96-d/10M
-# (round-5 VERDICT #4).
-DEEP10M_CALIBRATED = {"nproto": 640, "sigma": 1.3}
-DEEP100M_CALIBRATED = {"nproto": 6400, "sigma": 1.3}
+# Hard-difficulty presets for deep_surrogate. The invariant that sets
+# IVF difficulty is CELLS SPANNED PER PROTOTYPE CLOUD (cloud_draws /
+# points_per_cell), not draws per cloud: the SIFT1M-calibrated recipe
+# (nproto=64 @ 1M, nlist=15625) spans ~244 cells/cloud. Holding
+# draws/cloud constant instead (the first r5 attempt, nproto=640 @
+# 10M) spans only ~26 cells at nlist=16384 and the recall-vs-nprobe
+# curve saturates at nprobe=16 (measured 0.9957 flat,
+# benchs/logs/r5_queue5.jsonl) — too easy. Matching cells/cloud:
+#   10M, nlist=16384:  cloud = 244 * 610  -> nproto = 64
+#   100M, nlist=65536: cloud = 244 * 1526 -> nproto = 256
+DEEP10M_CALIBRATED = {"nproto": 64, "sigma": 1.3}
+DEEP100M_CALIBRATED = {"nproto": 256, "sigma": 1.3}
 
 
 def deep_surrogate(n: int, seed: int = 0, chunk: int = 200_000,
