@@ -1,0 +1,171 @@
+"""Round-5 queue 9 (corrected difficulty)
+
+Re-run of the queue-5 sweeps with the cells-per-cloud-matched preset
+(DEEP10M_CALIBRATED nproto=64 after the fix; see datasets.py): the
+first preset saturated recall at nprobe=16. Original header follows.
+
+"""
+
+_ORIG = """Round-5 queue 5 — capacity scale at REAL difficulty (VERDICT #4).
+
+Round 4 measured Deep10M (hybrid + IVF65536,PQ32x4fs,RFlat) on the easy
+mixture-of-Gaussians surrogate only. This re-measures both on the
+96-d hard surrogate (utils/datasets.deep_surrogate **DEEP10M_CALIBRATED
+— the SIFT1M calibration recipe's cloud-size/jitter held constant at
+10M scale) and records a difficulty probe so the "hard" label is
+auditable: at 500k/7812 lists the IVF recall-vs-probe-ratio curve must
+sit in the calibrated family (mid-0.9s at 0.4% probes), not saturate
+near 1.0 like the old easy surrogate.
+
+Results -> benchs/logs/r5_queue5.jsonl.
+"""
+import gc
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+LOG = "/root/repo/benchs/logs"
+OUT = os.path.join(LOG, "r5_queue9.jsonl")
+
+
+def emit(rec):
+    rec = dict(rec, ts=time.time())
+    print("RESULT " + json.dumps(rec), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_ann.models.ivf import make_ivf_flat, SearchParametersIVF
+    from tpu_ann.models.ivf_hnsw import IndexIVFHNSW
+    from tpu_ann.ops import distances as D
+    from tpu_ann.ops.topk import merge_topk
+    from tpu_ann.utils.datasets import DEEP10M_CALIBRATED, deep_surrogate
+
+    log("devices:", jax.devices())
+    n, d, nq, k = 10_000_000, 96, 10_000, 10
+    t0 = time.time()
+    allx = deep_surrogate(n + nq, seed=11, **DEEP10M_CALIBRATED)
+    xb, xq = allx[:n], allx[n:]
+    del allx
+    log(f"hard 10M surrogate generated in {time.time()-t0:.0f}s")
+
+    xq_d = jnp.asarray(xq)
+
+    def recall_of(I, gt):
+        I = np.asarray(I)
+        return float(np.mean([len(set(I[q]) & set(gt[q])) / k
+                              for q in range(len(gt))]))
+
+    # ---- exact GT at 10M (streamed) ------------------------------------
+    t0 = time.time()
+    bd = jnp.full((nq, k), jnp.inf)
+    bi = jnp.full((nq, k), -1, jnp.int32)
+    for i in range(0, n, 2_000_000):
+        dv, iv = D.knn(xq_d, jnp.asarray(xb[i:i + 2_000_000]), k)
+        bd, bi = merge_topk(bd, bi, dv, iv + i, k, similarity=False)
+    gt = np.asarray(bi)
+    del bd, bi, dv, iv
+    gc.collect()
+    log(f"GT {time.time()-t0:.0f}s")
+
+    def sweep(idx, tag, modes, nprobes, build_s):
+        for mode in modes:
+            idx.coarse_mode = mode
+            for nprobe in nprobes:
+                idx.nprobe = nprobe
+                try:
+                    idx.search(xq[:256], k)          # warm/compile
+                    best = float("inf")
+                    for _ in range(3):
+                        ta = time.time()
+                        _, Iv = idx.search(xq, k)
+                        np.asarray(Iv)
+                        best = min(best, time.time() - ta)
+                    emit({"section": tag, "mode": mode, "nprobe": nprobe,
+                          "recall@10": recall_of(Iv, gt),
+                          "qps": nq / best, "build_s": build_s})
+                except Exception as e:   # noqa: BLE001
+                    emit({"section": tag, "mode": mode,
+                          "nprobe": nprobe, "error": repr(e)})
+
+    # ---- BASELINE #4: the namesake hybrid at 10M ------------------------
+    try:
+        hyb = IndexIVFHNSW(d, 16384, M=32)
+        t0 = time.time()
+        hyb.train(xb[:1_600_000])
+        hyb.add(xb)
+        t_build = time.time() - t0
+        log(f"hybrid built in {t_build:.0f}s")
+        sweep(hyb, "hybrid16384", ("auto", "quantizer"),
+              (16, 32, 64, 128), t_build)
+        hyb.reset()
+        del hyb
+        gc.collect()
+    except Exception as e:   # noqa: BLE001
+        emit({"section": "hybrid16384", "error": repr(e)})
+
+    # ---- IVF16384,Flat (plain rows, VERDICT #4 wording) ------------------
+    try:
+        ivf = make_ivf_flat(d, 16384)
+        ivf.cp.niter = 10
+        t0 = time.time()
+        ivf.train(xb[:1_600_000])
+        ivf.add(xb)
+        t_build = time.time() - t0
+        sweep(ivf, "ivf16384_flat", ("auto",), (16, 32, 64, 128), t_build)
+        ivf.reset()
+        del ivf
+        gc.collect()
+    except Exception as e:   # noqa: BLE001
+        emit({"section": "ivf16384_flat", "error": repr(e)})
+
+    # ---- IVF65536,PQ32x4fs,RFlat at 10M ---------------------------------
+    try:
+        from tpu_ann.utils.factory import index_factory
+
+        fs = index_factory(d, "IVF65536,PQ32x4fs,RFlat")
+        fs.base_index.cp.niter = 8
+        t0 = time.time()
+        fs.train(xb[:2_000_000])
+        fs.add(xb)
+        t_build = time.time() - t0
+        log(f"fastscan built in {t_build:.0f}s")
+        base = fs.base_index
+        for nprobe, kf in ((32, 4), (64, 4), (128, 4)):
+            base.nprobe = nprobe
+            fs.k_factor = kf
+            try:
+                fs.search(xq[:256], k)
+                best = float("inf")
+                for _ in range(3):
+                    ta = time.time()
+                    _, Iv = fs.search(xq, k)
+                    np.asarray(Iv)
+                    best = min(best, time.time() - ta)
+                emit({"section": "ivf65536_pq32x4fs_rflat",
+                      "nprobe": nprobe, "k_factor": kf,
+                      "recall@10": recall_of(Iv, gt),
+                      "qps": nq / best, "build_s": t_build})
+            except Exception as e:   # noqa: BLE001
+                emit({"section": "ivf65536_pq32x4fs_rflat",
+                      "nprobe": nprobe, "error": repr(e)})
+    except Exception as e:   # noqa: BLE001
+        emit({"section": "ivf65536_pq32x4fs_rflat", "error": repr(e)})
+
+    log("queue5 DONE")
+
+
+if __name__ == "__main__":
+    main()
