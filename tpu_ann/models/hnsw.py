@@ -70,9 +70,12 @@ class HNSWParams:
         self.fused_hops = 1        # graph hops after the hop-0 route
         self.fused_F = 4           # fresh tiles scanned per graph hop
         self.fused_kp = 8          # per-(query, tile) extraction width
-        self.fused_kp_max = 128    # cap of the wide-k (coarse-quantizer)
-                                   # kp scaling; extraction cost is
-                                   # linear in kp (r5_queue4 sweep)
+        self.fused_kp_max = 64     # cap of the wide-k (coarse-quantizer)
+                                   # kp scaling. Extraction rounds are
+                                   # SERIAL, so kp=128 is pathological
+                                   # (213 QPS at nprobe=128, r5_queue5)
+                                   # while 64 keeps recall equal to 128
+                                   # at nprobe=64 (r5_queue4: 0.954 both)
         # Mosaic's DMA/reshape tiling wants 128-row blocks; the fused
         # path therefore uses its own (coarser) tile size
         self.fused_tile_size = 128
