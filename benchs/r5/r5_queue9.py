@@ -110,6 +110,33 @@ def main():
         log(f"hybrid built in {t_build:.0f}s")
         sweep(hyb, "hybrid16384", ("auto", "quantizer"),
               (16, 32, 64, 128), t_build)
+        # save path WITH the il_from_host fix (queue5 measured the old
+        # path in-process: 1109 s / 7.9 GiB device download; the fixed
+        # dump writes only the host store + assignments)
+        try:
+            import os
+
+            from tpu_ann.utils import index_io
+
+            path = "/tmp/r9_hyb10m.bin"
+            ta = time.time()
+            index_io.write_index(hyb, path)
+            t_save = time.time() - ta
+            sz = os.path.getsize(path) / 2**30
+            ta = time.time()
+            h2 = index_io.read_index(path)
+            h2.nprobe = 32
+            _, I2 = h2.search(xq[:1000], k)
+            t_load = time.time() - ta
+            emit({"section": "save_path_fixed", "save_s": t_save,
+                  "file_gib": sz, "load_plus_first_search_s": t_load,
+                  "reload_recall@10": float(np.mean(
+                      [len(set(np.asarray(I2)[q]) & set(gt[q])) / k
+                       for q in range(1000)]))})
+            os.remove(path)
+            del h2
+        except Exception as e:   # noqa: BLE001
+            emit({"section": "save_path_fixed", "error": repr(e)})
         hyb.reset()
         del hyb
         gc.collect()

@@ -285,9 +285,10 @@ def _dump_ivf_common(index) -> Tuple[dict, dict]:
     host_n = sum(len(c) for c in index._xb_host) if index._xb_host else 0
     coded_il = index.invlists is not None and \
         not hasattr(index.invlists, "data")
+    rmask = getattr(index, "_removed_mask", None)
     il_from_host = (index.invlists is not None and not coded_il
                     and host_n == index.ntotal
-                    and getattr(index, "_removed_mask", None) is None)
+                    and (rmask is None or not rmask.any()))
     meta["il_from_host"] = il_from_host
     if index.invlists is not None and not il_from_host:
         il = index.invlists
