@@ -252,3 +252,34 @@ def test_ondisk_allocator_feeds_merge(small_ds, tmp_path):
     idx.nprobe = 8
     _, Iv = idx.search(xb[:10], 1)
     assert (np.asarray(Iv)[:, 0] == np.arange(10)).all()
+
+
+def test_ivf_save_skips_invlist_download(small_ds):
+    """The il_from_host fast save (round-5): raw-float IVF dumps must
+    NOT serialize the packed device invlists when the host store is
+    complete — the 10M save measured 1109 s of redundant device
+    download before the fix (benchs/logs/r5_queue5.jsonl save_path)."""
+    from tpu_ann.models.ivf import make_ivf_flat
+    from tpu_ann.models.selectors import IDSelectorRange
+    from tpu_ann.utils import index_io
+
+    idx = make_ivf_flat(small_ds.d, 16)
+    idx.cp.niter = 4
+    idx.train(small_ds.get_train())
+    idx.add(small_ds.get_database())
+    m, a = index_io.dump_index(idx)
+    assert m["il_from_host"] is True
+    assert "il_data" not in a and "il_norms" not in a
+    assert "assign_host" in a
+    idx2 = index_io.load_index(m, a)
+    idx.nprobe = idx2.nprobe = 4
+    xq = small_ds.get_queries()[:20]
+    np.testing.assert_array_equal(idx.search(xq, 5)[1],
+                                  idx2.search(xq, 5)[1])
+
+    # pending removals force the safe full dump (ids must persist)
+    idx.remove_ids(IDSelectorRange(0, 50))
+    m2, a2 = index_io.dump_index(idx)
+    idx3 = index_io.load_index(m2, a2)
+    _, I3 = idx3.search(xq, 5)
+    assert not ((I3 >= 0) & (I3 < 50)).any()
