@@ -170,16 +170,24 @@ def main():
         t_build = time.time() - t0
         log(f"fastscan built in {t_build:.0f}s")
         base = fs.base_index
+        QCH = 2048   # queue5 OOM'd HBM searching all 10k at once after
+                     # the 10M build; chunked queries bound scan buffers
+
+        def fs_search_chunked(xs):
+            outs = [fs.search(xs[i:i + QCH], k)
+                    for i in range(0, len(xs), QCH)]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]))
+
         for nprobe, kf in ((32, 4), (64, 4), (128, 4)):
             base.nprobe = nprobe
             fs.k_factor = kf
             try:
-                fs.search(xq[:256], k)
+                fs_search_chunked(xq[:QCH])
                 best = float("inf")
                 for _ in range(3):
                     ta = time.time()
-                    _, Iv = fs.search(xq, k)
-                    np.asarray(Iv)
+                    _, Iv = fs_search_chunked(xq)
                     best = min(best, time.time() - ta)
                 emit({"section": "ivf65536_pq32x4fs_rflat",
                       "nprobe": nprobe, "k_factor": kf,
