@@ -419,3 +419,18 @@ def test_global_indexivf_stats(small_ds):
     assert g.total_us >= s1.total_us
     tpu_ann.indexIVF_stats.reset()
     assert tpu_ann.indexIVF_stats.nq == 0
+
+
+def test_ivf_search_chunk_paging(small_ds):
+    """search_chunk pages big query batches transparently (the
+    reference's GpuIndex auto-paging role); results identical."""
+    index = make_ivf_flat(small_ds.d, nlist=16)
+    index.train(small_ds.get_train())
+    index.add(small_ds.get_database())
+    index.nprobe = 4
+    xq = small_ds.get_queries()
+    D1, I1 = index.search(xq, 5)
+    index.search_chunk = 32
+    D2, I2 = index.search(xq, 5)
+    assert np.array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-6)

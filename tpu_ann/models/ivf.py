@@ -508,6 +508,13 @@ class IndexIVF(Index):
         removed = self._removed_mask[np.maximum(rows, 0)] & (rows >= 0)
         return np.where(removed, -1, out)
 
+# query-batch paging: scan scratch scales with nq * nprobe * list
+    # sizes, and one 10k-query batch OOM'd a 16 GB chip at 10M scale
+    # (r5_queue5 fastscan rows). 0 = off; set to page big batches
+    # transparently, the role of the reference's GpuIndex auto-paging
+    # (gpu/GpuIndex.h:70+ minPagedSize).
+    search_chunk = 0
+
     def search(self, x, k: int, *, params: Optional[SearchParametersIVF] = None):
         """Fast path: both phases stay on device, one sync at the end
         (unlike search_stats, which syncs between phases to time them)."""
@@ -515,6 +522,12 @@ class IndexIVF(Index):
         if self.invlists is None:
             raise RuntimeError("empty index")
         x = self._check_input(x)
+        if self.search_chunk and len(x) > self.search_chunk:
+            outs = [self.search(x[i:i + self.search_chunk], k,
+                                params=params)
+                    for i in range(0, len(x), self.search_chunk)]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]))
         nprobe, mnb = self._effective_params(params)
         xq_dev = jnp.asarray(x)
         Dv, Iv = self._search_device(xq_dev, k, nprobe, mnb,
