@@ -162,7 +162,8 @@ DEEP100M_CALIBRATED = {"nproto": 256, "sigma": 1.3}
 
 def deep_surrogate(n: int, seed: int = 0, chunk: int = 200_000,
                    d: int = 96, nproto: int = 0,
-                   sigma: float = 1.3) -> np.ndarray:
+                   sigma: float = 1.3,
+                   out: Optional[np.ndarray] = None) -> np.ndarray:
     """Deep1B-like 96-d float descriptors (unit-norm CNN features, the
     reference's Deep10M/Deep1B workload class — contrib/datasets.py
     DatasetDeep1B). Same prototype-cloud difficulty mechanism as
@@ -172,14 +173,23 @@ def deep_surrogate(n: int, seed: int = 0, chunk: int = 200_000,
     normalization (Deep1B descriptors are unit-norm floats — the
     integer-exactness fast path of IndexFlat deliberately does NOT
     apply here, keeping the bf16+refine discipline honest on this
-    family)."""
+    family).
+
+    ``out``: optional preallocated (n, d) float32 destination (e.g. a
+    np.memmap) written chunk-by-chunk, so Deep100M-scale sets (38.4 GB)
+    never materialize in RAM. The RNG sequence depends only on
+    (seed, chunk), so out-of-core and in-RAM calls produce identical
+    data."""
     rs = np.random.RandomState(seed)
     if nproto <= 0:
         nproto = max(n // 1562, 64)        # ~ the calibrated cloud size
     g = 8                                   # jitter dim-group width
     assert d % g == 0
     proto = rs.randn(nproto, d).astype(np.float32)
-    out = np.empty((n, d), np.float32)
+    if out is None:
+        out = np.empty((n, d), np.float32)
+    else:
+        assert out.shape == (n, d) and out.dtype == np.float32
     for i0 in range(0, n, chunk):
         m = min(chunk, n - i0)
         which = rs.randint(nproto, size=m)
