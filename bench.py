@@ -132,9 +132,26 @@ def main():
             return flat_knn_fused(xq_dev, xb_dev, k, D.METRIC_L2,
                                   packed=packed, **kw)
 
+        # Timing: kernel + scalar fence jitted TOGETHER (the r5_queue3
+        # protocol). time_device's separate red() call costs a second
+        # dispatch round-trip + an HBM materialization of the full
+        # (nq, k) outputs between the two programs — measured ~13 ms on
+        # this link, 180.6k vs the same kernel's 236k (r5_queue3.jsonl
+        # W=2048 row).
+        @jax.jit
+        def flat_once(q, db):
+            dd, ii = flat_knn_fused(q, db, k, D.METRIC_L2,
+                                    packed=packed, **kw)
+            return jnp.sum(dd) + jnp.sum(ii.astype(jnp.float32))
+
         Dv, Iv = flat_fn()
         rec = recall_k_at_k(np.asarray(Iv), gt, k)
-        t_dev = time_device(flat_fn)
+        np.asarray(flat_once(xq_dev, xb_dev))    # warm/compile
+        t_dev = np.inf
+        for _ in range(5):
+            ta = time.time()
+            np.asarray(flat_once(xq_dev, xb_dev))
+            t_dev = min(t_dev, time.time() - ta)
         qps = nq / t_dev
         log(f"FusedFlat(W=2048,selK,refine0): recall@10={rec:.4f} "
             f"qps(device)={qps:.0f} pack={t_build_flat:.1f}s")

@@ -250,10 +250,13 @@ def main():
 
     import functools
 
+    # NOTE: sq8 (9.6 GB) is an ARGUMENT, not a closure — a closed-over
+    # device array is baked into the remote-compile request on axon
+    # (HTTP 413; see .claude/skills/verify gotcha list).
     @functools.partial(jax.jit, static_argnames=("k",))
-    def refine_sq8(xq_dev, rows, k):
+    def refine_sq8(xq_dev, rows, sq8, k):
         safe = jnp.clip(rows, 0, N - 1)
-        rec = sq8_dev[safe].astype(jnp.float32) * vscale_d + vmin_d
+        rec = sq8[safe].astype(jnp.float32) * vscale_d + vmin_d
         ip = jnp.einsum("qd,qcd->qc", xq_dev, rec,
                         preferred_element_type=jnp.float32)
         qn = jnp.sum(xq_dev * xq_dev, axis=1, keepdims=True)
@@ -307,7 +310,7 @@ def main():
             if tier == "pq":
                 Iout[i0:i0 + len(xb_np)] = np.asarray(Iv[:, :K])
             elif tier == "rsq8":
-                _, Ir = refine_sq8(xq_dev, Iv, K)
+                _, Ir = refine_sq8(xq_dev, Iv, sq8_dev, K)
                 Iout[i0:i0 + len(xb_np)] = np.asarray(Ir)
             else:                            # rflat paged
                 Iout[i0:i0 + len(xb_np)] = refine_flat_host(
