@@ -69,6 +69,27 @@ def test_views_semantics():
     assert len(sw.get_list(1)[0]) == 0
 
 
+def test_file_source_host_form(small_ds, tmp_path):
+    """il_from_host saves (index_io._dump_ivf_common) write NO il_data
+    for raw-float IVF — FileInvlistSource must serve per-list access
+    straight from the mmapped host store + assignments (regression:
+    'no packed invlists in file' broke the shard-merge workflow)."""
+    _, shards, _ = _mk_shards(small_ds, nshard=1)
+    sh = shards[0]
+    p = str(tmp_path / "hostform.tann")
+    index_io.write_index(sh, p)
+    meta, arrays = index_io._read_container(p, mmap=True)
+    assert meta.get("il_from_host") and "il_data" not in arrays
+    src = FileInvlistSource(p)
+    assert src.nlist == sh.nlist and src.ntotal == sh.ntotal
+    sizes = [src.list_size(i) for i in range(src.nlist)]
+    assert sum(sizes) == sh.ntotal
+    li = max(range(src.nlist), key=lambda i: sizes[i])
+    payload, ids = src.get_list(li)
+    assert payload.shape == (sizes[li], sh.d)
+    assert len(set(ids.tolist())) == sizes[li]
+
+
 def test_merge_ondisk_flat(small_ds, tmp_path):
     base, shards, xb = _mk_shards(small_ds)
     # oracle: in-RAM merge

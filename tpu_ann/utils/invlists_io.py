@@ -126,24 +126,48 @@ class FileInvlistSource(InvlistSource):
 
     def __init__(self, path: str):
         meta, arrays = iio._read_container(path, mmap=True)
-        if "il_data" not in arrays:
-            raise ValueError(f"{path}: no packed invlists in file")
         self.meta = meta
-        self.coded = bool(meta.get("il_coded"))
-        self._data = arrays["il_data"]        # (nb+1, B, w) mmap
-        self._rowids = arrays["il_ids"]       # (nb+1, B) int32 row idx
-        self._start = np.asarray(arrays["il_start"], np.int64)
-        self._nblk = np.asarray(arrays["il_nblocks"], np.int64)
-        self._user_ids = (np.asarray(arrays["ids_host"], np.int64)
-                          if "ids_host" in arrays else None)
-        self.nlist = len(self._start)
-        self.B = self._data.shape[1]
-        self.width = self._data.shape[2]
-        # valid rows are the first `size` slots of the block range
-        # (pack_invlists fills rank-contiguously); count via ids >= 0
-        self._sizes = None
+        if "il_data" in arrays:
+            self._host_form = False
+            self.coded = bool(meta.get("il_coded"))
+            self._data = arrays["il_data"]        # (nb+1, B, w) mmap
+            self._rowids = arrays["il_ids"]       # (nb+1, B) int32 row idx
+            self._start = np.asarray(arrays["il_start"], np.int64)
+            self._nblk = np.asarray(arrays["il_nblocks"], np.int64)
+            self._user_ids = (np.asarray(arrays["ids_host"], np.int64)
+                              if "ids_host" in arrays else None)
+            self.nlist = len(self._start)
+            self.B = self._data.shape[1]
+            self.width = self._data.shape[2]
+            # valid rows are the first `size` slots of the block range
+            # (pack_invlists fills rank-contiguously); count via ids >= 0
+            self._sizes = None
+            return
+        # Host-form IVF file: the il_from_host save path
+        # (index_io._dump_ivf_common) skips the packed device layout for
+        # raw-float invlists and stores the host vector store + per-row
+        # coarse assignments instead. Per-list access is served by a
+        # counting-sorted row-order table over the mmapped store — no
+        # reordered copy is materialized (one list touched => one list's
+        # rows gathered), keeping the OnDiskInvertedLists paging contract.
+        if not (meta.get("il_from_host") and "xb_host" in arrays
+                and "assign_host" in arrays):
+            raise ValueError(f"{path}: no packed invlists in file")
+        self._host_form = True
+        self.coded = False
+        self._xb = arrays["xb_host"]              # (n, d) mmap
+        self._user_ids = np.asarray(arrays["ids_host"], np.int64)
+        assign = np.asarray(arrays["assign_host"], np.int64)
+        self.nlist = int(meta["nlist"])
+        self.width = int(self._xb.shape[1])
+        self._order = np.argsort(assign, kind="stable")
+        sizes = np.bincount(assign, minlength=self.nlist)
+        self._row_start = np.zeros(self.nlist + 1, np.int64)
+        np.cumsum(sizes, out=self._row_start[1:])
 
     def list_size(self, i):
+        if self._host_form:
+            return int(self._row_start[i + 1] - self._row_start[i])
         if self._sizes is None:
             self._sizes = np.empty(self.nlist, np.int64)
             for l in range(self.nlist):
@@ -156,6 +180,10 @@ class FileInvlistSource(InvlistSource):
         return int(self._sizes[i])
 
     def get_list(self, i):
+        if self._host_form:
+            rows = self._order[self._row_start[i]:self._row_start[i + 1]]
+            rows = np.sort(rows)   # mmap gather in file order
+            return (np.asarray(self._xb[rows]), self._user_ids[rows])
         s, nb = self._start[i], self._nblk[i]
         if nb == 0:
             return (np.zeros((0, self.width), self._data.dtype),
