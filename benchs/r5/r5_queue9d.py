@@ -145,7 +145,29 @@ def do_search():
                   "error": repr(e)})
             break
     if not ladder_ok:
-        log("no QCH level survived; stopping")
+        # deepest fallback: drive the compacted scan directly with a
+        # smaller query tile / block chunk than the model defaults
+        # (qt=256, cb=8 — static args the model API does not expose)
+        log("model path failed at QCH=256; trying direct scan qt=64")
+        try:
+            from tpu_ann.ops import ivf_scan
+
+            xq_dev = jnp.asarray(xq[:256])
+            nprobe, mnb = base._effective_params(None)
+            cd, probes = base._coarse_search_device(xq_dev, nprobe0)
+            Dv, Iv, _ = ivf_scan.scan_invlists_pq(
+                xq_dev, probes.astype(jnp.int32),
+                cd.astype(jnp.float32), base.invlists,
+                base._pq_cent_dev, base._coarse_centroids(),
+                kk, base.metric_type, by_residual=True,
+                max_nblocks=mnb, chunk_blocks=4, qt=64, packed4=True)
+            np.asarray(Iv[:1, :1])
+            log("direct scan qt=64 OK")
+            memstat("direct qt=64")
+        except Exception as e:   # noqa: BLE001
+            log(f"direct scan qt=64 also failed: {e!r}")
+            emit({"section": "fs10m_ladder", "qch": "direct-qt64",
+                  "error": repr(e)})
         return
     log(f"largest safe QCH = {ladder_ok}; measuring rows")
 
