@@ -41,6 +41,19 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Fail fast if the platform override did not take. One observed suite
+# run (round 5, run_suite batch 3) silently initialized against the
+# real remote TPU instead of the virtual CPU mesh: sharded tests saw 1
+# device, kernel-precision tests failed on MXU bf16 noise, and the
+# batch contended with a live benchmark for the chip's HBM. Forcing
+# device init here turns that failure mode into one clear error.
+_devs = jax.devices()
+if _devs[0].platform != "cpu" or len(_devs) != 8:
+    raise RuntimeError(
+        f"test suite must run on the virtual 8-device CPU mesh, got "
+        f"{_devs} — the jax.config platform override did not take "
+        f"(backend initialized before conftest?)")
+
 
 @pytest.fixture(scope="session")
 def rng():
