@@ -769,3 +769,73 @@ def test_residual_coarse_quantizer(small_ds):
     # nlist mismatch is rejected
     with pytest.raises(ValueError):
         tpu_ann.index_factory(d, "IVF100(RCQ2x4),Flat")
+
+
+# --- aligned byte tier (relayout-free capacity-scale gather) ---------------
+
+@pytest.mark.parametrize("n,rb", [(4096, 96), (1000, 128), (777, 97),
+                                  (513, 1024), (300, 17)])
+def test_aligned_byte_tier_bitexact(n, rb):
+    """tier.gather must return the SAME BYTES as the naive u8[n,rb]
+    row gather it replaces (the one XLA relayout-copies at 100M;
+    benchs/logs/r5_queue10.log diagnosis, r5_queue11 hardware proof)."""
+    rng = np.random.default_rng(42 + rb)
+    x = rng.integers(0, 256, size=(n, rb), dtype=np.uint8)
+    tier = SQ.AlignedByteTier.from_host(x)
+    assert tier.nbytes % (SQ.LINE_BYTES * 8) == 0
+    rows = rng.integers(0, n, size=(7, 33)).astype(np.int32)
+    rows[0, :3] = [-5, 0, n - 1]          # clamp semantics
+    got = np.asarray(tier.gather(jnp.asarray(rows)))
+    ref = x[np.clip(rows, 0, n - 1)]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_aligned_byte_tier_reconstruct_sq8():
+    rng = np.random.default_rng(3)
+    d = 96
+    xf = rng.normal(size=(2048, d)).astype(np.float32)
+    codec = SQ.train_sq(xf, SQ.QT_8BIT)
+    codes = np.asarray(SQ.sq_encode(jnp.asarray(xf), codec))
+    tier = SQ.AlignedByteTier.from_host(codes)
+    rows = jnp.asarray([0, 5, 2047], jnp.int32)
+    rec = np.asarray(tier.reconstruct(rows, codec))
+    full = np.asarray(SQ.sq_decode(jnp.asarray(codes), codec))
+    np.testing.assert_array_equal(rec, full[[0, 5, 2047]])
+
+
+def test_aligned_byte_tier_rejects_wide_rows():
+    with pytest.raises(ValueError):
+        SQ.AlignedByteTier.from_host(
+            np.zeros((4, 2000), np.uint8))
+
+
+def test_index_refine_sq8_tier():
+    """IndexRefineSQ8Tier: base IVFPQ candidates re-ranked against the
+    chip-resident aligned SQ8 tier must recover most of the recall an
+    exact flat refine gets (SQ8 decode error is small at this scale)."""
+    from tpu_ann.models.refine import IndexRefineSQ8Tier
+
+    rng = np.random.default_rng(7)
+    d, nb, nq = 32, 6000, 64
+    xb = rng.normal(size=(nb, d)).astype(np.float32)
+    xq = rng.normal(size=(nq, d)).astype(np.float32)
+    gt_flat = IndexFlat(d)
+    gt_flat.add(xb)
+    _, gt = gt_flat.search(xq, 10)
+
+    base = make_ivf_pq(d, nlist=32, M=8, nbits=8)
+    idx = IndexRefineSQ8Tier(base)
+    idx.train(xb)
+    idx.add(xb)
+    idx.k_factor = 8
+    base.nprobe = 16
+    _, I_base = base.search(xq, 10)
+    _, I_ref = idx.search(xq, 10)
+    r_base = recall_at_r(I_base, np.asarray(gt), 10)
+    r_ref = recall_at_r(I_ref, np.asarray(gt), 10)
+    assert r_ref > r_base + 0.05, (r_base, r_ref)
+    assert r_ref > 0.85, (r_base, r_ref)
+
+    rec = idx.reconstruct(5)
+    err = np.abs(rec - xb[5]).max()
+    assert err < 0.05, err

@@ -164,3 +164,108 @@ class IndexRefineFlat(IndexRefine):
         _, Ib = self.base_index.search_device(xq_dev, kk)
         return _rerank(xq_dev, Ib.astype(jnp.int32),
                        self.refine_index.vectors, k, self.metric_type)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "tier_meta"))
+def _rerank_tier(xq, cand_ids, tier_lines, vmin, vdiff, k: int,
+                 metric: int, tier_meta):
+    """_rerank against an AlignedByteTier of SQ8 codes. tier_lines is
+    passed as an ARGUMENT (closing over it would bake ~10 GB into the
+    remote compile request); tier_meta = (n, row_bytes) is static."""
+    from ..ops import sq as SQ
+
+    n, rb = tier_meta
+    tier = SQ.AlignedByteTier(tier_lines, n, rb)
+    similarity = D.is_similarity_metric(metric)
+    bad = D.worst_value(metric)
+    valid = cand_ids >= 0
+    codes = tier.gather(jnp.where(valid, cand_ids, 0))
+    vecs = SQ.sq_dequant_codes(codes, SQ.QT_8BIT, rb, vmin, vdiff)
+    ip = jnp.einsum("qd,qcd->qc", xq.astype(jnp.float32), vecs,
+                    preferred_element_type=jnp.float32)
+    if similarity:
+        dis = ip
+    else:
+        qn = jnp.sum(xq.astype(jnp.float32) ** 2, axis=1)[:, None]
+        vn = jnp.sum(vecs * vecs, axis=2)
+        dis = jnp.maximum(qn + vn - 2.0 * ip, 0.0)
+    dis = jnp.where(valid, dis, bad)
+    return T.topk_with_ids(dis, cand_ids, k, similarity=similarity)
+
+
+class IndexRefineSQ8Tier(Index):
+    """Capacity-scale refine: base-index candidates re-scored against a
+    chip-resident SQ8 tier in the relayout-free AlignedByteTier layout
+    (ops/sq.AlignedByteTier — see its docstring for why the naive
+    u8[n,d] device array OOMs at 100M via XLA's in-program relayout
+    copy). At 100M x 96-d the tier is 9.6 GB and coexists with 2.1 GB
+    of packed PQ4 codes on one 16 GB chip — the configuration measured
+    in benchs/logs/r5_queue10.jsonl / r5_queue11.jsonl.
+
+    Role parity: faiss IndexRefine with a ScalarQuantizer refine index
+    (faiss/IndexRefine.h:22, refine codec choice discussed in
+    demos/offline_ivf) — here the refine side is a device tier, not an
+    Index, so the re-rank is one relayout-free gather + VPU decode +
+    MXU contraction + k-select per batch.
+    """
+
+    def __init__(self, base_index: Index):
+        super().__init__(base_index.d, base_index.metric_type)
+        self.base_index = base_index
+        self.k_factor = 4
+        self.codec = None
+        self._host_codes: list = []
+        self._tier = None
+        self.is_trained = False
+
+    def train(self, x) -> None:
+        from ..ops import sq as SQ
+
+        x = self._check_input(x)
+        self.base_index.train(x)
+        self.codec = SQ.train_sq(x, SQ.QT_8BIT)
+        self.is_trained = True
+
+    def add(self, x) -> None:
+        from ..ops import sq as SQ
+
+        x = self._check_input(x)
+        self.base_index.add(x)
+        self._host_codes.append(
+            np.asarray(SQ.sq_encode(jnp.asarray(x), self.codec)))
+        self._tier = None
+        self.ntotal = self.base_index.ntotal
+
+    def reset(self) -> None:
+        self.base_index.reset()
+        self._host_codes = []
+        self._tier = None
+        self.ntotal = 0
+
+    def _ensure_tier(self):
+        from ..ops import sq as SQ
+
+        if self._tier is None:
+            codes = (self._host_codes[0] if len(self._host_codes) == 1
+                     else np.concatenate(self._host_codes))
+            self._tier = SQ.AlignedByteTier.from_host(codes)
+        return self._tier
+
+    def search(self, x, k: int, *, params=None):
+        x = self._check_input(x)
+        tier = self._ensure_tier()
+        kk = max(int(k * self.k_factor), k)
+        kk = min(kk, max(self.ntotal, 1))
+        _, I = self.base_index.search(x, kk, params=params)
+        Dv, Iv = _rerank_tier(
+            jnp.asarray(x), jnp.asarray(I, jnp.int32), tier.lines,
+            jnp.asarray(self.codec.vmin, jnp.float32),
+            jnp.asarray(self.codec.vdiff, jnp.float32),
+            k, self.metric_type, (tier.n, tier.row_bytes))
+        return np.asarray(Dv), np.asarray(Iv, np.int64)
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        tier = self._ensure_tier()
+        rec = self._tier.reconstruct(
+            jnp.asarray([key], jnp.int32), self.codec)
+        return np.asarray(rec)[0]

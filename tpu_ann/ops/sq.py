@@ -202,3 +202,98 @@ def sq_decode(codes: jnp.ndarray, codec: SQCodec) -> jnp.ndarray:
     vdiff = (jnp.asarray(codec.vdiff) if codec.vdiff is not None
              else jnp.ones((codec.d,), jnp.float32))
     return sq_dequant_codes(codes, codec.qtype, codec.d, vmin, vdiff)
+
+
+# ---------------------------------------------------------------------------
+# Layout-aligned byte tier: relayout-free row gather at capacity scale
+# ---------------------------------------------------------------------------
+
+LINE_BYTES = 1024  # one gather line: 8 sublanes x 128 lanes of u8
+
+
+class AlignedByteTier:
+    """Chip-resident byte-row store whose HBM layout IS the canonical
+    u8 tiled layout, so a candidate-row gather inserts no relayout
+    copy.
+
+    Why it exists: passing a u8[n, row_bytes] array into a jitted
+    gather makes XLA relayout the operand to its preferred tiled
+    layout T(8,128)(4,1). The copy is materialized INSIDE the program:
+    at n=100M, row_bytes=96 that is +11.9 GB of padded scratch on top
+    of the 8.94 GB argument — 21.1 GB total, an OOM on a 16 GB chip
+    (full XLA allocation dump: benchs/logs/r5_queue10.log). Storing
+    the same bytes as u8[nlines, 1024] — both dims tile-aligned — the
+    compact layout equals the tiled layout and the copy disappears;
+    the 100M SQ8 refine tier then fits with ~4 GB of headroom.
+
+    A row r's bytes live at flat offset row_bytes*r and span at most
+    two lines (row_bytes <= 1024). Index math stays int32 for ANY
+    n*row_bytes (n*row_bytes may exceed 2^31, e.g. 9.6e9 at 100M x 96)
+    by factoring r through the row cycle: with g = gcd(row_bytes,
+    1024) and P = 1024//g rows per cycle, each cycle advances exactly
+    row_bytes//g lines, and the in-cycle byte offset row_bytes*(r%P)
+    is < lcm(row_bytes, 1024) <= 2^20. Bit-exactness vs the naive
+    u8[n, row_bytes] gather is asserted in tests/test_codecs.py and was
+    re-proven on hardware at 1M (benchs/logs/r5_queue11.jsonl).
+
+    Role parity: the chip-resident analog of the reference's refine
+    storage in IndexRefine / offline_ivf's large-scale refine pass
+    (faiss/IndexRefine.h:22, demos/offline_ivf/offline_ivf.py) at a
+    scale where a naive device array cannot exist.
+    """
+
+    def __init__(self, lines: jnp.ndarray, n: int, row_bytes: int):
+        if row_bytes > LINE_BYTES:
+            raise ValueError(
+                f"row_bytes={row_bytes} > {LINE_BYTES}: a row must "
+                f"span <= 2 gather lines")
+        self.lines = lines            # (nlines, 1024) u8 device array
+        self.n = int(n)
+        self.row_bytes = int(row_bytes)
+        g = int(np.gcd(row_bytes, LINE_BYTES))
+        self._cycle_rows = LINE_BYTES // g      # P
+        self._cycle_lines = row_bytes // g      # lines per cycle
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.lines.shape[0]) * LINE_BYTES
+
+    @classmethod
+    def from_host(cls, x: np.ndarray) -> "AlignedByteTier":
+        """Pack host u8 rows (n, row_bytes) — np.memmap accepted — into
+        the aligned device tier. The tail is zero-padded so nlines is a
+        multiple of 8 (sublane alignment => zero layout padding)."""
+        if x.dtype != np.uint8 or x.ndim != 2:
+            raise ValueError("expected u8 (n, row_bytes)")
+        n, rb = x.shape
+        total = n * rb
+        unit = LINE_BYTES * 8
+        padded = -(-total // unit) * unit
+        if padded == total:
+            flat = np.ascontiguousarray(x).reshape(-1)
+        else:
+            flat = np.zeros(padded, np.uint8)
+            flat[:total] = np.ascontiguousarray(x).reshape(-1)
+        lines = jnp.asarray(flat.reshape(-1, LINE_BYTES))
+        return cls(lines, n, rb)
+
+    def gather(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """Relayout-free row gather: (...,) int32 row ids -> (...,
+        row_bytes) u8. Jit-traceable; out-of-range/negative ids are
+        clamped (callers mask them, as the IVF scan's padding does)."""
+        rb, P, CL = self.row_bytes, self._cycle_rows, self._cycle_lines
+        nlines = self.lines.shape[0]
+        safe = jnp.clip(rows, 0, self.n - 1)
+        q, m = safe // P, safe % P
+        inb = rb * m                          # in-cycle byte offset
+        line = q * CL + (inb // LINE_BYTES)
+        off = inb % LINE_BYTES
+        two = jnp.stack(
+            [line, jnp.minimum(line + 1, nlines - 1)], axis=-1)
+        g = self.lines[two].reshape(*safe.shape, 2 * LINE_BYTES)
+        idx = off[..., None] + jnp.arange(rb, dtype=jnp.int32)
+        return jnp.take_along_axis(g, idx, axis=-1)
+
+    def reconstruct(self, rows: jnp.ndarray, codec: SQCodec) -> jnp.ndarray:
+        """Gather + decode: row ids -> float32 (..., d) vectors."""
+        return sq_decode(self.gather(rows), codec)
