@@ -104,6 +104,9 @@ def _build(name, xt, xb):
     if name in ("IndexRefine", "IndexRefineFlat"):
         idx = M.IndexRefineFlat(M.IndexPQ(D_, 4, 6))
         return _trained_added(idx, xt, xb)
+    if name == "IndexRefineSQ8Tier":
+        idx = M.IndexRefineSQ8Tier(M.IndexPQ(D_, 4, 6))
+        return _trained_added(idx, xt, xb)
     if name == "IndexQINCo":
         from tpu_ann.models.qinco import IndexQINCo
 

@@ -33,7 +33,11 @@ from .ivf_pq import (  # noqa: F401
     make_ivf_pq,
 )
 from .pq import IndexPQ, IndexScalarQuantizer  # noqa: F401
-from .refine import IndexRefine, IndexRefineFlat  # noqa: F401
+from .refine import (  # noqa: F401
+    IndexRefine,
+    IndexRefineFlat,
+    IndexRefineSQ8Tier,
+)
 from .rq import (  # noqa: F401
     AdditiveCoarseQuantizer,
     IndexAdditiveQuantizer,

@@ -708,6 +708,38 @@ def _load_refine(meta, arrays):
     return idx
 
 
+def _dump_refine_sq8_tier(index):
+    meta = {"tag": "IxRT", "d": index.d, "metric": index.metric_type,
+            "ntotal": index.ntotal, "k_factor": index.k_factor,
+            "qtype": index.codec.qtype}
+    arrays = {"vmin": np.asarray(index.codec.vmin, np.float32),
+              "vdiff": np.asarray(index.codec.vdiff, np.float32)}
+    if index._host_codes:
+        arrays["codes"] = (
+            index._host_codes[0] if len(index._host_codes) == 1
+            else np.concatenate(index._host_codes))
+    bm, ba = dump_index(index.base_index)
+    _flatten("base", bm, ba, meta, arrays)
+    return meta, arrays
+
+
+def _load_refine_sq8_tier(meta, arrays):
+    from ..models.refine import IndexRefineSQ8Tier
+    from ..ops.sq import SQCodec
+
+    bm, ba = _sub("base", meta, arrays)
+    idx = IndexRefineSQ8Tier(load_index(bm, ba))
+    idx.codec = SQCodec(qtype=int(meta["qtype"]), d=int(meta["d"]),
+                        vmin=np.asarray(arrays["vmin"]),
+                        vdiff=np.asarray(arrays["vdiff"]))
+    if "codes" in arrays:
+        idx._host_codes = [np.asarray(arrays["codes"], np.uint8)]
+    idx.k_factor = int(meta["k_factor"])
+    idx.ntotal = int(meta["ntotal"])
+    idx.is_trained = True
+    return idx
+
+
 def _dump_qinco(index):
     meta = {"tag": "IxQN", "d": index.d, "metric": index.metric_type,
             "ntotal": index.ntotal, "K": index.K, "L": index.L,
@@ -1629,6 +1661,8 @@ _register("IndexIDMap", "IxMp", _dump_idmap, _load_idmap)
 _register("IndexIDMap2", "IxM2", _dump_idmap, _load_idmap)
 _register("IndexRefine", "IxRF", _dump_refine, _load_refine)
 _register("IndexRefineFlat", "IxRF", _dump_refine, _load_refine)
+_register("IndexRefineSQ8Tier", "IxRT", _dump_refine_sq8_tier,
+          _load_refine_sq8_tier)
 
 
 def serialize_index(index) -> np.ndarray:
