@@ -31,6 +31,7 @@ from tpu_ann.utils.evaluation import recall_at_r
     ("OPQ4,IVF32,PQ4", "IndexPreTransform"),
     ("IDMap,Flat", "IndexIDMap"),
     ("IVF32,Flat,RFlat", "IndexRefineFlat"),
+    ("IVF32,PQ4,RSQ8t", "IndexRefineSQ8Tier"),
 ])
 def test_factory_types(spec, cls):
     idx = index_factory(32, spec)

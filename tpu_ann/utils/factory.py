@@ -161,8 +161,14 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
 
     # --- suffixes ---------------------------------------------------------
     refine_flat = False
+    refine_sq8t = False
     if toks and toks[-1] in ("RFlat", "Refine(Flat)"):
         refine_flat = True
+        toks = toks[:-1]
+    elif toks and toks[-1] in ("RSQ8t", "Refine(SQ8Tier)"):
+        # capacity-scale re-rank against a chip-resident SQ8 tier in
+        # the relayout-free AlignedByteTier layout (models/refine.py)
+        refine_sq8t = True
         toks = toks[:-1]
 
     # --- prefixes (transforms + IDMap) ------------------------------------
@@ -294,6 +300,10 @@ def index_factory(d: int, spec: str, metric: int = D.METRIC_L2) -> Index:
     # --- wrap -------------------------------------------------------------
     if refine_flat:
         index = IndexRefineFlat(index)
+    if refine_sq8t:
+        from ..models.refine import IndexRefineSQ8Tier
+
+        index = IndexRefineSQ8Tier(index)
     if transforms:
         index = IndexPreTransform(*transforms, index)
     if idmap:
@@ -352,6 +362,9 @@ def get_code_size(d: int, spec: str) -> int:
     if toks[-1] in ("RFlat", "Refine(Flat)"):
         toks = toks[:-1]
         size += 4 * d          # refine stores exact f32 vectors
+    elif toks[-1] in ("RSQ8t", "Refine(SQ8Tier)"):
+        toks = toks[:-1]
+        size += d              # refine stores one SQ8 byte per dim
     cur_d = d
     while toks:
         tok = toks[0]
@@ -424,7 +437,7 @@ def reverse_index_factory(index) -> str:
     from ..models.ivf import IndexIVF, IndexIVFFlat
     from ..models.ivf_pq import (IndexIVFPQ, IndexIVFPQR,
                                  IndexIVFScalarQuantizer)
-    from ..models.refine import IndexRefine
+    from ..models.refine import IndexRefine, IndexRefineSQ8Tier
     from ..models.rq import (IndexIVFProductResidualQuantizer,
                              IndexIVFResidualQuantizer,
                              IndexProductResidualQuantizer,
@@ -454,6 +467,8 @@ def reverse_index_factory(index) -> str:
         if isinstance(index.refine_index, _F):
             return reverse_index_factory(index.base_index) + ",RFlat"
         raise ValueError("cannot reverse non-Flat refine")
+    if isinstance(index, IndexRefineSQ8Tier):
+        return reverse_index_factory(index.base_index) + ",RSQ8t"
     if isinstance(index, IndexIVF):
         prefix = f"IVF{index.nlist}"
         if isinstance(index.quantizer, IndexHNSW):
